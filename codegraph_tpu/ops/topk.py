@@ -1,0 +1,252 @@
+"""Streaming top-k over an HBM-resident embedding matrix.
+
+The north-star query kernel (SURVEY.md section 7 / BASELINE config 1):
+replaces the reference's brute-force rayon `parallel_top_k_search`
+(crates/codegraph-vector/src/simd_ops.rs:361-384) and SurrealDB HNSW KNN
+(schema/codegraph.surql:328-397) with a fused matmul + streaming top-k
+that never materializes the [B, N] score matrix in HBM.
+
+Two implementations with identical semantics:
+
+* `streaming_topk`      — pure-XLA `lax.scan` over row tiles; the carry is
+                          the running (scores, ids) top-k. XLA keeps the
+                          per-tile [B, TILE_N] scores in VMEM/registers.
+* `streaming_topk_pallas` — Pallas kernel: grid over (B tiles, N tiles),
+                          MXU dot per tile, VMEM top-k accumulator merged
+                          in-kernel, written out on the last N tile.
+
+Both take a `bias` vector [N] (0 for live rows, NEG_INF for padding and
+tombstoned rows) so dynamic corpora keep static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # plain float so Pallas kernels can use it as a literal
+
+DEFAULT_TILE_N = 1024
+DEFAULT_TILE_B = 8
+LANE = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def exact_topk(
+    q: jax.Array, x: jax.Array, k: int, bias: Optional[jax.Array] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Full [B, N] materialization + lax.top_k. Oracle / small-N path."""
+    scores = jax.lax.dot_general(
+        q, x, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        scores = scores + bias[None, :]
+    return jax.lax.top_k(scores, k)
+
+
+def merge_topk(
+    s_a: jax.Array, i_a: jax.Array, s_b: jax.Array, i_b: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Merge two (scores, ids) candidate sets per row into top-k.
+
+    Used by the scan carry and by the cross-shard k-way merge
+    (parallel/sharded_search.py). Pure lax.top_k over the concat.
+    """
+    s = jnp.concatenate([s_a, s_b], axis=-1)
+    i = jnp.concatenate([i_a, i_b], axis=-1)
+    top_s, pos = jax.lax.top_k(s, k)
+    return top_s, jnp.take_along_axis(i, pos, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n"))
+def streaming_topk(
+    q: jax.Array,
+    x: jax.Array,
+    bias: jax.Array,
+    k: int,
+    tile_n: int = DEFAULT_TILE_N,
+) -> Tuple[jax.Array, jax.Array]:
+    """XLA streaming top-k: scan over N in tiles, carrying the running top-k.
+
+    q:    [B, D] queries (pre-normalized for cosine)
+    x:    [N_pad, D] corpus, N_pad % tile_n == 0
+    bias: [N_pad] f32, 0=live / NEG_INF=dead
+    Returns (scores [B, k], ids [B, k]) with ids global row indices.
+    """
+    B, D = q.shape
+    N = x.shape[0]
+    assert N % tile_n == 0, f"N_pad={N} must be a multiple of tile_n={tile_n}"
+    n_tiles = N // tile_n
+
+    x_tiles = x.reshape(n_tiles, tile_n, D)
+    b_tiles = bias.reshape(n_tiles, tile_n)
+    qf = q
+
+    def step(carry, inp):
+        top_s, top_i = carry
+        xt, bt, base = inp
+        s = jax.lax.dot_general(
+            qf, xt, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bt[None, :]
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
+        return merge_topk(top_s, top_i, s, ids, k), None
+
+    init = (
+        jnp.full((B, k), NEG_INF, jnp.float32),
+        jnp.full((B, k), -1, jnp.int32),
+    )
+    bases = jnp.arange(n_tiles, dtype=jnp.int32) * tile_n
+    (top_s, top_i), _ = jax.lax.scan(step, init, (x_tiles, b_tiles, bases))
+    return top_s, top_i
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _extract_topk_rows(
+    cand_s: jax.Array, cand_i: jax.Array, k_pad: int
+) -> Tuple[jax.Array, jax.Array]:
+    """In-kernel top-k by iterative max-extract (no lax.top_k in Mosaic).
+
+    cand_s/cand_i: [B, C]. Returns ([B, k_pad], [B, k_pad]). Cost is
+    k_pad VPU passes over [B, C] — negligible next to the MXU dot when
+    C ~ tile_n and D >= 128.
+    """
+    Bt, C = cand_s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, C), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, k_pad), 1)
+
+    def body(t, carry):
+        s, outs, outi = carry
+        m = jnp.max(s, axis=1, keepdims=True)  # [B,1]
+        am = jnp.argmax(s, axis=1).reshape(Bt, 1)  # [B,1]
+        sel = col == am
+        picked_i = jnp.sum(jnp.where(sel, cand_i, 0), axis=1, keepdims=True)
+        s = jnp.where(sel, NEG_INF, s)
+        outs = jnp.where(kcol == t, m, outs)
+        outi = jnp.where(kcol == t, picked_i, outi)
+        return s, outs, outi
+
+    init = (
+        cand_s,
+        jnp.full((Bt, k_pad), NEG_INF, jnp.float32),
+        jnp.full((Bt, k_pad), -1, jnp.int32),
+    )
+    _, outs, outi = jax.lax.fori_loop(0, k_pad, body, init)
+    return outs, outi
+
+
+def _flat_topk_kernel(
+    q_ref, x_ref, bias_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k_pad: int, tile_n: int
+):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
+        acc_i[:] = jnp.full_like(acc_i, -1)
+
+    s = jax.lax.dot_general(
+        q_ref[:], x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[:]  # bias block is [1, tile_n], broadcasts over B
+
+    Bt = s.shape[0]
+    base = j * tile_n
+    ids = base + jax.lax.broadcasted_iota(jnp.int32, (Bt, tile_n), 1)
+
+    cand_s = jnp.concatenate([acc_s[:], s], axis=1)
+    cand_i = jnp.concatenate([acc_i[:], ids], axis=1)
+    new_s, new_i = _extract_topk_rows(cand_s, cand_i, k_pad)
+    acc_s[:] = new_s
+    acc_i[:] = new_i
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "tile_b", "interpret")
+)
+def streaming_topk_pallas(
+    q: jax.Array,
+    x: jax.Array,
+    bias: jax.Array,
+    k: int,
+    tile_n: int = DEFAULT_TILE_N,
+    tile_b: int = DEFAULT_TILE_B,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pallas fused matmul + streaming top-k.
+
+    Shapes: q [B, D] (B % tile_b == 0), x [N_pad, D] (N_pad % tile_n == 0),
+    bias [N_pad]. Returns (scores [B, k], ids [B, k]).
+
+    The top-k accumulator lives in VMEM scratch and persists across the
+    sequential N-tile grid dimension; k is padded to the 128 lane width
+    for layout, then sliced back.
+    """
+    B, D = q.shape
+    N = x.shape[0]
+    assert N % tile_n == 0 and B % tile_b == 0
+    k_pad = _round_up(max(k, 1), LANE)
+
+    grid = (B // tile_b, N // tile_n)
+    kernel = functools.partial(_flat_topk_kernel, k_pad=k_pad, tile_n=tile_n)
+
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, k_pad), jnp.float32),
+            pltpu.VMEM((tile_b, k_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=B * D * 4 + N * D * 4 + N * 4 + 2 * B * k_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, x, bias.reshape(1, N))
+    return out_s[:, :k], out_i[:, :k]
+
+
+__all__ = [
+    "NEG_INF",
+    "exact_topk",
+    "merge_topk",
+    "streaming_topk",
+    "streaming_topk_pallas",
+]
