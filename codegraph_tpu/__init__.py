@@ -11,13 +11,16 @@ sharding with per-shard top-k + k-way merge over ICI.
 Layer map (mirrors reference SURVEY.md section 1, re-architected for TPU):
   core/     -- types, deterministic ids, config          (codegraph-core)
   ops/      -- Pallas/XLA kernels: topk, int8, kmeans    (simd_ops, optimization)
-  index/    -- flat / int8 / IVF indexes + snapshots     (codegraph-vector)
-  models/   -- on-chip encoder + hash embedder           (local_provider, onnx)
+  index/    -- flat / int8 / IVF indexes                 (codegraph-vector)
+  models/   -- on-chip encoder, providers, training      (local_provider, onnx, ml/)
   parallel/ -- mesh, sharded search, k-way merge         (new; TPU-native)
   graph/    -- CSR graph store + graph queries           (codegraph-graph)
-  parser/   -- source parsing + chunking (host)          (codegraph-parser)
-  search/   -- semantic + BM25 + hybrid + rerank         (search.rs, surql fns)
-  mcp/      -- MCP server + agent tools                  (codegraph-mcp-*)
+  parser/   -- source parsing + chunking + watch (host)  (codegraph-parser)
+  search/   -- BM25 + hybrid + cache + rerank            (search.rs, surql fns)
+  indexer/  -- build pipeline + estimation + resolution  (codegraph-mcp)
+  mcp/      -- MCP server, 8 graph tools, agents, LLMs   (codegraph-mcp-*)
+  utils/    -- perfmon, heartbeat, circuit breaker       (aux subsystems)
+  cli.py    -- codegraph CLI; daemon.py -- watch daemon  (server bin, daemon)
 """
 
 from codegraph_tpu.version import __version__

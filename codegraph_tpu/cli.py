@@ -1,0 +1,246 @@
+"""`codegraph` CLI: index / estimate / search / start / status / daemon.
+
+Reference: codegraph-mcp-server/src/bin/codegraph.rs:39-254 — clap
+commands Start{stdio,http} / Stop / Status / Index / Estimate / Config /
+DbCheck / Daemon. Same surface, argparse instead of clap; `db-check`
+becomes `check` (verifies the snapshot + index instead of a SurrealDB
+connection).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+from typing import Optional
+
+from codegraph_tpu.core.config import CodeGraphConfig, load_config
+
+
+def _build_indexer(cfg: CodeGraphConfig, load_snapshot: bool = True):
+    from codegraph_tpu.indexer.indexer import ProjectIndexer
+
+    indexer = ProjectIndexer(cfg)
+    if load_snapshot:
+        data_dir = cfg.resolved_data_dir()
+        if (data_dir / "store_meta.json").exists():
+            indexer.load(str(data_dir))
+    return indexer
+
+
+def cmd_index(args, cfg: CodeGraphConfig) -> int:
+    cfg.project_root = args.path
+    indexer = _build_indexer(cfg, load_snapshot=not args.force)
+    stats = indexer.index_project(args.path, force=args.force)
+    directory = indexer.save()
+    out = stats.to_dict()
+    out["snapshot"] = directory
+    print(json.dumps(out, indent=2))
+    if args.watch:
+        _watch_loop(indexer, args.path, cfg)
+    return 0
+
+
+def _watch_loop(indexer, root: str, cfg: CodeGraphConfig) -> None:
+    """--watch mode (reference: watch_for_changes, indexer.rs:4297)."""
+    import time
+
+    from codegraph_tpu.parser.watcher import FileWatcher
+
+    watcher = FileWatcher(
+        root,
+        debounce_s=cfg.indexing.watch_debounce_ms / 1000.0,
+        exclude_globs=cfg.indexing.exclude_globs,
+    )
+    print("watching for changes (ctrl-c to stop)...", file=sys.stderr)
+    try:
+        while True:
+            watcher.poll_once()
+            time.sleep(cfg.indexing.watch_debounce_ms / 1000.0)
+            batch = watcher.next_batch()
+            if batch.empty:
+                continue
+            for path in batch.created + batch.modified:
+                indexer.index_single_file(path)
+                print(f"reindexed {path}", file=sys.stderr)
+            for path in batch.deleted:
+                indexer.delete_file(path)
+                print(f"removed {path}", file=sys.stderr)
+            indexer.save()
+    except KeyboardInterrupt:
+        pass
+
+
+def cmd_estimate(args, cfg: CodeGraphConfig) -> int:
+    from codegraph_tpu.indexer.estimation import RepositoryEstimator
+
+    cfg.project_root = args.path
+    est = RepositoryEstimator(cfg).analyze(args.path)
+    print(json.dumps(est.to_dict(), indent=2))
+    return 0
+
+
+def cmd_search(args, cfg: CodeGraphConfig) -> int:
+    indexer = _build_indexer(cfg)
+    results = indexer.search.search_text(args.query, args.limit)
+    print(json.dumps([r.to_dict() for r in results], indent=2))
+    return 0
+
+
+def _make_server(cfg: CodeGraphConfig):
+    from codegraph_tpu.graph.queries import GraphQueries
+    from codegraph_tpu.mcp.server import MCPServer
+    from codegraph_tpu.mcp.tools import GraphToolExecutor
+    from codegraph_tpu.search.reranker import RerankerPipeline
+
+    indexer = _build_indexer(cfg)
+    queries = GraphQueries(indexer.store)
+    reranker = RerankerPipeline(indexer.provider)
+    tools = GraphToolExecutor(queries, indexer.search, reranker)
+    return MCPServer(tools, cfg)
+
+
+def cmd_start(args, cfg: CodeGraphConfig) -> int:
+    server = _make_server(cfg)
+    if args.transport == "http":
+        server.serve_http(cfg.server.http_host, cfg.server.http_port)
+    else:
+        server.serve_stdio()
+    return 0
+
+
+def cmd_status(args, cfg: CodeGraphConfig) -> int:
+    data_dir = cfg.resolved_data_dir()
+    status = {"project_root": cfg.project_root, "data_dir": str(data_dir)}
+    if (data_dir / "store_meta.json").exists():
+        from codegraph_tpu.graph.store import GraphStore
+
+        store = GraphStore.load(str(data_dir))
+        status["indexed"] = True
+        status.update(store.stats())
+    else:
+        status["indexed"] = False
+    from codegraph_tpu.mcp.process import read_pid
+
+    pid = read_pid(str(data_dir))
+    status["daemon_pid"] = pid
+    print(json.dumps(status, indent=2))
+    return 0
+
+
+def cmd_check(args, cfg: CodeGraphConfig) -> int:
+    """Snapshot + index integrity check (reference: db-check)."""
+    data_dir = cfg.resolved_data_dir()
+    problems = []
+    if not (data_dir / "store_meta.json").exists():
+        problems.append(f"no snapshot at {data_dir}")
+    else:
+        from codegraph_tpu.graph.store import GraphStore
+
+        try:
+            store = GraphStore.load(str(data_dir))
+            s = store.stats()
+            if s["chunks"] and not (data_dir / "index.npz").exists():
+                problems.append("store has chunks but no index.npz")
+        except Exception as exc:
+            problems.append(f"snapshot load failed: {exc}")
+    print(json.dumps({"ok": not problems, "problems": problems}, indent=2))
+    return 0 if not problems else 1
+
+
+def cmd_config(args, cfg: CodeGraphConfig) -> int:
+    import dataclasses
+
+    print(json.dumps(dataclasses.asdict(cfg), indent=2, default=str))
+    return 0
+
+
+def cmd_daemon(args, cfg: CodeGraphConfig) -> int:
+    from codegraph_tpu.daemon import DaemonManager
+
+    mgr = DaemonManager(cfg)
+    if args.action == "start":
+        print(json.dumps(mgr.start(args.path)))
+    elif args.action == "stop":
+        print(json.dumps(mgr.stop()))
+    else:
+        print(json.dumps(mgr.status()))
+    return 0
+
+
+def cmd_stats(args, cfg: CodeGraphConfig) -> int:
+    indexer = _build_indexer(cfg)
+    out = {
+        "store": indexer.store.stats(),
+        "index_live": len(indexer.index),
+        "cache": indexer.search.cache.stats(),
+    }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="codegraph",
+        description="TPU-native code intelligence: index, search, serve.",
+    )
+    p.add_argument("--config", help="path to config.toml")
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("index", help="index a project directory")
+    sp.add_argument("path", nargs="?", default=".")
+    sp.add_argument("--force", action="store_true", help="full re-index")
+    sp.add_argument("--watch", action="store_true", help="keep watching")
+    sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser("estimate", help="dry-run cost estimate")
+    sp.add_argument("path", nargs="?", default=".")
+    sp.set_defaults(fn=cmd_estimate)
+
+    sp = sub.add_parser("search", help="hybrid semantic search")
+    sp.add_argument("query")
+    sp.add_argument("--limit", type=int, default=10)
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("start", help="start the MCP server")
+    sp.add_argument("transport", nargs="?", default="stdio",
+                    choices=["stdio", "http"])
+    sp.set_defaults(fn=cmd_start)
+
+    sp = sub.add_parser("status", help="index + daemon status")
+    sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser("check", help="verify snapshot integrity")
+    sp.set_defaults(fn=cmd_check)
+
+    sp = sub.add_parser("config", help="print effective config")
+    sp.set_defaults(fn=cmd_config)
+
+    sp = sub.add_parser("daemon", help="watch daemon control")
+    sp.add_argument("action", choices=["start", "stop", "status"])
+    sp.add_argument("path", nargs="?", default=".")
+    sp.set_defaults(fn=cmd_daemon)
+
+    sp = sub.add_parser("stats", help="store/index/cache statistics")
+    sp.set_defaults(fn=cmd_stats)
+    return p
+
+
+def main(argv: Optional[list] = None) -> int:
+    from codegraph_tpu.core.config import apply_platform_env
+
+    apply_platform_env()
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.WARNING,
+        stream=sys.stderr,
+    )
+    cfg = load_config(args.config)
+    return args.fn(args, cfg)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -53,8 +53,6 @@ class IndexConfig:
     kmeans_iters: int = 10
     # int8 rescore (reference BASELINE config 2: rescore top-100 in f32)
     rescore_k: int = 100
-    # query-time over-retrieve multiplier (reference: search.rs:110 uses 3x)
-    prefetch_multiplier: int = 3
 
 
 @dataclass
@@ -64,6 +62,8 @@ class SearchConfig:
     vector_weight: float = 0.9
     text_weight: float = 0.1
     graph_boost_weight: float = 0.1
+    # query-time over-retrieve multiplier (reference: search.rs:110 uses 3x)
+    prefetch_multiplier: int = 3
     default_limit: int = 10
     max_limit: int = 100
     rerank: bool = False
@@ -276,7 +276,26 @@ def load_config(
     return cfg
 
 
+def apply_platform_env() -> None:
+    """Make the JAX_PLATFORMS env var authoritative.
+
+    The deployment environment may register an exclusive TPU plugin from
+    sitecustomize and override jax's platform config; entry points call
+    this so an explicit JAX_PLATFORMS (e.g. cpu for hermetic CLI runs)
+    wins. Must run before any JAX backend initialization.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception as exc:  # pragma: no cover - defensive
+            logger.warning("could not apply JAX_PLATFORMS=%s: %s", plat, exc)
+
+
 __all__ = [
+    "apply_platform_env",
     "CodeGraphConfig",
     "EmbeddingConfig",
     "IndexConfig",

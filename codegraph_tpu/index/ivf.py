@@ -1,0 +1,276 @@
+"""IVF (inverted-file) index: k-means partitions + bucketed probe search.
+
+BASELINE config 3: k-means nlist partitions, nprobe sweep for the
+recall/QPS curve. TPU-native replacement for the reference's SurrealDB
+HNSW approximate index (schema/codegraph.surql:815-823, EFC=150 M=12):
+HNSW's pointer-chasing graph walk is hostile to XLA's static shapes, so
+approximation comes instead from scanning only `nprobe` of `nlist`
+k-means cells. Variable-length inverted lists become a dense
+[nlist, list_cap, D] tensor (bucketed padding + capacity factor, see
+SURVEY.md section 7 "IVF load imbalance"); overflowing cells trigger a
+repad. Search is two stages on the MXU:
+
+  1. coarse: Q @ C^T -> top-nprobe cells per query
+  2. probe:  lax.scan over nprobe; each step gathers one [B, list_cap, D]
+             block of whole cells (contiguous DMA per cell) and merges
+             its scores into the running top-k carry.
+
+Per-query probed rows = nprobe * list_cap ~= nprobe/nlist of the corpus —
+that ratio is the QPS multiplier over the flat scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codegraph_tpu.core.errors import DimensionMismatch, IndexNotBuilt
+from codegraph_tpu.core.padding import round_up
+from codegraph_tpu.ops.similarity import l2_normalize
+from codegraph_tpu.ops.topk import NEG_INF, merge_topk
+from codegraph_tpu.ops.kmeans import assign_clusters, kmeans
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def ivf_search_kernel(
+    q: jax.Array,          # [B, D] f32
+    centroids: jax.Array,  # [nlist, D] f32
+    x_lists: jax.Array,    # [nlist, list_cap, D]
+    id_lists: jax.Array,   # [nlist, list_cap] i32 (-1 pad)
+    bias_lists: jax.Array, # [nlist, list_cap] f32 (0 live / NEG_INF dead)
+    k: int,
+    nprobe: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (scores [B, k], global row ids [B, k])."""
+    B = q.shape[0]
+    # stage 1: coarse quantizer on the MXU
+    c_scores = jax.lax.dot_general(
+        q, centroids, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, nlist]
+    _, probe_ids = jax.lax.top_k(c_scores, nprobe)  # [B, nprobe]
+
+    # stage 2: probe cells, streaming merge
+    def step(carry, p):
+        top_s, top_i = carry
+        cell = probe_ids[:, p]  # [B]
+        xt = jnp.take(x_lists, cell, axis=0)      # [B, list_cap, D]
+        it = jnp.take(id_lists, cell, axis=0)     # [B, list_cap]
+        bt = jnp.take(bias_lists, cell, axis=0)   # [B, list_cap]
+        s = jnp.einsum(
+            "bd,bcd->bc", q, xt.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) + bt
+        return merge_topk(top_s, top_i, s, it, k), None
+
+    init = (
+        jnp.full((B, k), NEG_INF, jnp.float32),
+        jnp.full((B, k), -1, jnp.int32),
+    )
+    (top_s, top_i), _ = jax.lax.scan(step, init, jnp.arange(nprobe))
+    return top_s, top_i
+
+
+class IVFIndex:
+    """k-means-partitioned approximate index over HBM-resident cells.
+
+    capacity_factor: list_cap = capacity_factor * N/nlist (padded); cells
+    that overflow at add() time trigger a global repad to a larger cap.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        nlist: int = 4096,
+        nprobe: int = 64,
+        metric: str = "cosine",
+        dtype: str = "float32",
+        kmeans_iters: int = 10,
+        capacity_factor: float = 2.0,
+        train_sample: int = 262_144,
+        seed: int = 0,
+    ):
+        if metric not in ("cosine", "dot"):
+            raise ValueError(f"unknown metric {metric!r}")
+        self.dim = int(dim)
+        self.nlist = int(nlist)
+        self.nprobe = min(int(nprobe), self.nlist)
+        self.metric = metric
+        self.dtype = jnp.dtype(dtype)
+        self.kmeans_iters = int(kmeans_iters)
+        self.capacity_factor = float(capacity_factor)
+        self.train_sample = int(train_sample)
+        self.seed = int(seed)
+
+        self.list_cap = 0
+        self.n_rows = 0  # global rows ever assigned (includes tombstones)
+        self.n_live = 0
+        self._centroids: Optional[jax.Array] = None  # [nlist, D] f32
+        self._x: Optional[jax.Array] = None          # [nlist, cap, D]
+        self._ids: Optional[jax.Array] = None        # [nlist, cap] i32
+        self._bias: Optional[jax.Array] = None       # [nlist, cap] f32
+        # host-side bookkeeping
+        self._fill = np.zeros((self.nlist,), np.int64)  # rows used per cell
+        self._row_loc: dict[int, tuple[int, int]] = {}  # row -> (cell, pos)
+
+    # -- build -------------------------------------------------------------
+
+    def _prepare(self, vectors: np.ndarray) -> jax.Array:
+        v = jnp.asarray(vectors)
+        if v.ndim != 2 or v.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, v.shape[1] if v.ndim == 2 else -1)
+        v = v.astype(jnp.float32)
+        if self.metric == "cosine":
+            v = l2_normalize(v)
+        return v
+
+    def train(self, vectors: np.ndarray) -> None:
+        """k-means on (a sample of) the training vectors — the on-chip
+        analogue of the reference's PQ training loop (persistent.rs:155)."""
+        v = self._prepare(vectors)
+        n = v.shape[0]
+        if n < self.nlist:
+            raise ValueError(f"need >= nlist={self.nlist} train vectors, got {n}")
+        if n > self.train_sample:
+            sel = np.random.default_rng(self.seed).choice(
+                n, self.train_sample, replace=False
+            )
+            v = jnp.take(v, jnp.asarray(np.sort(sel)), axis=0)
+        tile = min(4096, round_up(v.shape[0], 8))
+        self._centroids, _ = kmeans(
+            v, self.nlist, n_iters=self.kmeans_iters, metric=self.metric,
+            tile_n=tile, seed=self.seed,
+        )
+
+    @property
+    def is_trained(self) -> bool:
+        return self._centroids is not None
+
+    def _alloc(self, list_cap: int) -> None:
+        """(Re)allocate cell storage at a new list_cap, preserving data."""
+        list_cap = max(8, round_up(list_cap, 8))
+        x = jnp.zeros((self.nlist, list_cap, self.dim), self.dtype)
+        ids = jnp.full((self.nlist, list_cap), -1, jnp.int32)
+        bias = jnp.full((self.nlist, list_cap), NEG_INF, jnp.float32)
+        if self._x is not None and self.list_cap > 0:
+            old = min(self.list_cap, list_cap)
+            x = x.at[:, :old].set(self._x[:, :old].astype(self.dtype))
+            ids = ids.at[:, :old].set(self._ids[:, :old])
+            bias = bias.at[:, :old].set(self._bias[:, :old])
+        self._x, self._ids, self._bias = x, ids, bias
+        self.list_cap = list_cap
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        """Assign to nearest cell and append. Returns global row ids."""
+        if not self.is_trained:
+            raise IndexNotBuilt("IVFIndex.train() must run before add()")
+        v = self._prepare(vectors)
+        n = v.shape[0]
+        if n == 0:
+            return np.zeros((0,), np.int64)
+        tile = min(4096, round_up(n, 8))
+        pad = (-n) % tile
+        v_pad = jnp.concatenate([v, jnp.zeros((pad, self.dim), v.dtype)]) if pad else v
+        mask = jnp.concatenate([jnp.ones((n,), bool), jnp.zeros((pad,), bool)]) if pad else jnp.ones((n,), bool)
+        assign = np.asarray(assign_clusters(v_pad, self._centroids, mask, tile_n=tile))[:n]
+
+        # capacity check (host): grow list_cap if any cell would overflow
+        new_fill = self._fill.copy()
+        np.add.at(new_fill, assign, 1)
+        need = int(new_fill.max())
+        if need > self.list_cap:
+            target = max(
+                need,
+                int(self.capacity_factor * (self.n_rows + n) / self.nlist),
+            )
+            self._alloc(target)
+
+        rows = np.arange(self.n_rows, self.n_rows + n, dtype=np.int64)
+        # compute (cell, pos) for every new row on host, then one scatter
+        pos = np.empty((n,), np.int64)
+        fill = self._fill
+        for j, c in enumerate(assign):
+            pos[j] = fill[c]
+            fill[c] += 1
+        cells_j = jnp.asarray(assign.astype(np.int32))
+        pos_j = jnp.asarray(pos.astype(np.int32))
+        self._x = self._x.at[cells_j, pos_j].set(v.astype(self.dtype))
+        self._ids = self._ids.at[cells_j, pos_j].set(
+            jnp.asarray(rows.astype(np.int32))
+        )
+        self._bias = self._bias.at[cells_j, pos_j].set(0.0)
+        for r, c, p in zip(rows, assign, pos):
+            self._row_loc[int(r)] = (int(c), int(p))
+        self.n_rows += n
+        self.n_live += n
+        return rows
+
+    def delete(self, rows: np.ndarray) -> None:
+        rows = np.asarray(rows, np.int64)
+        if rows.size == 0:
+            return
+        cells = np.empty((rows.size,), np.int32)
+        pos = np.empty((rows.size,), np.int32)
+        for j, r in enumerate(rows):
+            c, p = self._row_loc[int(r)]
+            cells[j], pos[j] = c, p
+        self._bias = self._bias.at[jnp.asarray(cells), jnp.asarray(pos)].set(NEG_INF)
+        self.n_live -= int(rows.size)
+
+    # -- query -------------------------------------------------------------
+
+    def search(
+        self, queries: np.ndarray, k: int, nprobe: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self._x is None or self.n_rows == 0:
+            B = np.asarray(queries).shape[0]
+            return (
+                np.full((B, k), float(NEG_INF), np.float32),
+                np.full((B, k), -1, np.int32),
+            )
+        q = jnp.asarray(queries).astype(jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, q.shape[1])
+        if self.metric == "cosine":
+            q = l2_normalize(q)
+        np_eff = min(nprobe or self.nprobe, self.nlist)
+        s, i = ivf_search_kernel(
+            q, self._centroids, self._x, self._ids, self._bias, k, np_eff
+        )
+        s_np, i_np = np.asarray(s), np.asarray(i)
+        dead = s_np <= float(NEG_INF) / 2
+        i_np = np.where(dead, -1, i_np)
+        return s_np, i_np
+
+    # -- state -------------------------------------------------------------
+
+    def arrays(self):
+        return self._centroids, self._x, self._ids, self._bias
+
+    def stats(self) -> dict:
+        """Cell fill statistics — padding waste is the IVF tax on TPU
+        (SURVEY.md section 7 hard parts)."""
+        fill = self._fill
+        used = int(fill.sum())
+        cap_total = self.nlist * self.list_cap
+        return {
+            "nlist": self.nlist,
+            "list_cap": self.list_cap,
+            "rows": self.n_rows,
+            "live": self.n_live,
+            "max_fill": int(fill.max()) if self.nlist else 0,
+            "empty_cells": int((fill == 0).sum()),
+            "padding_waste": 1.0 - used / cap_total if cap_total else 0.0,
+        }
+
+    def __len__(self) -> int:
+        return self.n_live
+
+
+__all__ = ["IVFIndex", "ivf_search_kernel"]

@@ -1,0 +1,335 @@
+"""ProjectIndexer: the full build pipeline.
+
+Re-implements the reference's `ProjectIndexer::index_project` call stack
+(SURVEY.md section 3.1; indexer.rs:860): change detection -> parallel
+parse -> deterministic ids -> edge resolution -> chunk plan -> batched
+embed -> vector index + BM25 -> metadata persist -> verify counts.
+Differences are deliberate TPU re-design: embedding runs on-chip through
+the provider (no HTTP unless configured), vectors land in an HBM-resident
+index rather than SurrealDB, and incremental updates tombstone index rows
+(delete-then-insert with deterministic ids, exactly the reference's
+semantics at indexer.rs:3186-3254).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from codegraph_tpu.core.config import CodeGraphConfig
+from codegraph_tpu.core.types import CodeChunk, CodeNode, content_hash
+from codegraph_tpu.graph.store import GraphStore
+from codegraph_tpu.index.flat import FlatIndex
+from codegraph_tpu.index.int8_flat import Int8FlatIndex
+from codegraph_tpu.index.ivf import IVFIndex
+from codegraph_tpu.indexer.resolve import EdgeResolver
+from codegraph_tpu.models.providers import create_provider
+from codegraph_tpu.parser.chunker import ChunkerConfig, build_chunk_plan
+from codegraph_tpu.parser.parser import SourceParser
+from codegraph_tpu.search.bm25 import BM25Index
+from codegraph_tpu.search.hybrid import HybridSearch
+
+logger = logging.getLogger("codegraph_tpu.indexer")
+
+
+@dataclass
+class IndexStats:
+    """Per-stage counters (reference: IndexStats, indexer.rs:4633-4679)."""
+
+    files_total: int = 0
+    files_parsed: int = 0
+    files_unchanged: int = 0
+    files_deleted: int = 0
+    nodes: int = 0
+    edges_total: int = 0
+    edges_resolved_exact: int = 0
+    edges_resolved_semantic: int = 0
+    edges_unresolved: int = 0
+    chunks: int = 0
+    embedded: int = 0
+    stage_seconds: Dict[str, float] = field(default_factory=dict)
+
+    def to_dict(self) -> Dict:
+        d = self.__dict__.copy()
+        d["stage_seconds"] = {k: round(v, 3) for k, v in self.stage_seconds.items()}
+        return d
+
+
+def _make_index(cfg: CodeGraphConfig):
+    icfg = cfg.index
+    dim = cfg.embedding.dimension
+    if icfg.kind == "ivf":
+        return IVFIndex(
+            dim, nlist=icfg.nlist, nprobe=icfg.nprobe, metric=icfg.metric,
+            kmeans_iters=icfg.kmeans_iters,
+        )
+    if icfg.dtype == "int8":
+        return Int8FlatIndex(
+            dim, metric=icfg.metric, rescore_k=icfg.rescore_k
+        )
+    return FlatIndex(dim, metric=icfg.metric, dtype=icfg.dtype)
+
+
+class ProjectIndexer:
+    """End-to-end indexer bound to one project directory."""
+
+    def __init__(
+        self,
+        config: Optional[CodeGraphConfig] = None,
+        provider=None,
+        store: Optional[GraphStore] = None,
+        index=None,
+    ):
+        self.config = config or CodeGraphConfig()
+        self.provider = provider or create_provider(self.config)
+        self.store = store or GraphStore()
+        self.index = index if index is not None else _make_index(self.config)
+        self.bm25 = BM25Index()
+        self.resolver = EdgeResolver(self.provider)
+        self.search = HybridSearch(
+            self.store, self.index, self.provider, self.bm25, self.config.search
+        )
+        self.chunker_cfg = ChunkerConfig(
+            max_tokens=self.config.embedding.max_chunk_tokens,
+            overlap_tokens=self.config.embedding.chunk_overlap_tokens,
+        )
+        self._ivf_trained = not isinstance(self.index, IVFIndex)
+
+    # -- full / incremental build -----------------------------------------
+
+    def index_project(
+        self, root: Optional[str] = None, force: bool = False
+    ) -> IndexStats:
+        root = root or self.config.project_root
+        stats = IndexStats()
+        t_all = time.perf_counter()
+
+        parser = SourceParser(
+            project=os.path.abspath(root),
+            workers=self.config.indexing.workers,
+        )
+
+        t0 = time.perf_counter()
+        parses, pstats = parser.parse_directory(
+            root,
+            include_globs=self.config.indexing.include_globs or None,
+            exclude_globs=self.config.indexing.exclude_globs,
+            max_file_size=self.config.indexing.max_file_size,
+        )
+        stats.stage_seconds["parse"] = time.perf_counter() - t0
+        stats.files_total = pstats.files
+
+        # change detection (checkpoint/resume; indexer.rs:3186-3254)
+        current = {fp.path: fp.digest for fp in parses}
+        if force:
+            added = list(current.keys())
+            modified, deleted, unchanged = [], [], []
+            self._reset_state()
+        else:
+            added, modified, deleted, unchanged = self.store.detect_file_changes(
+                current
+            )
+        stats.files_unchanged = len(unchanged)
+        stats.files_deleted = len(deleted)
+
+        t0 = time.perf_counter()
+        for path in deleted + modified:
+            _, chunk_rows = self.store.delete_file_data(path)
+            self._tombstone_chunks(chunk_rows)
+        stats.stage_seconds["delete"] = time.perf_counter() - t0
+
+        to_ingest = [fp for fp in parses if fp.path in set(added) | set(modified)]
+        stats.files_parsed = len(to_ingest)
+
+        # nodes + edges
+        t0 = time.perf_counter()
+        new_nodes: List[CodeNode] = []
+        new_edges = []
+        for fp in to_ingest:
+            new_nodes.extend(fp.result.nodes)
+            new_edges.extend(fp.result.edges)
+        self.store.upsert_nodes(new_nodes)
+        stats.nodes = len(new_nodes)
+        stats.stage_seconds["nodes"] = time.perf_counter() - t0
+
+        # edge resolution against ALL nodes (cross-file)
+        t0 = time.perf_counter()
+        all_nodes = list(self.store.nodes.values())
+        unresolved, n_exact, n_sem = self.resolver.resolve(new_edges, all_nodes)
+        resolved_edges = [e for e in new_edges if e.resolved]
+        self.store.add_edges(resolved_edges)
+        stats.edges_total = len(new_edges)
+        stats.edges_resolved_exact = n_exact
+        stats.edges_resolved_semantic = n_sem
+        stats.edges_unresolved = len(unresolved)
+        stats.stage_seconds["resolve"] = time.perf_counter() - t0
+
+        # chunk + embed + index (the TPU hot loop, indexer.rs:1603-1685)
+        t0 = time.perf_counter()
+        plan = build_chunk_plan(new_nodes, self.chunker_cfg)
+        stats.chunks = len(plan.chunks)
+        stats.stage_seconds["chunk"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        self._embed_and_index(plan.chunks)
+        stats.embedded = len(plan.chunks)
+        stats.stage_seconds["embed"] = time.perf_counter() - t0
+
+        # BM25 over node name+content
+        t0 = time.perf_counter()
+        for node in new_nodes:
+            self.bm25.add(node.row, f"{node.name} {node.content}")
+        stats.stage_seconds["bm25"] = time.perf_counter() - t0
+
+        # metadata + verify
+        for fp in to_ingest:
+            self.store.record_file(fp.path, fp.digest)
+        self.search.invalidate()
+        self._verify_counts(stats)
+        stats.stage_seconds["total"] = time.perf_counter() - t_all
+        logger.info("index_project done: %s", stats.to_dict())
+        return stats
+
+    def _reset_state(self) -> None:
+        self.store = GraphStore()
+        self.index = _make_index(self.config)
+        self.bm25 = BM25Index()
+        self._ivf_trained = not isinstance(self.index, IVFIndex)
+        self.search = HybridSearch(
+            self.store, self.index, self.provider, self.bm25, self.config.search
+        )
+
+    def _embed_and_index(self, chunks: Sequence[CodeChunk]) -> None:
+        if not chunks:
+            return
+        rows = self.store.upsert_chunks(list(chunks))
+        texts = [c.text for c in chunks]
+        embs = self.provider.embed_texts(texts)
+        if isinstance(self.index, IVFIndex) and not self._ivf_trained:
+            n_train = max(self.index.nlist, min(len(embs), self.index.train_sample))
+            if len(embs) < self.index.nlist:
+                # tiny corpora: shrink nlist to corpus size
+                self.index.nlist = max(1, len(embs) // 8 or 1)
+                self.index.nprobe = min(self.index.nprobe, self.index.nlist)
+            self.index.train(embs[:n_train])
+            self._ivf_trained = True
+        got = self.index.add(embs)
+        # rows from the store must match index rows; both are append-only
+        if list(got) != list(rows):
+            logger.warning(
+                "row drift: store rows %s... vs index rows %s...",
+                rows[:3], got[:3],
+            )
+
+    def _tombstone_chunks(self, chunk_rows: Sequence[int]) -> None:
+        if chunk_rows:
+            self.index.delete(np.asarray(chunk_rows, np.int64))
+
+    def _verify_counts(self, stats: IndexStats) -> None:
+        """Count verification (reference: indexer.rs:3540,3596)."""
+        live_chunks = sum(1 for c in self.store.row_chunks if c is not None)
+        if len(self.index) != live_chunks:
+            logger.warning(
+                "count mismatch: index has %d live rows, store has %d chunks",
+                len(self.index), live_chunks,
+            )
+
+    # -- single-file incremental (watch mode; indexer.rs:4117) -------------
+
+    def index_single_file(self, path: str) -> Optional[IndexStats]:
+        parser = SourceParser(project=os.path.abspath(self.config.project_root))
+        fp = parser.parse_file(path)
+        if fp is None:
+            return None
+        stats = IndexStats(files_total=1, files_parsed=1)
+        _, chunk_rows = self.store.delete_file_data(path)
+        self._tombstone_chunks(chunk_rows)
+        self.store.upsert_nodes(fp.result.nodes)
+        all_nodes = list(self.store.nodes.values())
+        unresolved, n_exact, n_sem = self.resolver.resolve(
+            fp.result.edges, all_nodes
+        )
+        self.store.add_edges([e for e in fp.result.edges if e.resolved])
+        plan = build_chunk_plan(fp.result.nodes, self.chunker_cfg)
+        self._embed_and_index(plan.chunks)
+        for node in fp.result.nodes:
+            self.bm25.add(node.row, f"{node.name} {node.content}")
+        self.store.record_file(path, fp.digest)
+        self.search.invalidate()
+        stats.nodes = len(fp.result.nodes)
+        stats.chunks = len(plan.chunks)
+        stats.edges_total = len(fp.result.edges)
+        stats.edges_resolved_exact = n_exact
+        stats.edges_resolved_semantic = n_sem
+        return stats
+
+    def delete_file(self, path: str) -> None:
+        _, chunk_rows = self.store.delete_file_data(path)
+        self._tombstone_chunks(chunk_rows)
+        self.search.invalidate()
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, directory: Optional[str] = None) -> str:
+        directory = directory or str(self.config.resolved_data_dir())
+        os.makedirs(directory, exist_ok=True)
+        self.store.save(directory)
+        self._save_index(directory)
+        return directory
+
+    def _save_index(self, directory: str) -> None:
+        path = os.path.join(directory, "index.npz")
+        if isinstance(self.index, FlatIndex):
+            x, bias = self.index.arrays()
+            if x is None:
+                return
+            np.savez(
+                path, kind="flat", x=np.asarray(x, np.float32),
+                bias=np.asarray(bias),
+                n_rows=self.index.n_rows, n_live=self.index.n_live,
+                dim=self.index.dim, metric=self.index.metric,
+            )
+        elif isinstance(self.index, Int8FlatIndex):
+            q, s, r, bias = self.index.arrays()
+            if q is None:
+                return
+            np.savez(
+                path, kind="int8", q=np.asarray(q), s=np.asarray(s),
+                r=np.asarray(r, np.float32) if r is not None else np.zeros(0),
+                bias=np.asarray(bias), n_rows=self.index.n_rows,
+                n_live=self.index.n_live, dim=self.index.dim,
+            )
+
+    def load(self, directory: Optional[str] = None) -> None:
+        directory = directory or str(self.config.resolved_data_dir())
+        self.store = GraphStore.load(directory)
+        path = os.path.join(directory, "index.npz")
+        if os.path.exists(path):
+            data = np.load(path, allow_pickle=False)
+            kind = str(data["kind"])
+            if kind == "flat" and isinstance(self.index, FlatIndex):
+                self.index.load_arrays(
+                    data["x"], data["bias"], int(data["n_rows"]),
+                    int(data["n_live"]),
+                )
+            elif kind == "int8" and isinstance(self.index, Int8FlatIndex):
+                r = data["r"] if data["r"].size else None
+                self.index.load_arrays(
+                    data["q"], data["s"], r, data["bias"],
+                    int(data["n_rows"]), int(data["n_live"]),
+                )
+        # rebuild BM25 from the store (derived state)
+        self.bm25 = BM25Index()
+        for node in self.store.nodes.values():
+            self.bm25.add(node.row, f"{node.name} {node.content}")
+        self.search = HybridSearch(
+            self.store, self.index, self.provider, self.bm25, self.config.search
+        )
+
+
+__all__ = ["ProjectIndexer", "IndexStats"]

@@ -1,0 +1,319 @@
+"""Agent runtimes: ReAct, LATS tree search, Reflexion retry.
+
+Re-implements the reference's agent crates: codegraph-mcp-rig
+(agent/react.rs:20-188 ReAct loop over LLM tool calls, lats.rs:52
+LatsAgent tree search, reflexion.rs:12 ReflexionAgent self-correcting
+retry, executor.rs:19-265 RigExecutor with history) and the legacy
+codegraph-mcp-autoagents LATS executor/search_tree. Agents are pure
+host orchestration: the LLM proposes tool calls, GraphToolExecutor
+answers from the TPU-backed graph/index, traces accumulate for the
+structured synthesis step (official_server.rs:385-450).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+from codegraph_tpu.core.errors import ProviderUnavailable
+from codegraph_tpu.mcp.llm import ChatResponse, LLMProvider, ToolCall
+from codegraph_tpu.mcp.tools import TOOL_SCHEMAS, GraphToolExecutor
+from codegraph_tpu.utils.debug_logger import DebugLogger
+
+logger = logging.getLogger("codegraph_tpu.agents")
+
+
+@dataclass
+class ToolTrace:
+    tool: str
+    params: Dict[str, Any]
+    result: Dict[str, Any]
+
+
+@dataclass
+class AgentResult:
+    answer: str
+    traces: List[ToolTrace] = field(default_factory=list)
+    turns: int = 0
+    agent: str = "react"
+    succeeded: bool = True
+
+    def structured(self) -> Dict[str, Any]:
+        """Structured JSON synthesis from tool traces
+        (official_server.rs:385-450)."""
+        return {
+            "answer": self.answer,
+            "agent": self.agent,
+            "turns": self.turns,
+            "succeeded": self.succeeded,
+            "evidence": [
+                {"tool": t.tool, "params": t.params, "result": t.result}
+                for t in self.traces
+            ],
+        }
+
+
+_SYSTEM = (
+    "You are a code-intelligence agent with access to a code knowledge "
+    "graph. Use the tools to gather evidence, then answer concisely with "
+    "file:line citations. Prefer semantic_code_search first to locate "
+    "relevant code."
+)
+
+
+class ReActAgent:
+    """Reason->act loop (react.rs:20-188): the LLM either calls a tool or
+    produces the final answer; tool results feed back as messages."""
+
+    name = "react"
+
+    def __init__(
+        self,
+        llm: LLMProvider,
+        tools: GraphToolExecutor,
+        max_turns: int = 8,
+        debug: Optional[DebugLogger] = None,
+    ):
+        self.llm = llm
+        self.tools = tools
+        self.max_turns = max_turns
+        self.debug = debug or DebugLogger()
+
+    def run(self, task: str) -> AgentResult:
+        messages: List[Dict[str, Any]] = [
+            {"role": "system", "content": _SYSTEM},
+            {"role": "user", "content": task},
+        ]
+        schemas = list(TOOL_SCHEMAS.values())
+        traces: List[ToolTrace] = []
+        for turn in range(1, self.max_turns + 1):
+            resp = self.llm.chat_with_tools(messages, schemas)
+            if resp.text:
+                self.debug.reasoning(self.name, resp.text)
+            if not resp.tool_calls:
+                return AgentResult(resp.text, traces, turn, self.name)
+            # execute every requested tool, append results
+            assistant_msg: Dict[str, Any] = {
+                "role": "assistant", "content": resp.text or ""
+            }
+            messages.append(assistant_msg)
+            for tc in resp.tool_calls:
+                result = self.tools.execute(tc.name, tc.arguments)
+                traces.append(ToolTrace(tc.name, tc.arguments, result))
+                messages.append({
+                    "role": "user",
+                    "content": (
+                        f"[tool result for {tc.name}]\n"
+                        + json.dumps(result, default=str)[:8000]
+                    ),
+                })
+        return AgentResult(
+            "max turns reached without a final answer",
+            traces, self.max_turns, self.name, succeeded=False,
+        )
+
+
+@dataclass
+class LatsNode:
+    """Search-tree node (autoagents lats/search_tree.rs:1-483)."""
+
+    action: Optional[ToolTrace]
+    parent: Optional["LatsNode"]
+    children: List["LatsNode"] = field(default_factory=list)
+    visits: int = 0
+    value: float = 0.0
+    depth: int = 0
+
+    def ucb(self, c: float = 1.4) -> float:
+        if self.visits == 0:
+            return math.inf
+        parent_visits = self.parent.visits if self.parent else self.visits
+        return self.value / self.visits + c * math.sqrt(
+            math.log(max(parent_visits, 1)) / self.visits
+        )
+
+    def path(self) -> List[ToolTrace]:
+        out, node = [], self
+        while node and node.action:
+            out.append(node.action)
+            node = node.parent
+        return list(reversed(out))
+
+
+class LatsAgent:
+    """Language-Agent Tree Search (lats.rs:52): expand candidate tool
+    actions, self-evaluate observations with the LLM, UCB-select the best
+    branch, answer from the best path's evidence."""
+
+    name = "lats"
+
+    def __init__(
+        self,
+        llm: LLMProvider,
+        tools: GraphToolExecutor,
+        max_iterations: int = 6,
+        expansion_width: int = 2,
+        max_depth: int = 4,
+    ):
+        self.llm = llm
+        self.tools = tools
+        self.max_iterations = max_iterations
+        self.expansion_width = expansion_width
+        self.max_depth = max_depth
+
+    def _propose(self, task: str, history: List[ToolTrace]) -> List[ToolCall]:
+        hist = "\n".join(
+            f"- {t.tool}({json.dumps(t.params)}) -> "
+            + json.dumps(t.result, default=str)[:300]
+            for t in history
+        ) or "(none yet)"
+        prompt = (
+            f"Task: {task}\nEvidence so far:\n{hist}\n\n"
+            f"Propose up to {self.expansion_width} DIFFERENT next tool calls "
+            "as a JSON array of {\"tool\": ..., \"params\": {...}}. "
+            f"Available tools: {', '.join(TOOL_SCHEMAS)}. JSON only."
+        )
+        try:
+            reply = self.llm.complete(prompt)
+            start, end = reply.find("["), reply.rfind("]")
+            actions = json.loads(reply[start : end + 1])
+            return [
+                ToolCall(a["tool"], a.get("params", {}))
+                for a in actions[: self.expansion_width]
+                if isinstance(a, dict) and a.get("tool") in TOOL_SCHEMAS
+            ]
+        except Exception:
+            return [ToolCall("semantic_code_search", {"query": task})]
+
+    def _evaluate(self, task: str, trace: ToolTrace) -> float:
+        prompt = (
+            f"Task: {task}\nA tool call {trace.tool}({json.dumps(trace.params)}) "
+            f"returned: {json.dumps(trace.result, default=str)[:600]}\n"
+            "Rate 0-10 how useful this evidence is for the task. Number only."
+        )
+        try:
+            reply = self.llm.complete(prompt)
+            for tok in reply.replace("/", " ").split():
+                try:
+                    return min(max(float(tok), 0.0), 10.0) / 10.0
+                except ValueError:
+                    continue
+        except Exception:
+            pass
+        return 0.3 if "error" not in trace.result else 0.0
+
+    def run(self, task: str) -> AgentResult:
+        root = LatsNode(action=None, parent=None)
+        for _ in range(self.max_iterations):
+            # select: walk down by UCB
+            node = root
+            while node.children:
+                node = max(node.children, key=lambda n: n.ucb())
+            if node.depth >= self.max_depth:
+                break
+            # expand
+            for tc in self._propose(task, node.path()):
+                result = self.tools.execute(tc.name, tc.arguments)
+                trace = ToolTrace(tc.name, tc.arguments, result)
+                child = LatsNode(
+                    action=trace, parent=node, depth=node.depth + 1
+                )
+                child.value = self._evaluate(task, trace)
+                child.visits = 1
+                node.children.append(child)
+            # backprop best child value
+            if node.children:
+                best = max(node.children, key=lambda n: n.value)
+                up, v = node, best.value
+                while up is not None:
+                    up.visits += 1
+                    up.value += v
+                    up = up.parent
+        # best leaf path = evidence
+        def best_leaf(n: LatsNode) -> LatsNode:
+            return n if not n.children else best_leaf(
+                max(n.children, key=lambda c: c.value / max(c.visits, 1))
+            )
+
+        traces = best_leaf(root).path()
+        evidence = "\n".join(
+            f"- {t.tool}: {json.dumps(t.result, default=str)[:500]}" for t in traces
+        )
+        try:
+            answer = self.llm.complete(
+                f"Task: {task}\nEvidence:\n{evidence}\n\n"
+                "Write the final answer with citations."
+            )
+        except ProviderUnavailable:
+            answer = evidence or "no evidence gathered"
+        return AgentResult(answer, traces, len(traces), self.name)
+
+
+class ReflexionAgent:
+    """Retry-with-self-critique wrapper (reflexion.rs:12): when the inner
+    agent fails or the self-check rejects the answer, re-run with the
+    critique appended."""
+
+    name = "reflexion"
+
+    def __init__(self, inner, llm: LLMProvider, max_attempts: int = 2):
+        self.inner = inner
+        self.llm = llm
+        self.max_attempts = max_attempts
+
+    def run(self, task: str) -> AgentResult:
+        critique = ""
+        last: Optional[AgentResult] = None
+        for attempt in range(self.max_attempts):
+            full_task = task if not critique else (
+                f"{task}\n\nPrevious attempt failed this review: {critique}\n"
+                "Address the critique."
+            )
+            result = self.inner.run(full_task)
+            result.agent = f"{self.name}({self.inner.name})"
+            last = result
+            if not result.succeeded:
+                critique = "the agent ran out of turns without answering"
+                continue
+            try:
+                verdict = self.llm.complete(
+                    f"Task: {task}\nAnswer: {result.answer[:2000]}\n"
+                    "Is this answer complete and grounded in the cited "
+                    "evidence? Reply OK or a one-line critique."
+                )
+            except ProviderUnavailable:
+                return result
+            if verdict.strip().upper().startswith("OK"):
+                return result
+            critique = verdict.strip()
+        return last if last is not None else AgentResult(
+            "reflexion failed", [], 0, self.name, succeeded=False
+        )
+
+
+def create_agent(
+    architecture: str,
+    llm: LLMProvider,
+    tools: GraphToolExecutor,
+):
+    """reference: CODEGRAPH_AGENT_ARCHITECTURE selects rig/react/lats
+    (codegraph-mcp-core/src/agent_architecture.rs:8)."""
+    if architecture == "lats":
+        return LatsAgent(llm, tools)
+    if architecture == "reflexion":
+        return ReflexionAgent(ReActAgent(llm, tools), llm)
+    return ReActAgent(llm, tools)
+
+
+__all__ = [
+    "ToolTrace",
+    "AgentResult",
+    "ReActAgent",
+    "LatsAgent",
+    "LatsNode",
+    "ReflexionAgent",
+    "create_agent",
+]

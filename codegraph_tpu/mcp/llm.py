@@ -1,0 +1,244 @@
+"""LLM providers for the agentic tools (host side).
+
+Re-implements the reference's codegraph-ai crate
+(crates/codegraph-ai/src/llm_provider.rs:257-339 LLMProvider trait with
+chat + tools + streaming; llm_factory.rs:23-42 factory over
+anthropic/openai/openai-compatible/ollama/lmstudio/xai/qwen). REST via
+urllib (zero extra deps); every provider exposes `complete`, `chat`,
+and `chat_with_tools` with the same normalized message/tool dicts.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+import urllib.error
+import urllib.request
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+from codegraph_tpu.core.config import CodeGraphConfig, LLMConfig
+from codegraph_tpu.core.errors import ProviderUnavailable
+
+logger = logging.getLogger("codegraph_tpu.llm")
+
+
+@dataclass
+class ToolCall:
+    name: str
+    arguments: Dict[str, Any]
+    id: str = ""
+
+
+@dataclass
+class ChatResponse:
+    text: str = ""
+    tool_calls: List[ToolCall] = field(default_factory=list)
+    stop_reason: str = ""
+    usage: Dict[str, int] = field(default_factory=dict)
+
+
+class LLMProvider:
+    """Interface: chat(messages) and chat_with_tools(messages, tools)."""
+
+    name = "base"
+
+    def __init__(self, cfg: LLMConfig):
+        self.cfg = cfg
+
+    def is_available(self) -> bool:
+        return True
+
+    def complete(self, prompt: str) -> str:
+        return self.chat([{"role": "user", "content": prompt}]).text
+
+    def chat(self, messages: Sequence[Dict[str, Any]]) -> ChatResponse:
+        return self.chat_with_tools(messages, [])
+
+    def chat_with_tools(
+        self, messages: Sequence[Dict[str, Any]], tools: Sequence[Dict[str, Any]]
+    ) -> ChatResponse:
+        raise NotImplementedError
+
+
+def _post_json(url: str, body: dict, headers: dict, timeout: float = 120.0,
+               retries: int = 2) -> dict:
+    data = json.dumps(body).encode()
+    last: Optional[Exception] = None
+    for attempt in range(retries + 1):
+        try:
+            req = urllib.request.Request(
+                url, data=data, headers={"Content-Type": "application/json", **headers}
+            )
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return json.loads(resp.read())
+        except (urllib.error.URLError, OSError, ValueError) as exc:
+            last = exc
+            time.sleep(min(2.0**attempt, 8.0))
+    raise ProviderUnavailable(f"LLM request failed: {last}")
+
+
+class AnthropicProvider(LLMProvider):
+    """Reference: anthropic_provider.rs (551 LoC): /v1/messages with
+    tool_use blocks."""
+
+    name = "anthropic"
+
+    def is_available(self) -> bool:
+        return bool(os.environ.get(self.cfg.api_key_env or "ANTHROPIC_API_KEY"))
+
+    def chat_with_tools(self, messages, tools) -> ChatResponse:
+        key = os.environ.get(self.cfg.api_key_env or "ANTHROPIC_API_KEY", "")
+        base = self.cfg.base_url or "https://api.anthropic.com"
+        system = "\n".join(
+            m["content"] for m in messages if m["role"] == "system"
+        )
+        body: Dict[str, Any] = {
+            "model": self.cfg.model or "claude-sonnet-4-5",
+            "max_tokens": self.cfg.max_tokens,
+            "temperature": self.cfg.temperature,
+            "messages": [m for m in messages if m["role"] != "system"],
+        }
+        if system:
+            body["system"] = system
+        if tools:
+            body["tools"] = [
+                {
+                    "name": t["name"],
+                    "description": t.get("description", ""),
+                    "input_schema": t.get("parameters", {"type": "object"}),
+                }
+                for t in tools
+            ]
+        payload = _post_json(
+            base.rstrip("/") + "/v1/messages", body,
+            {"x-api-key": key, "anthropic-version": "2023-06-01"},
+        )
+        out = ChatResponse(stop_reason=payload.get("stop_reason", ""))
+        for block in payload.get("content", []):
+            if block.get("type") == "text":
+                out.text += block.get("text", "")
+            elif block.get("type") == "tool_use":
+                out.tool_calls.append(ToolCall(
+                    name=block["name"], arguments=block.get("input", {}),
+                    id=block.get("id", ""),
+                ))
+        out.usage = payload.get("usage", {})
+        return out
+
+
+class OpenAICompatibleProvider(LLMProvider):
+    """OpenAI chat-completions dialect; also serves xAI / LM Studio /
+    Ollama's /v1 endpoint (reference: openai_compatible_provider.rs:854,
+    openai_llm_provider.rs:692)."""
+
+    name = "openai_compatible"
+
+    def _base(self) -> str:
+        return (self.cfg.base_url or "https://api.openai.com/v1").rstrip("/")
+
+    def is_available(self) -> bool:
+        if self.cfg.api_key_env:
+            return bool(os.environ.get(self.cfg.api_key_env))
+        return bool(self.cfg.base_url)
+
+    def chat_with_tools(self, messages, tools) -> ChatResponse:
+        headers = {}
+        key = os.environ.get(self.cfg.api_key_env or "OPENAI_API_KEY", "")
+        if key:
+            headers["Authorization"] = f"Bearer {key}"
+        body: Dict[str, Any] = {
+            "model": self.cfg.model,
+            "messages": list(messages),
+            "max_tokens": self.cfg.max_tokens,
+            "temperature": self.cfg.temperature,
+        }
+        if tools:
+            body["tools"] = [
+                {"type": "function", "function": t} for t in tools
+            ]
+        payload = _post_json(self._base() + "/chat/completions", body, headers)
+        choice = (payload.get("choices") or [{}])[0]
+        msg = choice.get("message", {})
+        out = ChatResponse(
+            text=msg.get("content") or "",
+            stop_reason=choice.get("finish_reason", ""),
+            usage=payload.get("usage", {}),
+        )
+        for tc in msg.get("tool_calls") or []:
+            fn = tc.get("function", {})
+            try:
+                args = json.loads(fn.get("arguments") or "{}")
+            except ValueError:
+                args = {}
+            out.tool_calls.append(
+                ToolCall(name=fn.get("name", ""), arguments=args,
+                         id=tc.get("id", ""))
+            )
+        return out
+
+
+class OllamaProvider(OpenAICompatibleProvider):
+    """Local Ollama via its OpenAI-compatible endpoint."""
+
+    name = "ollama"
+
+    def _base(self) -> str:
+        host = self.cfg.base_url or os.environ.get(
+            "OLLAMA_HOST", "http://localhost:11434"
+        )
+        return host.rstrip("/") + "/v1"
+
+    def is_available(self) -> bool:
+        try:
+            urllib.request.urlopen(
+                self._base().replace("/v1", "/api/tags"), timeout=2
+            )
+            return True
+        except Exception:
+            return False
+
+
+class NullProvider(LLMProvider):
+    """No-LLM mode: agentic tools degrade to direct tool output
+    (config llm.provider = "none")."""
+
+    name = "none"
+
+    def is_available(self) -> bool:
+        return False
+
+    def chat_with_tools(self, messages, tools) -> ChatResponse:
+        raise ProviderUnavailable("no LLM provider configured")
+
+
+_FACTORY = {
+    "anthropic": AnthropicProvider,
+    "openai": OpenAICompatibleProvider,
+    "openai_compatible": OpenAICompatibleProvider,
+    "xai": OpenAICompatibleProvider,
+    "lmstudio": OpenAICompatibleProvider,
+    "ollama": OllamaProvider,
+    "none": NullProvider,
+}
+
+
+def create_llm(cfg: CodeGraphConfig) -> LLMProvider:
+    """Factory (reference: LLMProviderFactory::create_from_config,
+    llm_factory.rs:23-42)."""
+    cls = _FACTORY.get(cfg.llm.provider, NullProvider)
+    return cls(cfg.llm)
+
+
+__all__ = [
+    "LLMProvider",
+    "ChatResponse",
+    "ToolCall",
+    "AnthropicProvider",
+    "OpenAICompatibleProvider",
+    "OllamaProvider",
+    "NullProvider",
+    "create_llm",
+]

@@ -1,0 +1,256 @@
+"""MCP protocol server: stdio + streamable-HTTP transports.
+
+Reference: codegraph-mcp-server/src/official_server.rs:245-1286 — rmcp
+server exposing 4 consolidated agentic tools (agentic_context /
+agentic_impact / agentic_architecture / agentic_quality, :296-376) whose
+`focus` maps to an AnalysisType, executed by execute_agentic_workflow
+(:631: tier detect -> LLM factory -> agent executor -> structured JSON
+from traces); http_server.rs axum streamable-HTTP at /mcp (port 3003).
+This server speaks MCP JSON-RPC 2.0 (initialize / tools/list /
+tools/call) directly; when no LLM is configured the agentic tools
+degrade to a direct tool pipeline so the server is useful standalone.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+from typing import Any, Dict, List, Optional
+
+from codegraph_tpu.core.config import CodeGraphConfig
+from codegraph_tpu.core.errors import ProviderUnavailable
+from codegraph_tpu.mcp.agents import AgentResult, ToolTrace, create_agent
+from codegraph_tpu.mcp.llm import create_llm
+from codegraph_tpu.mcp.tiers import ContextTier, tier_limits
+from codegraph_tpu.mcp.tools import TOOL_SCHEMAS, GraphToolExecutor
+
+logger = logging.getLogger("codegraph_tpu.mcp")
+
+PROTOCOL_VERSION = "2024-11-05"
+SERVER_INFO = {"name": "codegraph-tpu", "version": "0.1.0"}
+
+# the 4 consolidated tools (official_server.rs:296-376); focus values map
+# to which direct tools the no-LLM fallback pipeline runs
+AGENTIC_TOOLS: Dict[str, Dict[str, Any]] = {
+    "agentic_context": {
+        "description": "Gather rich context about a code area: semantic "
+                       "search + dependencies + call chains.",
+        "fallback": ["semantic_code_search", "get_transitive_dependencies",
+                     "trace_call_chain"],
+    },
+    "agentic_impact": {
+        "description": "Change-impact analysis: reverse dependencies + "
+                       "coupling for the target.",
+        "fallback": ["semantic_code_search", "get_reverse_dependencies",
+                     "calculate_coupling_metrics"],
+    },
+    "agentic_architecture": {
+        "description": "Architecture overview: hubs, cycles, top coupling.",
+        "fallback": ["get_hub_nodes", "detect_circular_dependencies"],
+    },
+    "agentic_quality": {
+        "description": "Quality analysis: complexity hotspots + cycles.",
+        "fallback": ["find_complexity_hotspots",
+                     "detect_circular_dependencies"],
+    },
+}
+
+
+def _agentic_schema(name: str, desc: str) -> Dict[str, Any]:
+    return {
+        "name": name,
+        "description": desc,
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string",
+                          "description": "the question or target area"},
+                "focus": {"type": "string",
+                          "description": "optional focus hint"},
+            },
+            "required": ["query"],
+        },
+    }
+
+
+class MCPServer:
+    """Protocol handler; transport-agnostic (`handle_message` takes/returns
+    JSON-RPC dicts)."""
+
+    def __init__(
+        self,
+        tools: GraphToolExecutor,
+        config: Optional[CodeGraphConfig] = None,
+    ):
+        self.tools = tools
+        self.config = config or CodeGraphConfig()
+        self.llm = create_llm(self.config)
+        self.tier = ContextTier.from_context_window(self.config.llm.context_window)
+        self.initialized = False
+        import os
+
+        self.architecture = os.environ.get(
+            "CODEGRAPH_AGENT_ARCHITECTURE", "react"
+        )
+
+    # -- tool surface ------------------------------------------------------
+
+    def list_tools(self) -> List[Dict[str, Any]]:
+        out = [
+            _agentic_schema(name, spec["description"])
+            for name, spec in AGENTIC_TOOLS.items()
+        ]
+        # direct tools are also exposed (the reference exposes consolidated
+        # tools only, but direct access costs nothing and aids no-LLM use)
+        for schema in TOOL_SCHEMAS.values():
+            out.append({
+                "name": schema["name"],
+                "description": schema["description"],
+                "inputSchema": schema["parameters"],
+            })
+        return out
+
+    def call_tool(self, name: str, arguments: Dict[str, Any]) -> Dict[str, Any]:
+        if name in AGENTIC_TOOLS:
+            return self._agentic(name, arguments)
+        return self.tools.execute(name, arguments)
+
+    def _agentic(self, name: str, arguments: Dict[str, Any]) -> Dict[str, Any]:
+        query = arguments.get("query", "")
+        spec = AGENTIC_TOOLS[name]
+        task = f"[{name}] {query}"
+        if arguments.get("focus"):
+            task += f" (focus: {arguments['focus']})"
+        if self.llm.is_available():
+            try:
+                agent = create_agent(self.architecture, self.llm, self.tools)
+                result = agent.run(task)
+                return result.structured()
+            except ProviderUnavailable as exc:
+                logger.warning("LLM unavailable, falling back: %s", exc)
+        # no-LLM fallback: run the focus pipeline directly
+        limits = tier_limits(self.tier)
+        traces: List[ToolTrace] = []
+        target = query
+        for tool in spec["fallback"]:
+            params: Dict[str, Any]
+            if tool == "semantic_code_search":
+                params = {"query": query, "limit": limits.search_limit}
+            elif tool in ("get_transitive_dependencies",
+                          "get_reverse_dependencies",
+                          "calculate_coupling_metrics"):
+                params = {"node": target}
+            elif tool == "trace_call_chain":
+                params = {"source": target}
+            else:
+                params = {}
+            result = self.tools.execute(tool, params)
+            traces.append(ToolTrace(tool, params, result))
+            # seed later graph tools with the top search hit
+            if tool == "semantic_code_search" and result.get("results"):
+                target = result["results"][0]["name"]
+        return AgentResult(
+            answer=f"direct analysis for {query!r} (no LLM configured)",
+            traces=traces, turns=len(traces), agent="pipeline",
+        ).structured()
+
+    # -- JSON-RPC ----------------------------------------------------------
+
+    def handle_message(self, msg: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        mid = msg.get("id")
+        method = msg.get("method", "")
+        params = msg.get("params") or {}
+
+        def ok(result):
+            return {"jsonrpc": "2.0", "id": mid, "result": result}
+
+        def err(code, message):
+            return {"jsonrpc": "2.0", "id": mid,
+                    "error": {"code": code, "message": message}}
+
+        try:
+            if method == "initialize":
+                self.initialized = True
+                return ok({
+                    "protocolVersion": PROTOCOL_VERSION,
+                    "capabilities": {"tools": {}},
+                    "serverInfo": SERVER_INFO,
+                })
+            if method == "notifications/initialized":
+                return None
+            if method == "ping":
+                return ok({})
+            if method == "tools/list":
+                return ok({"tools": self.list_tools()})
+            if method == "tools/call":
+                name = params.get("name", "")
+                args = params.get("arguments") or {}
+                result = self.call_tool(name, args)
+                return ok({
+                    "content": [{
+                        "type": "text",
+                        "text": json.dumps(result, default=str, indent=2),
+                    }],
+                    "isError": "error" in result,
+                })
+            if mid is None:
+                return None  # unknown notification: ignore
+            return err(-32601, f"method not found: {method}")
+        except Exception as exc:  # protocol-level resilience
+            logger.exception("handler error")
+            return err(-32603, f"{type(exc).__name__}: {exc}")
+
+    # -- stdio transport (reference: stdio transport, transport.rs) --------
+
+    def serve_stdio(self, stdin=None, stdout=None) -> None:
+        stdin = stdin or sys.stdin
+        stdout = stdout or sys.stdout
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                msg = json.loads(line)
+            except ValueError:
+                continue
+            reply = self.handle_message(msg)
+            if reply is not None:
+                stdout.write(json.dumps(reply) + "\n")
+                stdout.flush()
+
+    # -- HTTP transport (reference: http_server.rs, port 3003) -------------
+
+    def serve_http(self, host: str = "127.0.0.1", port: int = 3003) -> None:
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                if self.path.rstrip("/") not in ("/mcp", ""):
+                    self.send_error(404)
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    msg = json.loads(self.rfile.read(length))
+                except ValueError:
+                    self.send_error(400)
+                    return
+                reply = server.handle_message(msg)
+                body = json.dumps(reply or {}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):
+                pass
+
+        httpd = ThreadingHTTPServer((host, port), Handler)
+        logger.info("MCP HTTP server on %s:%d/mcp", host, port)
+        httpd.serve_forever()
+
+
+__all__ = ["MCPServer", "AGENTIC_TOOLS", "PROTOCOL_VERSION"]

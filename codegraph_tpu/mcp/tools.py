@@ -1,0 +1,193 @@
+"""Agent-facing graph tools: the 8-tool executor + JSON schemas.
+
+Reference: codegraph-mcp-tools/src/graph_tool_executor.rs:76-939 —
+dispatch over get_transitive_dependencies / detect_circular_dependencies
+/ trace_call_chain / calculate_coupling_metrics / get_hub_nodes /
+get_reverse_dependencies / semantic_code_search / find_complexity_hotspots
+(:326-352), semantic search with optional rerank (:548-607), LRU result
+cache (:161-189); schemas with depth clamps <= 5
+(graph_tool_schemas.rs:36-262).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from typing import Any, Dict, Optional
+
+from codegraph_tpu.graph.queries import GraphQueries
+from codegraph_tpu.search.cache import SearchCache
+from codegraph_tpu.search.reranker import RerankerPipeline
+from codegraph_tpu.utils.debug_logger import DebugLogger
+
+logger = logging.getLogger("codegraph_tpu.tools")
+
+
+def _int_schema(desc, default=None, minimum=None, maximum=None):
+    s = {"type": "integer", "description": desc}
+    if default is not None:
+        s["default"] = default
+    if minimum is not None:
+        s["minimum"] = minimum
+    if maximum is not None:
+        s["maximum"] = maximum
+    return s
+
+
+TOOL_SCHEMAS: Dict[str, Dict[str, Any]] = {
+    "semantic_code_search": {
+        "name": "semantic_code_search",
+        "description": "Hybrid semantic+text search over the code graph; "
+                       "returns ranked nodes with scores and graph context.",
+        "parameters": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string", "description": "natural language or code query"},
+                "limit": _int_schema("max results", 10, 1, 100),
+                "rerank": {"type": "boolean", "default": False},
+            },
+            "required": ["query"],
+        },
+    },
+    "get_transitive_dependencies": {
+        "name": "get_transitive_dependencies",
+        "description": "Everything a node depends on, to a bounded depth.",
+        "parameters": {
+            "type": "object",
+            "properties": {
+                "node": {"type": "string", "description": "node id or name"},
+                "max_depth": _int_schema("traversal depth", 3, 1, 5),
+            },
+            "required": ["node"],
+        },
+    },
+    "detect_circular_dependencies": {
+        "name": "detect_circular_dependencies",
+        "description": "Strongly-connected components (dependency cycles).",
+        "parameters": {"type": "object", "properties": {
+            "max_cycles": _int_schema("max cycles to report", 50, 1, 200),
+        }},
+    },
+    "trace_call_chain": {
+        "name": "trace_call_chain",
+        "description": "Call paths from a source function (optionally to a target).",
+        "parameters": {
+            "type": "object",
+            "properties": {
+                "source": {"type": "string"},
+                "target": {"type": "string"},
+                "max_depth": _int_schema("max path length", 5, 1, 5),
+            },
+            "required": ["source"],
+        },
+    },
+    "calculate_coupling_metrics": {
+        "name": "calculate_coupling_metrics",
+        "description": "Afferent/efferent coupling + instability for a node.",
+        "parameters": {
+            "type": "object",
+            "properties": {"node": {"type": "string"}},
+            "required": ["node"],
+        },
+    },
+    "get_hub_nodes": {
+        "name": "get_hub_nodes",
+        "description": "Most-connected nodes (architectural hubs).",
+        "parameters": {"type": "object", "properties": {
+            "limit": _int_schema("max hubs", 10, 1, 50),
+        }},
+    },
+    "get_reverse_dependencies": {
+        "name": "get_reverse_dependencies",
+        "description": "Everything that depends on a node (impact set).",
+        "parameters": {
+            "type": "object",
+            "properties": {
+                "node": {"type": "string"},
+                "max_depth": _int_schema("traversal depth", 2, 1, 5),
+            },
+            "required": ["node"],
+        },
+    },
+    "find_complexity_hotspots": {
+        "name": "find_complexity_hotspots",
+        "description": "Highest complexity x connectivity nodes.",
+        "parameters": {"type": "object", "properties": {
+            "limit": _int_schema("max hotspots", 10, 1, 50),
+        }},
+    },
+}
+
+
+class GraphToolExecutor:
+    """Dispatch + result cache over the 8 tools."""
+
+    def __init__(
+        self,
+        queries: GraphQueries,
+        hybrid_search,
+        reranker: Optional[RerankerPipeline] = None,
+        cache_size: int = 256,
+        debug: Optional[DebugLogger] = None,
+    ):
+        self.queries = queries
+        self.search = hybrid_search
+        self.reranker = reranker
+        self.cache = SearchCache(max_size=cache_size, ttl_s=120.0)
+        self.debug = debug or DebugLogger()
+        self.call_counts: Dict[str, int] = {}
+
+    def execute(self, tool: str, params: Dict[str, Any]) -> Dict[str, Any]:
+        self.call_counts[tool] = self.call_counts.get(tool, 0) + 1
+        cache_key = f"{tool}:{json.dumps(params, sort_keys=True, default=str)}"
+        cached = self.cache.get(cache_key)
+        if cached is not None:
+            return cached
+        try:
+            result = self._dispatch(tool, params)
+        except Exception as exc:
+            logger.exception("tool %s failed", tool)
+            result = {"error": f"{type(exc).__name__}: {exc}"}
+        self.debug.tool_call(tool, params, json.dumps(result, default=str))
+        self.cache.put(cache_key, result)
+        return result
+
+    def _dispatch(self, tool: str, p: Dict[str, Any]) -> Dict[str, Any]:
+        q = self.queries
+        if tool == "semantic_code_search":
+            results = self.search.search_text(
+                p["query"], int(p.get("limit", 10))
+            )
+            if p.get("rerank") and self.reranker is not None:
+                results = self.reranker.rerank(p["query"], results)
+            return {"count": len(results),
+                    "results": [r.to_dict() for r in results]}
+        if tool == "get_transitive_dependencies":
+            return q.transitive_dependencies(
+                p["node"], int(p.get("max_depth", 3))
+            )
+        if tool == "detect_circular_dependencies":
+            return q.circular_dependencies(
+                max_cycles=int(p.get("max_cycles", 50))
+            )
+        if tool == "trace_call_chain":
+            return q.trace_call_chain(
+                p["source"], p.get("target"), int(p.get("max_depth", 5))
+            )
+        if tool == "calculate_coupling_metrics":
+            return q.coupling_metrics(p["node"])
+        if tool == "get_hub_nodes":
+            return q.hub_nodes(int(p.get("limit", 10)))
+        if tool == "get_reverse_dependencies":
+            return q.reverse_dependencies(
+                p["node"], int(p.get("max_depth", 2))
+            )
+        if tool == "find_complexity_hotspots":
+            return q.complexity_hotspots(int(p.get("limit", 10)))
+        return {"error": f"unknown tool {tool!r}"}
+
+    def stats(self) -> Dict[str, Any]:
+        return {"calls": dict(self.call_counts), "cache": self.cache.stats()}
+
+
+__all__ = ["GraphToolExecutor", "TOOL_SCHEMAS"]

@@ -1,0 +1,223 @@
+"""TPU-native transformer text encoder (the framework's flagship model).
+
+Replaces the reference's in-process embedding inference
+(crates/codegraph-vector/src/local_provider.rs:27-661 — BERT via Candle,
+default all-MiniLM-L6-v2 / 384-d, pooling Cls/Mean/Max at :43-50; and
+src/onnx_provider.rs:32-421) with a from-scratch JAX encoder built for the
+MXU:
+
+* bf16 activations/weights with f32 accumulation (`preferred_element_type`)
+  — matmuls tile straight onto the 128x128 systolic array;
+* layer stack runs as one `lax.scan` over stacked per-layer params: one
+  compiled layer body regardless of depth, and the natural seam for
+  pipeline sharding later;
+* static [B, L] shapes; padding handled by an attention mask + masked
+  mean pooling;
+* tensor-parallel sharding rules (`encoder_param_shardings`): attention
+  heads and MLP hidden split over the "tp" mesh axis; XLA inserts the
+  all-reduces at wo / w_down (Megatron-style column->row split), which
+  ride ICI.
+
+Default config mirrors MiniLM-L6: 6 layers, 384 hidden, 12 heads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 512        # byte tokenizer: 256 bytes + specials, padded
+    hidden: int = 384
+    n_layers: int = 6
+    n_heads: int = 12
+    mlp_ratio: int = 4
+    max_len: int = 512
+    pooling: str = "mean"        # mean | cls | max (local_provider.rs:43-50)
+    dtype: Any = jnp.bfloat16
+    eps: float = 1e-6
+
+    def __post_init__(self):
+        if self.hidden % self.n_heads != 0:
+            raise ValueError(
+                f"hidden={self.hidden} not divisible by n_heads={self.n_heads}"
+            )
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.n_heads
+
+    @property
+    def mlp_hidden(self) -> int:
+        return self.hidden * self.mlp_ratio
+
+
+def init_encoder_params(key: jax.Array, cfg: EncoderConfig) -> Params:
+    """Initialize parameters as a pytree of stacked per-layer leaves.
+
+    Every layer leaf has leading dim n_layers so the forward pass can
+    `lax.scan` over depth.
+    """
+    H, F, L = cfg.hidden, cfg.mlp_hidden, cfg.n_layers
+    k = iter(jax.random.split(key, 16))
+
+    def dense(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(
+            jnp.float32
+        )
+
+    return {
+        "tok_emb": dense(next(k), (cfg.vocab_size, H), H),
+        "pos_emb": dense(next(k), (cfg.max_len, H), H),
+        "ln_in_scale": jnp.ones((H,), jnp.float32),
+        "ln_in_bias": jnp.zeros((H,), jnp.float32),
+        "layers": {
+            "ln1_scale": jnp.ones((L, H), jnp.float32),
+            "ln1_bias": jnp.zeros((L, H), jnp.float32),
+            "wqkv": dense(next(k), (L, H, 3 * H), H),
+            "wo": dense(next(k), (L, H, H), H),
+            "ln2_scale": jnp.ones((L, H), jnp.float32),
+            "ln2_bias": jnp.zeros((L, H), jnp.float32),
+            "w_up": dense(next(k), (L, H, F), H),
+            "b_up": jnp.zeros((L, F), jnp.float32),
+            "w_down": dense(next(k), (L, F, H), F),
+            "b_down": jnp.zeros((L, H), jnp.float32),
+        },
+        "ln_out_scale": jnp.ones((H,), jnp.float32),
+        "ln_out_bias": jnp.zeros((H,), jnp.float32),
+    }
+
+
+def encoder_param_shardings(cfg: EncoderConfig) -> Params:
+    """PartitionSpecs for tensor parallelism over mesh axis "tp".
+
+    Column-parallel wqkv/w_up (split output features = heads), row-parallel
+    wo/w_down (split input features); XLA places the psum after wo/w_down.
+    Embeddings and norms replicated.
+    """
+    return {
+        "tok_emb": P(None, None),
+        "pos_emb": P(None, None),
+        "ln_in_scale": P(None),
+        "ln_in_bias": P(None),
+        "layers": {
+            "ln1_scale": P(None, None),
+            "ln1_bias": P(None, None),
+            "wqkv": P(None, None, "tp"),
+            "wo": P(None, "tp", None),
+            "ln2_scale": P(None, None),
+            "ln2_bias": P(None, None),
+            "w_up": P(None, None, "tp"),
+            "b_up": P(None, "tp"),
+            "w_down": P(None, "tp", None),
+            "b_down": P(None, None),
+        },
+        "ln_out_scale": P(None),
+        "ln_out_bias": P(None),
+    }
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _attention(
+    x: jax.Array, wqkv: jax.Array, wo: jax.Array, attn_bias: jax.Array, cfg: EncoderConfig
+) -> jax.Array:
+    """Bidirectional multi-head attention. x: [B, L, H]."""
+    B, L, H = x.shape
+    nh, hd = cfg.n_heads, cfg.head_dim
+    qkv = jnp.einsum("blh,hk->blk", x, wqkv.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    qkv = qkv.astype(x.dtype).reshape(B, L, 3, nh, hd)
+    q, k_, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, L, nh, hd]
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k_,
+                        preferred_element_type=jnp.float32)
+    logits = logits / jnp.sqrt(jnp.float32(hd)) + attn_bias  # [B, nh, L, L]
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v,
+                     preferred_element_type=jnp.float32)
+    ctx = ctx.astype(x.dtype).reshape(B, L, H)
+    out = jnp.einsum("blh,hk->blk", ctx, wo.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _mlp(x: jax.Array, w_up, b_up, w_down, b_down) -> jax.Array:
+    h = jnp.einsum("blh,hf->blf", x, w_up.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h.astype(jnp.float32) + b_up).astype(x.dtype)
+    out = jnp.einsum("blf,fh->blh", h, w_down.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return (out + b_down).astype(x.dtype)
+
+
+def encode(
+    params: Params,
+    token_ids: jax.Array,
+    mask: jax.Array,
+    cfg: EncoderConfig,
+    normalize: bool = True,
+) -> jax.Array:
+    """Forward pass: [B, L] int32 tokens + [B, L] bool mask -> [B, H] f32.
+
+    Pooled per cfg.pooling (masked mean by default, as the reference's
+    default Mean pooling, local_provider.rs:43-50), then L2-normalized.
+    """
+    B, L = token_ids.shape
+    dt = cfg.dtype
+    x = jnp.take(params["tok_emb"], token_ids, axis=0)
+    x = (x + params["pos_emb"][:L][None, :, :]).astype(dt)
+    x = _layer_norm(x, params["ln_in_scale"], params["ln_in_bias"], cfg.eps)
+
+    attn_bias = jnp.where(mask[:, None, None, :], 0.0, -1e30).astype(jnp.float32)
+
+    def layer(x, lp):
+        h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], cfg.eps)
+        x = x + _attention(h, lp["wqkv"], lp["wo"], attn_bias, cfg)
+        h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.eps)
+        x = x + _mlp(h, lp["w_up"], lp["b_up"], lp["w_down"], lp["b_down"])
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+    x = _layer_norm(x, params["ln_out_scale"], params["ln_out_bias"], cfg.eps)
+
+    xf = x.astype(jnp.float32)
+    mf = mask.astype(jnp.float32)[:, :, None]
+    if cfg.pooling == "cls":
+        pooled = xf[:, 0, :]
+    elif cfg.pooling == "max":
+        pooled = jnp.max(jnp.where(mf > 0, xf, -1e30), axis=1)
+    else:  # mean
+        pooled = jnp.sum(xf * mf, axis=1) / jnp.maximum(jnp.sum(mf, axis=1), 1.0)
+    if normalize:
+        sq = jnp.sum(jnp.square(pooled), axis=-1, keepdims=True)
+        pooled = pooled * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+    return pooled
+
+
+@partial(jax.jit, static_argnames=("cfg", "normalize"))
+def encode_jit(params, token_ids, mask, cfg: EncoderConfig, normalize: bool = True):
+    return encode(params, token_ids, mask, cfg, normalize)
+
+
+__all__ = [
+    "EncoderConfig",
+    "init_encoder_params",
+    "encoder_param_shardings",
+    "encode",
+    "encode_jit",
+]

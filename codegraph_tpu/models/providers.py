@@ -1,0 +1,393 @@
+"""Embedding provider registry + fallback pipeline (host side).
+
+Capability parity with the reference's provider zoo
+(crates/codegraph-vector/src/providers.rs:61-283 `EmbeddingProvider` trait,
+`HybridEmbeddingPipeline` fallback strategy :120, `ProviderHealthChecker`
+:258; embedding.rs:160,366 auto-selection; openai/jina/ollama/lmstudio
+provider files). The default compute path is the on-chip encoder
+(EncoderProvider) instead of HTTP round-trips; HTTP providers remain for
+parity and external models.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+import urllib.error
+import urllib.request
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from codegraph_tpu.core.config import CodeGraphConfig, EmbeddingConfig
+from codegraph_tpu.core.errors import ProviderUnavailable
+from codegraph_tpu.models.hash_embedder import hash_embed_texts
+from codegraph_tpu.models.tokenizer import ByteTokenizer
+
+logger = logging.getLogger("codegraph_tpu.providers")
+
+
+class EmbeddingMetrics:
+    """texts/s + failure accounting (reference: providers.rs:7-40)."""
+
+    def __init__(self) -> None:
+        self.texts = 0
+        self.seconds = 0.0
+        self.failures = 0
+
+    def record(self, n_texts: int, seconds: float) -> None:
+        self.texts += n_texts
+        self.seconds += seconds
+
+    @property
+    def texts_per_second(self) -> float:
+        return self.texts / self.seconds if self.seconds > 0 else 0.0
+
+
+class EmbeddingProvider:
+    """Interface: subclasses implement `_embed` and `is_available`."""
+
+    name = "base"
+
+    def __init__(self, dimension: int, batch_size: int = 256):
+        self.dimension = int(dimension)
+        self.batch_size = int(batch_size)
+        self.metrics = EmbeddingMetrics()
+
+    def is_available(self) -> bool:
+        return True
+
+    def _embed(self, texts: Sequence[str]) -> np.ndarray:
+        raise NotImplementedError
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        """Batched embed, [N, dimension] f32 (reference: embed_texts_batched,
+        embedding.rs:627)."""
+        if not texts:
+            return np.zeros((0, self.dimension), np.float32)
+        out = []
+        t0 = time.perf_counter()
+        for start in range(0, len(texts), self.batch_size):
+            out.append(np.asarray(self._embed(texts[start : start + self.batch_size])))
+        result = np.concatenate(out, axis=0).astype(np.float32)
+        self.metrics.record(len(texts), time.perf_counter() - t0)
+        return result
+
+    def embed_text(self, text: str) -> np.ndarray:
+        return self.embed_texts([text])[0]
+
+
+class HashProvider(EmbeddingProvider):
+    """Deterministic feature-hash embeddings — always available."""
+
+    name = "hash"
+
+    def _embed(self, texts: Sequence[str]) -> np.ndarray:
+        return hash_embed_texts(list(texts), self.dimension)
+
+
+class EncoderProvider(EmbeddingProvider):
+    """On-chip transformer encoder (the TPU-native default).
+
+    Replaces Candle/ONNX in-process inference (local_provider.rs:27-661,
+    onnx_provider.rs:32-421). Weights load from an .npz checkpoint when
+    given; otherwise deterministic random init (useful for perf tests and
+    as a fixed random-projection encoder).
+    """
+
+    name = "encoder"
+
+    def __init__(
+        self,
+        dimension: int = 384,
+        batch_size: int = 256,
+        max_len: int = 512,
+        checkpoint: Optional[str] = None,
+        seed: int = 0,
+    ):
+        super().__init__(dimension, batch_size)
+        import jax
+
+        from codegraph_tpu.models.encoder import (
+            EncoderConfig,
+            encode_jit,
+            init_encoder_params,
+        )
+        from codegraph_tpu.models.tokenizer import VOCAB_SIZE
+
+        n_heads = next(h for h in (12, 8, 6, 4, 2, 1) if dimension % h == 0)
+        self.cfg = EncoderConfig(
+            vocab_size=VOCAB_SIZE, hidden=dimension, n_heads=n_heads,
+            max_len=max_len,
+        )
+        self.tokenizer = ByteTokenizer(max_len=max_len)
+        self._encode = encode_jit
+        if checkpoint and os.path.exists(checkpoint):
+            self.params = load_encoder_checkpoint(checkpoint)
+        else:
+            self.params = init_encoder_params(jax.random.PRNGKey(seed), self.cfg)
+
+    def _embed(self, texts: Sequence[str]) -> np.ndarray:
+        import jax.numpy as jnp
+
+        # pad the batch to the configured batch size -> one compiled shape
+        n = len(texts)
+        padded = list(texts) + [""] * (self.batch_size - n)
+        ids, mask = self.tokenizer.encode_batch(padded)
+        out = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg)
+        return np.asarray(out)[:n]
+
+
+def save_encoder_checkpoint(path: str, params) -> None:
+    import jax
+
+    flat = {
+        "/".join(str(k) for k in key_path): np.asarray(leaf)
+        for key_path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    np.savez(path, **flat)
+
+
+def load_encoder_checkpoint(path: str):
+    data = np.load(path)
+    params: Dict = {}
+    for flat_key in data.files:
+        parts = [p.strip(".[]'\"") for p in flat_key.split("/")]
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[flat_key]
+    return params
+
+
+class _HTTPProvider(EmbeddingProvider):
+    """Shared REST plumbing with retry/backoff (reference:
+    lmstudio_embedding_provider.rs retry/backoff)."""
+
+    url = ""
+    api_key_env = ""
+    model = ""
+    timeout_s = 30.0
+    max_retries = 2
+
+    def is_available(self) -> bool:
+        if self.api_key_env and not os.environ.get(self.api_key_env):
+            return False
+        return bool(self.url)
+
+    def _request_body(self, texts: Sequence[str]) -> dict:
+        raise NotImplementedError
+
+    def _parse(self, payload: dict) -> np.ndarray:
+        raise NotImplementedError
+
+    def _embed(self, texts: Sequence[str]) -> np.ndarray:
+        body = json.dumps(self._request_body(texts)).encode()
+        headers = {"Content-Type": "application/json"}
+        key = os.environ.get(self.api_key_env, "") if self.api_key_env else ""
+        if key:
+            headers["Authorization"] = f"Bearer {key}"
+        last: Optional[Exception] = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                req = urllib.request.Request(self.url, data=body, headers=headers)
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    return self._parse(json.loads(resp.read()))
+            except (urllib.error.URLError, OSError, ValueError) as exc:
+                last = exc
+                time.sleep(min(2.0**attempt * 0.5, 8.0))
+        self.metrics.failures += 1
+        raise ProviderUnavailable(f"{self.name}: {last}")
+
+
+class OpenAIProvider(_HTTPProvider):
+    """OpenAI REST batch embeddings (reference: openai_provider.rs)."""
+
+    name = "openai"
+    api_key_env = "OPENAI_API_KEY"
+
+    def __init__(self, dimension: int = 1536, batch_size: int = 256,
+                 model: str = "text-embedding-3-small", base_url: str = ""):
+        super().__init__(dimension, batch_size)
+        self.model = model
+        base = base_url or os.environ.get("OPENAI_BASE_URL", "https://api.openai.com/v1")
+        self.url = base.rstrip("/") + "/embeddings"
+
+    def _request_body(self, texts):
+        return {"model": self.model, "input": list(texts)}
+
+    def _parse(self, payload):
+        rows = sorted(payload["data"], key=lambda r: r["index"])
+        return np.asarray([r["embedding"] for r in rows], np.float32)
+
+
+class JinaProvider(_HTTPProvider):
+    """Jina cloud embeddings with batch clamping (reference:
+    jina_provider.rs:432-444)."""
+
+    name = "jina"
+    api_key_env = "JINA_API_KEY"
+    MAX_BATCH = 2048  # hard clamp (jina_provider.rs MAX_NODE_TEXTS_HARD_LIMIT)
+
+    def __init__(self, dimension: int = 1024, batch_size: int = 512,
+                 model: str = "jina-embeddings-v3", base_url: str = ""):
+        super().__init__(dimension, min(batch_size, self.MAX_BATCH))
+        self.model = model
+        self.url = (base_url or "https://api.jina.ai/v1").rstrip("/") + "/embeddings"
+
+    def _request_body(self, texts):
+        return {"model": self.model, "input": list(texts)}
+
+    def _parse(self, payload):
+        rows = sorted(payload["data"], key=lambda r: r["index"])
+        return np.asarray([r["embedding"] for r in rows], np.float32)
+
+
+class OllamaProvider(_HTTPProvider):
+    """Local Ollama HTTP embeddings (reference: ollama_embedding_provider.rs)."""
+
+    name = "ollama"
+
+    def __init__(self, dimension: int = 768, batch_size: int = 64,
+                 model: str = "nomic-embed-text", base_url: str = ""):
+        super().__init__(dimension, batch_size)
+        self.model = model
+        base = base_url or os.environ.get("OLLAMA_HOST", "http://localhost:11434")
+        self.url = base.rstrip("/") + "/api/embed"
+
+    def is_available(self) -> bool:
+        try:
+            urllib.request.urlopen(self.url.replace("/api/embed", "/api/tags"), timeout=2)
+            return True
+        except Exception:
+            return False
+
+    def _request_body(self, texts):
+        return {"model": self.model, "input": list(texts)}
+
+    def _parse(self, payload):
+        return np.asarray(payload["embeddings"], np.float32)
+
+
+class LMStudioProvider(_HTTPProvider):
+    """LM Studio OpenAI-compatible endpoint (reference:
+    lmstudio_embedding_provider.rs)."""
+
+    name = "lmstudio"
+
+    def __init__(self, dimension: int = 768, batch_size: int = 64,
+                 model: str = "", base_url: str = ""):
+        super().__init__(dimension, batch_size)
+        self.model = model
+        base = base_url or os.environ.get("LMSTUDIO_HOST", "http://localhost:1234")
+        self.url = base.rstrip("/") + "/v1/embeddings"
+
+    def is_available(self) -> bool:
+        try:
+            urllib.request.urlopen(self.url.replace("/embeddings", "/models"), timeout=2)
+            return True
+        except Exception:
+            return False
+
+    def _request_body(self, texts):
+        return {"model": self.model, "input": list(texts)}
+
+    def _parse(self, payload):
+        rows = sorted(payload["data"], key=lambda r: r["index"])
+        return np.asarray([r["embedding"] for r in rows], np.float32)
+
+
+_PROVIDERS = {
+    "hash": HashProvider,
+    "encoder": EncoderProvider,
+    "openai": OpenAIProvider,
+    "jina": JinaProvider,
+    "ollama": OllamaProvider,
+    "lmstudio": LMStudioProvider,
+}
+
+
+def make_provider(name: str, ecfg: EmbeddingConfig) -> EmbeddingProvider:
+    cls = _PROVIDERS.get(name)
+    if cls is None:
+        raise ProviderUnavailable(f"unknown provider {name!r}")
+    if cls is EncoderProvider:
+        return EncoderProvider(
+            dimension=ecfg.dimension,
+            batch_size=ecfg.batch_size,
+            max_len=ecfg.max_chunk_tokens,
+        )
+    return cls(dimension=ecfg.dimension, batch_size=ecfg.batch_size)
+
+
+class HybridEmbeddingPipeline(EmbeddingProvider):
+    """Primary provider + ordered fallback chain (reference:
+    HybridEmbeddingPipeline, providers.rs:120-256). A provider that raises
+    or reports unavailable rotates to the next; health state is remembered
+    so dead providers are skipped for `cooldown_s`."""
+
+    name = "hybrid"
+
+    def __init__(self, providers: List[EmbeddingProvider], cooldown_s: float = 60.0):
+        if not providers:
+            raise ValueError("need at least one provider")
+        super().__init__(providers[0].dimension, providers[0].batch_size)
+        self.providers = providers
+        self.cooldown_s = cooldown_s
+        self._dead_until: Dict[str, float] = {}
+
+    def is_available(self) -> bool:
+        return any(p.is_available() for p in self.providers)
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        now = time.monotonic()
+        errors = []
+        for p in self.providers:
+            if self._dead_until.get(p.name, 0.0) > now:
+                continue
+            try:
+                if not p.is_available():
+                    raise ProviderUnavailable(f"{p.name} unavailable")
+                return p.embed_texts(texts)
+            except Exception as exc:
+                logger.warning("provider %s failed: %s", p.name, exc)
+                self._dead_until[p.name] = now + self.cooldown_s
+                errors.append(f"{p.name}: {exc}")
+        raise ProviderUnavailable("all providers failed: " + "; ".join(errors))
+
+
+def create_provider(cfg: CodeGraphConfig) -> EmbeddingProvider:
+    """Auto-select from config + fallbacks (reference: embedding.rs:160-366
+    env/config auto-selection)."""
+    ecfg = cfg.embedding
+    chain = [ecfg.provider] + [f for f in ecfg.fallbacks if f != ecfg.provider]
+    providers = []
+    for name in chain:
+        try:
+            providers.append(make_provider(name, ecfg))
+        except ProviderUnavailable:
+            logger.warning("skipping unknown provider %r", name)
+    if not providers:
+        providers = [HashProvider(ecfg.dimension, ecfg.batch_size)]
+    if len(providers) == 1:
+        return providers[0]
+    return HybridEmbeddingPipeline(providers)
+
+
+__all__ = [
+    "EmbeddingMetrics",
+    "EmbeddingProvider",
+    "HashProvider",
+    "EncoderProvider",
+    "OpenAIProvider",
+    "JinaProvider",
+    "OllamaProvider",
+    "LMStudioProvider",
+    "HybridEmbeddingPipeline",
+    "create_provider",
+    "make_provider",
+    "save_encoder_checkpoint",
+    "load_encoder_checkpoint",
+]

@@ -1,0 +1,143 @@
+"""int8 quantization for the flat-scan hot path (BASELINE config 2).
+
+TPU-native re-design of the reference's quantizers
+(crates/codegraph-vector/src/persistent.rs:331-479 ScalarQuantizer per-dim
+min/max; src/optimization.rs:153-503 ModelOptimizer scale/zero-point int8):
+on TPU the right layout is *per-row symmetric* int8, because then
+
+    score[b, n] = t[b] * s[n] * (v[b] . u[n])
+
+where `v . u` is an int8 x int8 -> int32 MXU matmul and the scales apply as
+a rank-1 outer product on the int32 tile — one fused multiply on the VPU.
+Per-dim (asymmetric) scales would break the pure-int8 contraction and fall
+off the MXU fast path. Recall is recovered by the f32/bf16 rescore of the
+top candidates (config 2), exactly like the reference's rescore stage
+(search.rs:118-127 per-id cosine rescoring).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+INT8_MAX = 127.0
+
+
+def quantize_rows(x: jax.Array, eps: float = 1e-12) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization.
+
+    x: [N, D] float. Returns (q [N, D] int8, scales [N] f32) with
+    x ~= scales[:, None] * q. Zero rows get scale 0.
+    """
+    x = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=-1)  # [N]
+    scales = absmax / INT8_MAX
+    inv = jnp.where(scales > eps, 1.0 / jnp.maximum(scales, eps), 0.0)
+    q = jnp.clip(jnp.round(x * inv[:, None]), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return q, scales
+
+
+def dequantize_rows(q: jax.Array, scales: jax.Array) -> jax.Array:
+    """Inverse of quantize_rows: [N, D] int8 + [N] f32 -> [N, D] f32."""
+    return q.astype(jnp.float32) * scales[:, None]
+
+
+def int8_scores(
+    qv: jax.Array, qs: jax.Array, xv: jax.Array, xs: jax.Array
+) -> jax.Array:
+    """Scaled int8 score tile: [B, D]i8 x [N, D]i8 -> [B, N]f32.
+
+    The contraction runs int8 x int8 -> int32 on the MXU; the per-row
+    scales fold in as a rank-1 outer product.
+    """
+    raw = jax.lax.dot_general(
+        qv,
+        xv,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return raw.astype(jnp.float32) * qs[:, None] * xs[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n"))
+def streaming_topk_int8(
+    qv: jax.Array,
+    qs: jax.Array,
+    xv: jax.Array,
+    xs: jax.Array,
+    bias: jax.Array,
+    k: int,
+    tile_n: int = 2048,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming top-k over an int8 corpus (XLA scan over N tiles).
+
+    qv/qs: quantized queries [B, D] int8 + scales [B]
+    xv/xs: quantized corpus [N_pad, D] int8 + scales [N_pad]
+    bias:  [N_pad] f32, 0=live / NEG_INF=dead
+    Returns (scores [B, k] f32, ids [B, k] i32).
+    """
+    from codegraph_tpu.ops.topk import NEG_INF, merge_topk
+
+    B, D = qv.shape
+    N = xv.shape[0]
+    assert N % tile_n == 0, f"N_pad={N} must be a multiple of tile_n={tile_n}"
+    n_tiles = N // tile_n
+
+    x_tiles = xv.reshape(n_tiles, tile_n, D)
+    s_tiles = xs.reshape(n_tiles, tile_n)
+    b_tiles = bias.reshape(n_tiles, tile_n)
+
+    def step(carry, inp):
+        top_s, top_i = carry
+        xt, st, bt, base = inp
+        s = int8_scores(qv, qs, xt, st) + bt[None, :]
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
+        return merge_topk(top_s, top_i, s, ids, k), None
+
+    init = (
+        jnp.full((B, k), NEG_INF, jnp.float32),
+        jnp.full((B, k), -1, jnp.int32),
+    )
+    bases = jnp.arange(n_tiles, dtype=jnp.int32) * tile_n
+    (top_s, top_i), _ = jax.lax.scan(step, init, (x_tiles, s_tiles, b_tiles, bases))
+    return top_s, top_i
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def rescore_topk(
+    q: jax.Array,
+    x_rescore: jax.Array,
+    cand_ids: jax.Array,
+    cand_scores: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """f32 rescore of quantized-scan candidates (config 2 stage 2).
+
+    q: [B, D] f32 queries; x_rescore: [cap, D] high-precision corpus;
+    cand_ids/cand_scores: [B, C] from the int8 scan (ids may be -1).
+    Gathers candidate rows, recomputes exact dot scores, returns top-k.
+    Mirrors the reference's per-candidate cosine rescore
+    (crates/codegraph-vector/src/search.rs:118-127).
+    """
+    from codegraph_tpu.ops.topk import NEG_INF
+
+    safe_ids = jnp.maximum(cand_ids, 0)
+    rows = jnp.take(x_rescore, safe_ids, axis=0).astype(jnp.float32)  # [B, C, D]
+    exact = jnp.einsum("bd,bcd->bc", q.astype(jnp.float32), rows)
+    exact = jnp.where(cand_ids >= 0, exact, NEG_INF)
+    top_s, pos = jax.lax.top_k(exact, k)
+    top_i = jnp.take_along_axis(cand_ids, pos, axis=-1)
+    return top_s, top_i
+
+
+__all__ = [
+    "INT8_MAX",
+    "quantize_rows",
+    "dequantize_rows",
+    "int8_scores",
+    "streaming_topk_int8",
+    "rescore_topk",
+]

@@ -1,0 +1,13 @@
+"""Multi-chip parallelism: device meshes, sharded search, sharded training.
+
+The reference is single-node CPU (SURVEY.md section 2.8: rayon/tokio only,
+no NCCL/MPI); its scaling dimension — corpus size — maps TPU-natively to
+sharding the embedding matrix over a device mesh with per-shard top-k and
+a k-way merge over ICI (BASELINE config 5), and the encoder trains/serves
+with dp x tp sharding via pjit + XLA collectives.
+"""
+
+from codegraph_tpu.parallel.mesh import make_mesh, default_mesh_shape
+from codegraph_tpu.parallel.sharded_search import ShardedFlatIndex, sharded_topk
+
+__all__ = ["make_mesh", "default_mesh_shape", "ShardedFlatIndex", "sharded_topk"]

@@ -1,0 +1,203 @@
+"""Multi-chip sharded search: per-shard top-k + k-way merge over ICI.
+
+BASELINE config 5: a 10M x 768-d corpus sharded row-wise over a v5e-8
+mesh. The TPU-native answer to corpus scale (the reference's only scaling
+story is a bigger SurrealDB instance): the embedding matrix shards over a
+1-D mesh axis, every chip scans only its rows with the streaming top-k
+kernel, and the [n_shards, B, k] candidate sets merge with one
+`all_gather` of (score, id) pairs over ICI followed by a replicated
+final top-k — gathered bytes are n_shards*B*k*8, vastly smaller than any
+score matrix, so merge latency stays far below scan time (SURVEY.md
+section 7 "cross-shard merge latency").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import warnings
+
+with warnings.catch_warnings():
+    # the new jax.shard_map cannot statically prove the post-all_gather
+    # merge is replicated (no invariant cast primitive yet); the
+    # experimental API with check_rep=False expresses exactly that.
+    warnings.simplefilter("ignore", DeprecationWarning)
+    from jax.experimental.shard_map import shard_map
+
+from codegraph_tpu.core.errors import DimensionMismatch
+from codegraph_tpu.core.padding import round_up
+from codegraph_tpu.ops.similarity import l2_normalize
+from codegraph_tpu.ops.topk import NEG_INF, streaming_topk
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "axis", "tile_n")
+)
+def sharded_topk(
+    q: jax.Array,      # [B, D] replicated
+    x: jax.Array,      # [N_pad, D] sharded over `axis` (N_pad % n_shards == 0)
+    bias: jax.Array,   # [N_pad] sharded over `axis`
+    k: int,
+    mesh: Mesh,
+    axis: str = "data",
+    tile_n: int = 1024,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (scores [B, k], global row ids [B, k]), replicated."""
+    n_shards = mesh.shape[axis]
+    n_shard_rows = x.shape[0] // n_shards
+
+    def _per_shard(qs, xs, bs):
+        s, i = streaming_topk(qs, xs, bs, k, tile_n=tile_n)
+        shard = jax.lax.axis_index(axis)
+        gi = jnp.where(i >= 0, i + shard * n_shard_rows, -1)
+        all_s = jax.lax.all_gather(s, axis)   # [n_shards, B, k] over ICI
+        all_i = jax.lax.all_gather(gi, axis)
+        B = qs.shape[0]
+        cs = jnp.transpose(all_s, (1, 0, 2)).reshape(B, n_shards * k)
+        ci = jnp.transpose(all_i, (1, 0, 2)).reshape(B, n_shards * k)
+        top_s, pos = jax.lax.top_k(cs, k)
+        return top_s, jnp.take_along_axis(ci, pos, axis=-1)
+
+    specs_in = (P(None, None), P(axis, None), P(axis))
+    specs_out = (P(None, None), P(None, None))
+    return shard_map(
+        _per_shard, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
+        check_rep=False,
+    )(q, x, bias)
+
+
+class ShardedFlatIndex:
+    """Flat exact index sharded row-wise over a 1-D mesh axis.
+
+    Rows pad up to a multiple of n_shards * tile_n so each shard scans an
+    identical static shape. Tombstone deletes via the sharded bias vector.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        mesh: Mesh,
+        axis: str = "data",
+        metric: str = "cosine",
+        dtype: str = "float32",
+        tile_n: int = 1024,
+    ):
+        self.dim = int(dim)
+        self.mesh = mesh
+        self.axis = axis
+        self.metric = metric
+        self.dtype = jnp.dtype(dtype)
+        self.tile_n = int(tile_n)
+        self.n_shards = mesh.shape[axis]
+        self.n_rows = 0
+        self.n_live = 0
+        self.capacity = 0
+        self._x: Optional[jax.Array] = None
+        self._bias: Optional[jax.Array] = None
+        self._x_sharding = NamedSharding(mesh, P(axis, None))
+        self._b_sharding = NamedSharding(mesh, P(axis))
+        self._q_sharding = NamedSharding(mesh, P(None, None))
+
+    def _prepare(self, vectors: np.ndarray) -> np.ndarray:
+        v = np.asarray(vectors, np.float32)
+        if v.ndim != 2 or v.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, v.shape[1] if v.ndim == 2 else -1)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            v = np.divide(v, norms, out=v.copy(), where=norms > 1e-12)
+        return v
+
+    def build(self, vectors: np.ndarray) -> np.ndarray:
+        """Place the full corpus sharded across the mesh. Returns row ids."""
+        v = self._prepare(vectors)
+        n = v.shape[0]
+        cap = round_up(max(n, 1), self.n_shards * self.tile_n)
+        x = np.zeros((cap, self.dim), np.float32)
+        x[:n] = v
+        bias = np.full((cap,), NEG_INF, np.float32)
+        bias[:n] = 0.0
+        self._x = jax.device_put(x.astype(self.dtype), self._x_sharding)
+        self._bias = jax.device_put(bias, self._b_sharding)
+        self.capacity = cap
+        self.n_rows = n
+        self.n_live = n
+        return np.arange(n, dtype=np.int64)
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        """Append rows. Round 1 semantics: re-place the sharded arrays
+        (host round-trip); the segmented delta model (SURVEY.md section 7
+        step 8) will stage adds in an unsharded tail segment."""
+        v = self._prepare(vectors)
+        n = v.shape[0]
+        if self._x is None:
+            return self.build(vectors)
+        x_host = np.array(self._x, np.float32)  # copy: device views are RO
+        b_host = np.array(self._bias)
+        rows = np.arange(self.n_rows, self.n_rows + n, dtype=np.int64)
+        need = self.n_rows + n
+        if need > self.capacity:
+            cap = round_up(max(need, int(self.capacity * 1.5)),
+                           self.n_shards * self.tile_n)
+            x_new = np.zeros((cap, self.dim), np.float32)
+            x_new[: self.n_rows] = x_host[: self.n_rows]
+            b_new = np.full((cap,), NEG_INF, np.float32)
+            b_new[: self.n_rows] = b_host[: self.n_rows]
+            x_host, b_host = x_new, b_new
+            self.capacity = cap
+        x_host[self.n_rows : need] = v
+        b_host[self.n_rows : need] = 0.0
+        self._x = jax.device_put(x_host.astype(self.dtype), self._x_sharding)
+        self._bias = jax.device_put(b_host, self._b_sharding)
+        self.n_rows = need
+        self.n_live += n
+        return rows
+
+    def delete(self, rows: np.ndarray) -> None:
+        rows = np.asarray(rows, np.int64)
+        if rows.size == 0:
+            return
+        b_host = np.asarray(self._bias).copy()
+        b_host[rows] = NEG_INF
+        self._bias = jax.device_put(b_host, self._b_sharding)
+        self.n_live -= int(rows.size)
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self._x is None or self.n_rows == 0:
+            B = np.asarray(queries).shape[0]
+            return (
+                np.full((B, k), float(NEG_INF), np.float32),
+                np.full((B, k), -1, np.int32),
+            )
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, q.shape[1])
+        if self.metric == "cosine":
+            norms = np.linalg.norm(q, axis=1, keepdims=True)
+            q = np.divide(q, norms, out=q.copy(), where=norms > 1e-12)
+        k_eff = min(k, self.capacity // self.n_shards)
+        qd = jax.device_put(jnp.asarray(q), self._q_sharding)
+        s, i = sharded_topk(
+            qd, self._x, self._bias, k_eff, self.mesh, self.axis,
+            tile_n=min(self.tile_n, self.capacity // self.n_shards),
+        )
+        s_np, i_np = np.asarray(s), np.asarray(i)
+        dead = s_np <= float(NEG_INF) / 2
+        i_np = np.where(dead, -1, i_np)
+        if k_eff < k:
+            s_np = np.pad(s_np, ((0, 0), (0, k - k_eff)),
+                          constant_values=float(NEG_INF))
+            i_np = np.pad(i_np, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return s_np, i_np
+
+    def __len__(self) -> int:
+        return self.n_live
+
+
+__all__ = ["ShardedFlatIndex", "sharded_topk"]

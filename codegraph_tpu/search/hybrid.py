@@ -1,0 +1,215 @@
+"""Hybrid semantic search: vector top-k + BM25 + graph-adjacency boost.
+
+The query hot path (SURVEY.md section 3.3). Reproduces the reference's
+`fn::semantic_search_nodes_via_chunks` end-to-end semantics
+(schema/codegraph.surql:328-536):
+
+  1. encode query                      (models/providers)
+  2. chunk-level vector top-k with 3x prefetch (search.rs:110-116)
+  3. chunk -> parent-node enrich       (surql:399-418)
+  4. BM25 text candidates              (surql:420-447)
+  5. combined = 0.9*vector + 0.1*text  (surql:470-472)
+  6. graph edge-context boost          (surql:481-536) — on device via
+     the CSR adjacency kernel (graph/csr.py adjacency_boost)
+  7. sort / truncate / normalize       (search.rs:131-141)
+
+plus the reference's query-result cache (cache probe before encode) and
+multi-query combine modes OrMax / AndAverage (search.rs:31-35).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from codegraph_tpu.core.config import SearchConfig
+from codegraph_tpu.core.types import SearchResult
+from codegraph_tpu.graph.csr import adjacency_boost
+from codegraph_tpu.graph.store import GraphStore
+from codegraph_tpu.search.bm25 import BM25Index
+from codegraph_tpu.search.cache import SearchCache, query_key
+
+logger = logging.getLogger("codegraph_tpu.search")
+
+SNIPPET_CHARS = 240
+
+
+class HybridSearch:
+    """Binds index + store + provider + BM25 into the query pipeline.
+
+    `index` is any vector index with search(queries, k) -> (scores, rows)
+    over *chunk* rows (FlatIndex / Int8FlatIndex / IVFIndex /
+    ShardedFlatIndex all qualify).
+    """
+
+    def __init__(
+        self,
+        store: GraphStore,
+        index,
+        provider,
+        bm25: Optional[BM25Index] = None,
+        config: Optional[SearchConfig] = None,
+        max_deg: int = 32,
+    ):
+        self.store = store
+        self.index = index
+        self.provider = provider
+        self.bm25 = bm25 or BM25Index()
+        self.config = config or SearchConfig()
+        self.max_deg = max_deg
+        self.cache = SearchCache(self.config.cache_size, self.config.cache_ttl_s)
+        self._adj = None  # (nbr, wgt) padded adjacency, built lazily
+
+    # -- index maintenance hooks ------------------------------------------
+
+    def invalidate(self) -> None:
+        """Call after any index/graph mutation."""
+        self.cache.invalidate()
+        self._adj = None
+
+    def _adjacency(self):
+        if self._adj is None:
+            csr = self.store.csr()
+            self._adj = csr.padded_adjacency(max_deg=self.max_deg)
+        return self._adj
+
+    # -- query path --------------------------------------------------------
+
+    def search_text(self, query: str, limit: int = 0) -> List[SearchResult]:
+        limit = limit or self.config.default_limit
+        limit = min(limit, self.config.max_limit)
+        q = self.provider.embed_texts([query])[0]
+        return self.search_embedding(q, limit, text_query=query)
+
+    def search_embedding(
+        self,
+        embedding: np.ndarray,
+        limit: int,
+        text_query: str = "",
+    ) -> List[SearchResult]:
+        key = query_key(embedding, limit, text_query)
+        cached = self.cache.get(key)
+        if cached is not None:
+            return cached
+
+        prefetch = max(limit * self.config.prefetch_multiplier, limit)
+        scores, rows = self.index.search(embedding[None, :], prefetch)
+        scores, rows = scores[0], rows[0]
+
+        # chunk -> parent node, keep max vector score per node
+        node_vec: Dict[str, float] = {}
+        node_chunk: Dict[str, str] = {}
+        for score, row in zip(scores, rows):
+            if row < 0:
+                continue
+            chunk = self.store.chunk_by_row(int(row))
+            if chunk is None:
+                continue
+            nid = chunk.parent_node
+            if nid not in node_vec or score > node_vec[nid]:
+                node_vec[nid] = float(score)
+                node_chunk[nid] = chunk.id
+
+        # BM25 candidates: add text-only hits the vector pass missed
+        text_scores: Dict[str, float] = {}
+        if text_query and self.bm25.n_docs > 0:
+            for node_row, ts in self.bm25.search(text_query, limit=prefetch):
+                node = self.store.node_by_row(int(node_row))
+                if node is None:
+                    continue
+                text_scores[node.id] = float(ts)
+            if text_scores:
+                mx = max(text_scores.values())
+                if mx > 0:
+                    text_scores = {k: v / mx for k, v in text_scores.items()}
+
+        cand_ids = list(node_vec.keys() | text_scores.keys())
+        if not cand_ids:
+            self.cache.put(key, [])
+            return []
+
+        vw, tw = self.config.vector_weight, self.config.text_weight
+        combined = {
+            nid: vw * node_vec.get(nid, 0.0) + tw * text_scores.get(nid, 0.0)
+            for nid in cand_ids
+        }
+
+        # graph-adjacency boost over the candidate set (device kernel)
+        boosts = self._graph_boost(cand_ids)
+
+        bw = self.config.graph_boost_weight
+        results: List[SearchResult] = []
+        for nid in cand_ids:
+            node = self.store.nodes.get(nid)
+            if node is None:
+                continue
+            score = combined[nid] + bw * boosts.get(nid, 0.0)
+            results.append(
+                SearchResult(
+                    node_id=nid,
+                    chunk_id=node_chunk.get(nid, ""),
+                    score=score,
+                    vector_score=node_vec.get(nid, 0.0),
+                    text_score=text_scores.get(nid, 0.0),
+                    graph_boost=boosts.get(nid, 0.0),
+                    name=node.name,
+                    node_type=node.node_type.value,
+                    file_path=node.location.file_path,
+                    start_line=node.location.start_line,
+                    end_line=node.location.end_line,
+                    snippet=node.content[:SNIPPET_CHARS],
+                )
+            )
+        results.sort(key=lambda r: -r.score)
+        results = results[:limit]
+        self.cache.put(key, results)
+        return results
+
+    def _graph_boost(self, cand_ids: Sequence[str]) -> Dict[str, float]:
+        if self.store.n_node_rows == 0 or not self.store.edges:
+            return {}
+        rows = np.asarray(
+            [self.store.node_rows.get(nid, -1) for nid in cand_ids], np.int32
+        )
+        nbr, wgt = self._adjacency()
+        if nbr.shape[0] == 0:
+            return {}
+        boost = np.asarray(adjacency_boost(rows[None, :], nbr, wgt))[0]
+        if boost.max() > 0:
+            boost = boost / boost.max()  # normalize to [0, 1]
+        return {nid: float(b) for nid, b in zip(cand_ids, boost)}
+
+    # -- multi-vector combine (search.rs:31-35) ----------------------------
+
+    def search_multi(
+        self,
+        embeddings: np.ndarray,
+        limit: int,
+        mode: str = "or_max",
+    ) -> List[SearchResult]:
+        """Multiple query vectors combined OrMax (union, max score) or
+        AndAverage (intersection, mean score)."""
+        per_query = [self.search_embedding(e, limit * 2) for e in embeddings]
+        merged: Dict[str, SearchResult] = {}
+        counts: Dict[str, int] = {}
+        sums: Dict[str, float] = {}
+        for results in per_query:
+            for r in results:
+                counts[r.node_id] = counts.get(r.node_id, 0) + 1
+                sums[r.node_id] = sums.get(r.node_id, 0.0) + r.score
+                if r.node_id not in merged or r.score > merged[r.node_id].score:
+                    merged[r.node_id] = r
+        out = []
+        for nid, r in merged.items():
+            if mode == "and_average":
+                if counts[nid] < len(per_query):
+                    continue
+                r.score = sums[nid] / counts[nid]
+            out.append(r)
+        out.sort(key=lambda r: -r.score)
+        return out[:limit]
+
+
+__all__ = ["HybridSearch"]

@@ -1,0 +1,169 @@
+"""Multi-stage reranking pipeline.
+
+Re-implements the reference's 3-stage reranker
+(crates/codegraph-vector/src/reranker.rs:250-432: embedding filter
+top-100 -> cross-encoder top-20 -> optional LLM top-10) and the text
+reranker providers (src/reranking/{jina,ollama,factory}.rs). Stage 1
+runs on device (a batched rescore matmul); stage 2 is a lightweight
+lexical cross-scorer by default with pluggable external providers;
+stage 3 asks an LLM provider to order the finalists.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from codegraph_tpu.core.types import SearchResult
+from codegraph_tpu.search.bm25 import tokenize
+
+logger = logging.getLogger("codegraph_tpu.rerank")
+
+
+@dataclass
+class RerankerConfig:
+    """Stage sizes mirror reranker.rs:20-60 defaults."""
+
+    stage1_k: int = 100
+    stage2_k: int = 20
+    stage3_k: int = 10
+    use_llm: bool = False
+
+
+class EmbeddingReranker:
+    """Stage 1: exact embedding rescore (reranker.rs:84 EmbeddingReRanker).
+
+    Recomputes query-candidate cosine with fresh embeddings of the
+    candidate snippets — catches drift between stored chunk embeddings
+    and what the snippet actually says.
+    """
+
+    def __init__(self, provider):
+        self.provider = provider
+
+    def rerank(
+        self, query: str, results: List[SearchResult], k: int
+    ) -> List[SearchResult]:
+        if not results:
+            return results
+        q = self.provider.embed_texts([query])[0]
+        texts = [r.snippet or r.name for r in results]
+        embs = self.provider.embed_texts(texts)
+        sims = embs @ q
+        order = np.argsort(-sims)[:k]
+        out = []
+        for rank, idx in enumerate(order):
+            r = results[int(idx)]
+            r.score = float(sims[int(idx)])
+            out.append(r)
+        return out
+
+
+class CrossScorerReranker:
+    """Stage 2: pairwise query x candidate scorer (reranker.rs:170
+    CrossEncoderReRanker). Default implementation is a token-overlap
+    cross-scorer (no external model needed); `scorer` can be swapped for
+    a Jina/LM-Studio API scorer (reranking/jina.rs, ollama.rs)."""
+
+    def __init__(self, scorer: Optional[Callable[[str, str], float]] = None):
+        self.scorer = scorer or self._lexical_score
+
+    @staticmethod
+    def _lexical_score(query: str, text: str) -> float:
+        qt, tt = set(tokenize(query)), set(tokenize(text))
+        if not qt or not tt:
+            return 0.0
+        overlap = len(qt & tt)
+        return overlap / (len(qt) ** 0.5 * len(tt) ** 0.5)
+
+    def rerank(
+        self, query: str, results: List[SearchResult], k: int
+    ) -> List[SearchResult]:
+        scored = [
+            (0.7 * r.score + 0.3 * self.scorer(query, f"{r.name} {r.snippet}"), r)
+            for r in results
+        ]
+        scored.sort(key=lambda t: -t[0])
+        out = []
+        for s, r in scored[:k]:
+            r.score = float(s)
+            out.append(r)
+        return out
+
+
+class LLMReranker:
+    """Stage 3: LLM chooses the final ordering (reranker.rs LLM stage;
+    reranking/ollama.rs chat-based scoring). Takes any LLMProvider from
+    codegraph_tpu.mcp.llm; degrades to a no-op if the call fails."""
+
+    def __init__(self, llm):
+        self.llm = llm
+
+    def rerank(
+        self, query: str, results: List[SearchResult], k: int
+    ) -> List[SearchResult]:
+        if not results or self.llm is None:
+            return results[:k]
+        listing = "\n".join(
+            f"{i}: {r.name} ({r.file_path}:{r.start_line}) — {r.snippet[:80]}"
+            for i, r in enumerate(results)
+        )
+        prompt = (
+            f"Rank these code search results for the query {query!r}. "
+            f"Reply with the indices in best-first order, comma-separated.\n{listing}"
+        )
+        try:
+            reply = self.llm.complete(prompt)
+            order = [
+                int(tok) for tok in reply.replace(",", " ").split()
+                if tok.isdigit() and int(tok) < len(results)
+            ]
+            seen = set()
+            ranked = []
+            for i in order:
+                if i not in seen:
+                    seen.add(i)
+                    ranked.append(results[i])
+            for i, r in enumerate(results):
+                if i not in seen:
+                    ranked.append(r)
+            return ranked[:k]
+        except Exception as exc:  # degrade gracefully, like provider fallback
+            logger.warning("LLM rerank failed: %s", exc)
+            return results[:k]
+
+
+class RerankerPipeline:
+    """embedding top-100 -> cross-score top-20 -> (LLM) top-10."""
+
+    def __init__(
+        self,
+        provider,
+        llm=None,
+        config: Optional[RerankerConfig] = None,
+        cross_scorer: Optional[Callable[[str, str], float]] = None,
+    ):
+        self.config = config or RerankerConfig()
+        self.stage1 = EmbeddingReranker(provider)
+        self.stage2 = CrossScorerReranker(cross_scorer)
+        self.stage3 = LLMReranker(llm) if (llm and self.config.use_llm) else None
+
+    def rerank(self, query: str, results: List[SearchResult]) -> List[SearchResult]:
+        c = self.config
+        out = self.stage1.rerank(query, results[: c.stage1_k], c.stage2_k)
+        out = self.stage2.rerank(query, out, c.stage3_k if self.stage3 else c.stage2_k)
+        if self.stage3:
+            out = self.stage3.rerank(query, out, c.stage3_k)
+        return out
+
+
+__all__ = [
+    "RerankerConfig",
+    "EmbeddingReranker",
+    "CrossScorerReranker",
+    "LLMReranker",
+    "RerankerPipeline",
+]

@@ -1,0 +1,182 @@
+import json
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from codegraph_tpu.core.config import CodeGraphConfig
+from codegraph_tpu.indexer.indexer import ProjectIndexer
+from codegraph_tpu.indexer.estimation import RepositoryEstimator
+from codegraph_tpu.indexer.resolve import EdgeResolver
+from codegraph_tpu.core.types import (
+    CodeEdge,
+    CodeNode,
+    EdgeType,
+    Language,
+    Location,
+    NodeType,
+)
+
+
+@pytest.fixture
+def project(tmp_path):
+    (tmp_path / "math_utils.py").write_text(textwrap.dedent('''
+        def add_numbers(a, b):
+            return a + b
+
+        def multiply_numbers(a, b):
+            total = 0
+            for _ in range(b):
+                total = add_numbers(total, a)
+            return total
+    '''))
+    (tmp_path / "server.rs").write_text(textwrap.dedent('''
+        pub struct HttpServer {
+            port: u16,
+        }
+
+        pub fn start_server(port: u16) -> HttpServer {
+            HttpServer { port }
+        }
+    '''))
+    return tmp_path
+
+
+def make_cfg(tmp_path, **emb):
+    cfg = CodeGraphConfig()
+    cfg.project_root = str(tmp_path)
+    cfg.data_dir = str(tmp_path / ".codegraph")
+    cfg.embedding.provider = "hash"
+    cfg.embedding.dimension = 64
+    for k, v in emb.items():
+        setattr(cfg.embedding, k, v)
+    return cfg
+
+
+def test_index_project_end_to_end(project):
+    cfg = make_cfg(project)
+    indexer = ProjectIndexer(cfg)
+    stats = indexer.index_project(str(project))
+    assert stats.files_parsed == 2
+    assert stats.nodes >= 4
+    assert stats.chunks >= 4
+    assert len(indexer.index) == stats.chunks
+    # resolved call edge multiply_numbers -> add_numbers
+    assert stats.edges_resolved_exact >= 1
+    # search finds the adder
+    results = indexer.search.search_text("add two numbers together", limit=3)
+    assert results
+    assert any("add_numbers" == r.name for r in results)
+
+
+def test_incremental_reindex_unchanged(project):
+    cfg = make_cfg(project)
+    indexer = ProjectIndexer(cfg)
+    s1 = indexer.index_project(str(project))
+    s2 = indexer.index_project(str(project))
+    assert s2.files_unchanged == 2
+    assert s2.files_parsed == 0
+    assert s2.chunks == 0  # nothing re-embedded
+
+
+def test_incremental_modify_and_delete(project):
+    cfg = make_cfg(project)
+    indexer = ProjectIndexer(cfg)
+    indexer.index_project(str(project))
+    n_before = len(indexer.index)
+
+    # modify one file
+    (project / "math_utils.py").write_text(
+        "def subtract_numbers(a, b):\n    return a - b\n"
+    )
+    s = indexer.index_project(str(project))
+    assert s.files_parsed == 1
+    results = indexer.search.search_text("subtract numbers", limit=3)
+    assert any(r.name == "subtract_numbers" for r in results)
+    # old symbols are gone from the store
+    assert not any(n.name == "add_numbers" for n in indexer.store.nodes.values())
+
+    # delete the file entirely
+    (project / "math_utils.py").unlink()
+    s = indexer.index_project(str(project))
+    assert s.files_deleted == 1
+    assert not any(
+        n.name == "subtract_numbers" for n in indexer.store.nodes.values()
+    )
+
+
+def test_index_single_file_watch_path(project):
+    cfg = make_cfg(project)
+    indexer = ProjectIndexer(cfg)
+    indexer.index_project(str(project))
+    path = str(project / "math_utils.py")
+    (project / "math_utils.py").write_text("def renamed_fn(x):\n    return x\n")
+    stats = indexer.index_single_file(path)
+    assert stats is not None and stats.nodes >= 1
+    results = indexer.search.search_text("renamed fn", limit=3)
+    assert any(r.name == "renamed_fn" for r in results)
+
+
+def test_save_load_roundtrip(project):
+    cfg = make_cfg(project)
+    indexer = ProjectIndexer(cfg)
+    indexer.index_project(str(project))
+    q = "start the http server"
+    before = [r.node_id for r in indexer.search.search_text(q, limit=3)]
+    directory = indexer.save()
+
+    indexer2 = ProjectIndexer(make_cfg(project))
+    indexer2.load(directory)
+    after = [r.node_id for r in indexer2.search.search_text(q, limit=3)]
+    assert before == after
+    # change detection survives the reload
+    s = indexer2.index_project(str(project))
+    assert s.files_unchanged == 2
+
+
+def test_edge_resolver_ladder():
+    def mk(name, file="a.py"):
+        return CodeNode.make(
+            "p", name, NodeType.FUNCTION, Language.PYTHON, Location(file, 1, 2)
+        )
+
+    nodes = [mk("parse_file"), mk("HttpServer"), mk("compute_sum")]
+    edges = [
+        CodeEdge(nodes[0].id, "parse_file", EdgeType.CALLS, resolved=False),
+        CodeEdge(nodes[0].id, "ParseFile", EdgeType.CALLS, resolved=False),  # camel variant
+        CodeEdge(nodes[0].id, "totally_unknown_xyz", EdgeType.CALLS, resolved=False),
+    ]
+    resolver = EdgeResolver(provider=None)
+    unresolved, n_exact, n_sem = resolver.resolve(edges, nodes)
+    assert n_exact == 2
+    assert len(unresolved) == 1 and unresolved[0].dst == "totally_unknown_xyz"
+
+
+def test_edge_resolver_semantic_match():
+    from codegraph_tpu.models.providers import HashProvider
+
+    def mk(name):
+        return CodeNode.make(
+            "p", name, NodeType.FUNCTION, Language.PYTHON, Location("a.py", 1, 2)
+        )
+
+    nodes = [mk("compute_checksum"), mk("render_page")]
+    # trigram-similar but not an exact/normalized match
+    edges = [CodeEdge(nodes[1].id, "compute_checksums", EdgeType.CALLS,
+                      resolved=False)]
+    resolver = EdgeResolver(provider=HashProvider(64), semantic_threshold=0.5)
+    unresolved, n_exact, n_sem = resolver.resolve(edges, nodes)
+    assert n_sem == 1
+    assert edges[0].resolved and edges[0].dst == nodes[0].id
+
+
+def test_estimator(project):
+    cfg = make_cfg(project)
+    est = RepositoryEstimator(cfg).analyze(str(project))
+    assert est.files == 2
+    assert est.nodes >= 4
+    assert est.chunks >= 4
+    assert est.embed_eta_seconds >= 0
+    d = est.to_dict()
+    assert d["provider"] == "hash"

@@ -1,0 +1,259 @@
+import io
+import json
+import textwrap
+
+import pytest
+
+from codegraph_tpu.core.config import CodeGraphConfig
+from codegraph_tpu.graph.queries import GraphQueries
+from codegraph_tpu.indexer.indexer import ProjectIndexer
+from codegraph_tpu.mcp.agents import LatsAgent, ReActAgent, ReflexionAgent
+from codegraph_tpu.mcp.llm import ChatResponse, LLMProvider, ToolCall, create_llm
+from codegraph_tpu.mcp.server import AGENTIC_TOOLS, MCPServer
+from codegraph_tpu.mcp.tiers import ContextTier, tier_limits
+from codegraph_tpu.mcp.tools import TOOL_SCHEMAS, GraphToolExecutor
+
+
+@pytest.fixture
+def indexed(tmp_path):
+    (tmp_path / "calc.py").write_text(textwrap.dedent('''
+        def add_numbers(a, b):
+            return a + b
+
+        def compute_total(values):
+            total = 0
+            for v in values:
+                total = add_numbers(total, v)
+            return total
+    '''))
+    cfg = CodeGraphConfig()
+    cfg.project_root = str(tmp_path)
+    cfg.embedding.provider = "hash"
+    cfg.embedding.dimension = 64
+    indexer = ProjectIndexer(cfg)
+    indexer.index_project(str(tmp_path))
+    return indexer, cfg
+
+
+def make_executor(indexer):
+    return GraphToolExecutor(GraphQueries(indexer.store), indexer.search)
+
+
+def test_tier_buckets():
+    assert ContextTier.from_context_window(30_000) == ContextTier.SMALL
+    assert ContextTier.from_context_window(128_000) == ContextTier.MEDIUM
+    assert ContextTier.from_context_window(200_000) == ContextTier.LARGE
+    assert ContextTier.from_context_window(1_000_000) == ContextTier.MASSIVE
+    assert tier_limits(ContextTier.SMALL).search_limit < tier_limits(
+        ContextTier.MASSIVE
+    ).search_limit
+
+
+def test_tool_executor_all_tools(indexed):
+    indexer, _ = indexed
+    ex = make_executor(indexer)
+    r = ex.execute("semantic_code_search", {"query": "add numbers", "limit": 5})
+    assert r["count"] >= 1
+    assert any(x["name"] == "add_numbers" for x in r["results"])
+
+    r = ex.execute("get_transitive_dependencies", {"node": "compute_total"})
+    assert any(d["name"] == "add_numbers" for d in r["dependencies"])
+
+    r = ex.execute("get_reverse_dependencies", {"node": "add_numbers"})
+    assert any(d["name"] == "compute_total" for d in r["dependents"])
+
+    r = ex.execute("trace_call_chain", {"source": "compute_total"})
+    assert r["count"] >= 1
+
+    r = ex.execute("calculate_coupling_metrics", {"node": "add_numbers"})
+    assert r["afferent_coupling"] >= 1
+
+    r = ex.execute("get_hub_nodes", {"limit": 3})
+    assert r["count"] >= 1
+
+    r = ex.execute("detect_circular_dependencies", {})
+    assert "count" in r
+
+    r = ex.execute("find_complexity_hotspots", {})
+    assert "hotspots" in r
+
+    r = ex.execute("nonexistent_tool", {})
+    assert "error" in r
+
+    assert ex.stats()["calls"]["semantic_code_search"] == 1
+
+
+def test_tool_executor_cache(indexed):
+    indexer, _ = indexed
+    ex = make_executor(indexer)
+    ex.execute("get_hub_nodes", {"limit": 3})
+    ex.execute("get_hub_nodes", {"limit": 3})
+    assert ex.cache.hits >= 1
+
+
+class ScriptedLLM(LLMProvider):
+    """Deterministic fake driving the agent loops."""
+
+    name = "scripted"
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.prompts = []
+
+    def is_available(self):
+        return True
+
+    def chat_with_tools(self, messages, tools):
+        self.prompts.append(messages[-1]["content"])
+        if not self.script:
+            return ChatResponse(text="done")
+        item = self.script.pop(0)
+        if isinstance(item, str):
+            return ChatResponse(text=item)
+        return ChatResponse(text="", tool_calls=[item])
+
+
+def test_react_agent_tool_loop(indexed):
+    indexer, _ = indexed
+    ex = make_executor(indexer)
+    llm = ScriptedLLM([
+        ToolCall("semantic_code_search", {"query": "add numbers", "limit": 3}),
+        "add_numbers at calc.py adds two values.",
+    ])
+    agent = ReActAgent(llm, ex)
+    result = agent.run("how are numbers added?")
+    assert result.succeeded
+    assert result.traces and result.traces[0].tool == "semantic_code_search"
+    assert "add_numbers" in json.dumps(result.structured())
+
+
+def test_react_agent_max_turns(indexed):
+    indexer, _ = indexed
+    ex = make_executor(indexer)
+    llm = ScriptedLLM([
+        ToolCall("get_hub_nodes", {"limit": 2}) for _ in range(10)
+    ])
+    agent = ReActAgent(llm, ex, max_turns=3)
+    result = agent.run("loop forever")
+    assert not result.succeeded
+    assert result.turns == 3
+
+
+def test_lats_agent(indexed):
+    indexer, _ = indexed
+    ex = make_executor(indexer)
+
+    class LatsLLM(LLMProvider):
+        name = "lats-fake"
+
+        def __init__(self):
+            pass
+
+        def is_available(self):
+            return True
+
+        def chat_with_tools(self, messages, tools):
+            prompt = messages[-1]["content"]
+            if "Propose" in prompt:
+                return ChatResponse(text=json.dumps([
+                    {"tool": "semantic_code_search",
+                     "params": {"query": "add numbers"}},
+                    {"tool": "get_hub_nodes", "params": {"limit": 2}},
+                ]))
+            if "Rate 0-10" in prompt:
+                return ChatResponse(text="7")
+            return ChatResponse(text="final: numbers are added in add_numbers")
+
+    agent = LatsAgent(LatsLLM(), ex, max_iterations=2)
+    result = agent.run("how are numbers added?")
+    assert result.traces
+    assert "add" in result.answer
+
+
+def test_reflexion_agent_retries(indexed):
+    indexer, _ = indexed
+    ex = make_executor(indexer)
+
+    class Critic(LLMProvider):
+        name = "critic"
+
+        def __init__(self):
+            self.calls = 0
+
+        def is_available(self):
+            return True
+
+        def chat_with_tools(self, messages, tools):
+            self.calls += 1
+            prompt = messages[-1]["content"]
+            if "complete and grounded" in prompt:
+                # reject the first answer, accept the second
+                return ChatResponse(
+                    text="OK" if self.calls > 2 else "missing citations"
+                )
+            return ChatResponse(text=f"answer v{self.calls}")
+
+    critic = Critic()
+    agent = ReflexionAgent(ReActAgent(critic, ex), critic, max_attempts=2)
+    result = agent.run("explain add_numbers")
+    assert result.succeeded
+
+
+def test_mcp_server_protocol(indexed):
+    indexer, cfg = indexed
+    server = MCPServer(make_executor(indexer), cfg)
+
+    init = server.handle_message(
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}}
+    )
+    assert init["result"]["serverInfo"]["name"] == "codegraph-tpu"
+
+    tools = server.handle_message(
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"}
+    )
+    names = {t["name"] for t in tools["result"]["tools"]}
+    assert set(AGENTIC_TOOLS) <= names
+    assert set(TOOL_SCHEMAS) <= names
+
+    call = server.handle_message({
+        "jsonrpc": "2.0", "id": 3, "method": "tools/call",
+        "params": {"name": "semantic_code_search",
+                   "arguments": {"query": "add numbers"}},
+    })
+    payload = json.loads(call["result"]["content"][0]["text"])
+    assert payload["count"] >= 1
+
+    # agentic tool falls back to the direct pipeline (llm.provider=none)
+    call = server.handle_message({
+        "jsonrpc": "2.0", "id": 4, "method": "tools/call",
+        "params": {"name": "agentic_context",
+                   "arguments": {"query": "add numbers"}},
+    })
+    payload = json.loads(call["result"]["content"][0]["text"])
+    assert payload["agent"] == "pipeline"
+    assert payload["evidence"]
+
+    bad = server.handle_message({"jsonrpc": "2.0", "id": 5, "method": "nope"})
+    assert "error" in bad
+
+
+def test_mcp_server_stdio_transport(indexed):
+    indexer, cfg = indexed
+    server = MCPServer(make_executor(indexer), cfg)
+    stdin = io.StringIO(
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize"}) + "\n"
+        + json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}) + "\n"
+    )
+    stdout = io.StringIO()
+    server.serve_stdio(stdin, stdout)
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert lines[0]["id"] == 1 and lines[1]["id"] == 2
+
+
+def test_create_llm_factory():
+    cfg = CodeGraphConfig()
+    cfg.llm.provider = "none"
+    assert not create_llm(cfg).is_available()
+    cfg.llm.provider = "anthropic"
+    llm = create_llm(cfg)
+    assert llm.name == "anthropic"

@@ -1,0 +1,147 @@
+import numpy as np
+import pytest
+
+from codegraph_tpu.models.tokenizer import ByteTokenizer, CLS_ID, PAD_ID, SEP_ID
+from codegraph_tpu.models.hash_embedder import hash_embed_texts
+
+
+def test_tokenizer_roundtrip():
+    tok = ByteTokenizer(max_len=64)
+    text = "def foo(x):\n    return x * 2"
+    ids = tok.encode(text)
+    assert ids[0] == CLS_ID and ids[-1] == SEP_ID
+    assert tok.decode(ids) == text
+
+
+def test_tokenizer_batch_shapes_and_mask():
+    tok = ByteTokenizer(max_len=32)
+    ids, mask = tok.encode_batch(["short", "a much longer text " * 10])
+    assert ids.shape == (2, 32) and mask.shape == (2, 32)
+    assert mask[0].sum() == len("short") + 2
+    assert mask[1].all()  # truncated to max_len
+    assert (ids[0][~mask[0]] == PAD_ID).all()
+
+
+def test_hash_embedder_deterministic_and_similar():
+    a = hash_embed_texts(["fn compute_sum(a, b)"], 128)
+    b = hash_embed_texts(["fn compute_sum(a, b)"], 128)
+    np.testing.assert_array_equal(a, b)
+    sims = hash_embed_texts(
+        ["fn compute_sum(a, b)", "fn compute_sum(x, y)", "class HttpServer"], 128
+    )
+    near = float(sims[0] @ sims[1])
+    far = float(sims[0] @ sims[2])
+    assert near > far
+    assert np.allclose(np.linalg.norm(sims, axis=1), 1.0, atol=1e-5)
+
+
+def test_hash_embedder_empty_text():
+    e = hash_embed_texts([""], 64)
+    assert (e == 0).all()
+
+
+def test_encoder_forward_and_padding_invariance():
+    import jax
+    import jax.numpy as jnp
+
+    from codegraph_tpu.models.encoder import (
+        EncoderConfig,
+        encode,
+        init_encoder_params,
+    )
+    from codegraph_tpu.models.tokenizer import VOCAB_SIZE
+
+    cfg = EncoderConfig(vocab_size=VOCAB_SIZE, hidden=64, n_layers=2,
+                        n_heads=4, max_len=32)
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(max_len=32)
+    ids, mask = tok.encode_batch(["hello world", "hello world padded   "])
+    # same text at two padded lengths must embed identically (mask correctness)
+    ids2 = ids.copy()
+    ids2[0, mask[0].sum():] = 77  # garbage in padding must not matter
+    out1 = encode(params, jnp.asarray(ids), jnp.asarray(mask), cfg)
+    out2 = encode(params, jnp.asarray(ids2), jnp.asarray(mask), cfg)
+    np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]), atol=1e-5)
+    assert out1.shape == (2, 64)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out1), axis=1), 1.0, atol=1e-3
+    )
+
+
+def test_encoder_pooling_modes():
+    import jax
+    import jax.numpy as jnp
+
+    from codegraph_tpu.models.encoder import (
+        EncoderConfig,
+        encode,
+        init_encoder_params,
+    )
+    from codegraph_tpu.models.tokenizer import VOCAB_SIZE
+
+    tok = ByteTokenizer(max_len=16)
+    ids, mask = tok.encode_batch(["abc def"])
+    outs = {}
+    for pooling in ("mean", "cls", "max"):
+        cfg = EncoderConfig(vocab_size=VOCAB_SIZE, hidden=32, n_layers=1,
+                            n_heads=2, max_len=16, pooling=pooling)
+        params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+        outs[pooling] = np.asarray(
+            encode(params, jnp.asarray(ids), jnp.asarray(mask), cfg)
+        )
+    assert not np.allclose(outs["mean"], outs["cls"])
+    assert not np.allclose(outs["mean"], outs["max"])
+
+
+def test_provider_registry_and_fallback():
+    from codegraph_tpu.core.config import CodeGraphConfig
+    from codegraph_tpu.core.errors import ProviderUnavailable
+    from codegraph_tpu.models.providers import (
+        EmbeddingProvider,
+        HashProvider,
+        HybridEmbeddingPipeline,
+        create_provider,
+    )
+
+    cfg = CodeGraphConfig()
+    cfg.embedding.provider = "hash"
+    cfg.embedding.dimension = 64
+    p = create_provider(cfg)
+    e = p.embed_texts(["a", "b"])
+    assert e.shape == (2, 64)
+    assert p.metrics.texts == 2
+
+    class Broken(EmbeddingProvider):
+        name = "broken"
+
+        def _embed(self, texts):
+            raise RuntimeError("down")
+
+    pipe = HybridEmbeddingPipeline([Broken(64), HashProvider(64)])
+    e = pipe.embed_texts(["x"])
+    assert e.shape == (1, 64)
+    # broken provider is now in cooldown; next call skips straight to hash
+    e2 = pipe.embed_texts(["y"])
+    assert e2.shape == (1, 64)
+
+    with pytest.raises(ProviderUnavailable):
+        HybridEmbeddingPipeline([Broken(64)]).embed_texts(["z"])
+
+
+def test_encoder_provider_and_checkpoint(tmp_path):
+    from codegraph_tpu.models.providers import (
+        EncoderProvider,
+        load_encoder_checkpoint,
+        save_encoder_checkpoint,
+    )
+
+    p = EncoderProvider(dimension=32, batch_size=4, max_len=16)
+    e = p.embed_texts(["hello", "world", "foo", "bar", "baz"])  # crosses batches
+    assert e.shape == (5, 32)
+    np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-3)
+
+    ckpt = str(tmp_path / "enc.npz")
+    save_encoder_checkpoint(ckpt, p.params)
+    p2 = EncoderProvider(dimension=32, batch_size=4, max_len=16, checkpoint=ckpt)
+    e2 = p2.embed_texts(["hello"])
+    np.testing.assert_allclose(e[0], e2[0], atol=1e-4)

@@ -1,0 +1,149 @@
+import numpy as np
+import pytest
+
+from codegraph_tpu.core.config import SearchConfig
+from codegraph_tpu.core.types import (
+    CodeChunk,
+    CodeEdge,
+    CodeNode,
+    EdgeType,
+    Language,
+    Location,
+    NodeType,
+)
+from codegraph_tpu.graph.store import GraphStore
+from codegraph_tpu.index.flat import FlatIndex
+from codegraph_tpu.models.providers import HashProvider
+from codegraph_tpu.search.bm25 import BM25Index, tokenize
+from codegraph_tpu.search.hybrid import HybridSearch
+from codegraph_tpu.search.reranker import RerankerPipeline
+
+
+def test_tokenize_splits_identifiers():
+    assert tokenize("parse_file_with_edges") == ["parse", "file", "edges"]
+    assert tokenize("HttpServerConfig") == ["http", "server", "config"]
+    assert "the" not in tokenize("the quick brownFox")
+
+
+def test_bm25_ranks_matching_docs():
+    idx = BM25Index()
+    idx.add(0, "def parse_file(path): parse a source file")
+    idx.add(1, "class HttpServer: handles http requests")
+    idx.add(2, "fn compute_embedding(text) -> vector")
+    hits = idx.search("parse file")
+    assert hits[0][0] == 0
+    hits = idx.search("http server")
+    assert hits[0][0] == 1
+    assert idx.search("zzz nothing") == []
+
+
+def test_bm25_remove():
+    idx = BM25Index()
+    idx.add(0, "alpha beta")
+    idx.add(1, "alpha gamma")
+    idx.remove(0)
+    hits = idx.search("alpha")
+    assert [h[0] for h in hits] == [1]
+
+
+DIM = 64
+
+
+def build_corpus():
+    """Three functions; parser_fn and helper_fn linked by a calls edge."""
+    store = GraphStore()
+    provider = HashProvider(DIM)
+    texts = {
+        "parse_source_file": "def parse_source_file(path): read and parse the source file into an ast tree",
+        "parse_helper": "def parse_helper(tree): helper used by the source file parser for ast walking",
+        "render_html_page": "def render_html_page(ctx): render an html template page for the web server",
+    }
+    nodes = []
+    for i, (name, text) in enumerate(texts.items()):
+        nodes.append(CodeNode.make(
+            "proj", name, NodeType.FUNCTION, Language.PYTHON,
+            Location(f"src/{name}.py", i * 10, i * 10 + 5), content=text,
+        ))
+    store.upsert_nodes(nodes)
+    by_name = {n.name: n for n in nodes}
+    store.add_edges([
+        CodeEdge(by_name["parse_source_file"].id, by_name["parse_helper"].id,
+                 EdgeType.CALLS),
+    ])
+    chunks = [CodeChunk.make(n.id, texts[n.name], 0, 1) for n in nodes]
+    rows = store.upsert_chunks(chunks)
+    index = FlatIndex(DIM, tile_n=128, backend="xla")
+    embs = provider.embed_texts([c.text for c in chunks])
+    got = index.add(embs)
+    np.testing.assert_array_equal(got, rows)
+    bm25 = BM25Index()
+    for node in nodes:
+        bm25.add(node.row, f"{node.name} {node.content}")
+    return store, index, provider, bm25
+
+
+def test_hybrid_search_end_to_end():
+    store, index, provider, bm25 = build_corpus()
+    hs = HybridSearch(store, index, provider, bm25,
+                      SearchConfig(graph_boost_weight=0.1))
+    results = hs.search_text("parse the source file ast", limit=3)
+    assert results
+    assert results[0].name == "parse_source_file"
+    # helper is graph-adjacent to the top hit -> boosted above html renderer
+    names = [r.name for r in results]
+    assert names.index("parse_helper") < names.index("render_html_page")
+    r0 = results[0]
+    assert r0.vector_score > 0 and r0.file_path.endswith("parse_source_file.py")
+    d = r0.to_dict()
+    assert d["node_id"] == r0.node_id and "score" in d
+
+
+def test_hybrid_search_cache_hit():
+    store, index, provider, bm25 = build_corpus()
+    hs = HybridSearch(store, index, provider, bm25)
+    r1 = hs.search_text("parse file", limit=2)
+    r2 = hs.search_text("parse file", limit=2)
+    assert hs.cache.hits >= 1
+    assert [r.node_id for r in r1] == [r.node_id for r in r2]
+    hs.invalidate()
+    assert hs.cache.stats()["size"] == 0
+
+
+def test_hybrid_bm25_only_candidates_surface():
+    """A node with a weak vector match but exact text match still appears."""
+    store, index, provider, bm25 = build_corpus()
+    hs = HybridSearch(store, index, provider, bm25,
+                      SearchConfig(text_weight=0.5, vector_weight=0.5))
+    results = hs.search_text("render html page", limit=3)
+    assert results[0].name == "render_html_page"
+    assert results[0].text_score > 0
+
+
+def test_hybrid_multi_vector_modes():
+    store, index, provider, bm25 = build_corpus()
+    hs = HybridSearch(store, index, provider, bm25)
+    q = provider.embed_texts(["parse source ast", "helper ast walking"])
+    or_res = hs.search_multi(q, limit=3, mode="or_max")
+    and_res = hs.search_multi(q, limit=3, mode="and_average")
+    assert or_res
+    assert len(and_res) <= len(or_res)
+
+
+def test_reranker_pipeline():
+    store, index, provider, bm25 = build_corpus()
+    hs = HybridSearch(store, index, provider, bm25)
+    results = hs.search_text("parse source file", limit=3)
+    rr = RerankerPipeline(provider)
+    out = rr.rerank("parse source file", results)
+    assert out
+    # both parse functions must outrank the html renderer after rerank
+    names = [r.name for r in out]
+    assert names[0].startswith("parse")
+    if "render_html_page" in names:
+        assert names.index("render_html_page") == len(names) - 1
+
+
+def test_empty_index_search():
+    store = GraphStore()
+    hs = HybridSearch(store, FlatIndex(DIM, backend="xla"), HashProvider(DIM))
+    assert hs.search_text("anything") == []
