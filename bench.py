@@ -34,14 +34,17 @@ def main() -> None:
         N, D, B, K, tile_n, dtype = 100_000, 384, 64, 10, 2048, jnp.float32
     N = (N // tile_n) * tile_n
 
+    iters = 20 if on_tpu else 5
     key = jax.random.PRNGKey(0)
     kx, kq = jax.random.split(key)
     x = jax.random.normal(kx, (N, D), jnp.float32)
     x = x * jax.lax.rsqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), 1e-12))
     x = x.astype(dtype)
-    q = jax.random.normal(kq, (B, D), jnp.float32)
-    q = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-12))
-    q = q.astype(dtype)
+    # distinct query batch per iteration: identical dispatches can be
+    # result-cached by remote-execution relays, faking absurd QPS
+    qs = jax.random.normal(kq, (iters + 1, B, D), jnp.float32)
+    qs = qs * jax.lax.rsqrt(jnp.maximum(jnp.sum(qs * qs, -1, keepdims=True), 1e-12))
+    qs = qs.astype(dtype)
     bias = jnp.zeros((N,), jnp.float32)
 
     if on_tpu:
@@ -52,14 +55,11 @@ def main() -> None:
             return streaming_topk(qq.astype(jnp.float32), x, bias, K, tile_n=tile_n)
 
     # warmup/compile
-    s, i = run(q)
-    jax.block_until_ready((s, i))
+    jax.block_until_ready(run(qs[iters]))
 
-    iters = 20 if on_tpu else 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        s, i = run(q)
-    jax.block_until_ready((s, i))
+    out = [run(qs[it]) for it in range(iters)]
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     qps = B * iters / dt

@@ -82,7 +82,21 @@ class CSRGraph:
         Neighbors beyond max_deg are dropped highest-weight-first kept.
         symmetric=True unions out- and in-edges (the reference joins both
         directions, surql:481-511).
+
+        Uses the native cghost kernel when available (the Python loop is
+        O(n) interpreter work; cghost is the Rust-host analogue).
         """
+        if symmetric:
+            from codegraph_tpu.native import padded_adjacency_native
+
+            native = padded_adjacency_native(
+                self.n_nodes,
+                self.indptr, self.indices, self.etype, self.weight,
+                self.r_indptr, self.r_indices, self.r_etype, self.r_weight,
+                etypes, max_deg,
+            )
+            if native is not None:
+                return native
         n = self.n_nodes
         nbr = np.full((n, max_deg), -1, np.int32)
         wgt = np.zeros((n, max_deg), np.float32)

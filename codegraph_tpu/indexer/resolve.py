@@ -132,13 +132,24 @@ class EdgeResolver:
             return 0
         targets = sorted({e.dst for e in pending})
         # trigram preselection: only embed targets with a plausible candidate
+        # (native cghost kernel with inverted trigram index when available)
         presel: Dict[str, List[str]] = {}
-        for t in targets:
-            cands = [s for s in symbol_names if _trigram_jaccard(t, s) >= 0.3]
-            if cands:
-                presel[t] = sorted(
-                    cands, key=lambda s: -_trigram_jaccard(t, s)
-                )[:8]
+        from codegraph_tpu.native import trigram_preselect_native
+
+        native = trigram_preselect_native(targets, symbol_names, 0.3, 8)
+        if native is not None:
+            idx, _score = native
+            for ti, t in enumerate(targets):
+                cands = [symbol_names[j] for j in idx[ti] if j >= 0]
+                if cands:
+                    presel[t] = cands
+        else:
+            for t in targets:
+                cands = [s for s in symbol_names if _trigram_jaccard(t, s) >= 0.3]
+                if cands:
+                    presel[t] = sorted(
+                        cands, key=lambda s: -_trigram_jaccard(t, s)
+                    )[:8]
         if not presel:
             return 0
 

@@ -1,0 +1,198 @@
+"""ctypes bindings for the native host library (native/cghost.cpp).
+
+The reference's host runtime is native Rust (zero-copy buffers, rayon
+loops); cghost is the C++ equivalent for this rebuild's host hot loops.
+Callers use `lib()` and fall back to pure Python when the shared object
+is absent; `ensure_built()` compiles it on demand with g++ (the repo
+ships source, not binaries).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("codegraph_tpu.native")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libcghost.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+
+def ensure_built() -> bool:
+    """Compile libcghost.so if missing. Returns availability."""
+    if os.path.exists(_SO_PATH):
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR], check=True,
+            capture_output=True, timeout=120,
+        )
+        return os.path.exists(_SO_PATH)
+    except (subprocess.SubprocessError, OSError) as exc:
+        logger.warning("native build failed: %s", exc)
+        return False
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    """The loaded library, or None (callers fall back to Python)."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_SO_PATH) and not ensure_built():
+        _load_failed = True
+        return None
+    try:
+        cdll = ctypes.CDLL(_SO_PATH)
+    except OSError as exc:
+        logger.warning("native load failed: %s", exc)
+        _load_failed = True
+        return None
+
+    cdll.cg_padded_adjacency.argtypes = [
+        ctypes.c_int64,
+        _i64p, _i32p, _i16p, _f32p,
+        _i64p, _i32p, _i16p, _f32p,
+        _i16p, ctypes.c_int64,
+        ctypes.c_int64,
+        _i32p, _f32p,
+    ]
+    cdll.cg_padded_adjacency.restype = None
+
+    cdll.cg_trigram_preselect.argtypes = [
+        ctypes.c_char_p, _i64p, ctypes.c_int64,
+        ctypes.c_char_p, _i64p, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_int64,
+        _i32p, _f32p,
+    ]
+    cdll.cg_trigram_preselect.restype = None
+
+    cdll.cg_bm25_score.argtypes = [
+        _i64p, _i32p, _i32p, ctypes.c_int64,
+        _i32p, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+        _i32p, _f32p,
+    ]
+    cdll.cg_bm25_score.restype = ctypes.c_int64
+
+    cdll.cg_chunk_boundaries.argtypes = [
+        _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _i32p, ctypes.c_int64,
+    ]
+    cdll.cg_chunk_boundaries.restype = ctypes.c_int64
+
+    _lib = cdll
+    return _lib
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+# -- high-level wrappers ----------------------------------------------------
+
+
+def padded_adjacency_native(
+    n_nodes: int,
+    indptr: np.ndarray, indices: np.ndarray,
+    etype: np.ndarray, weight: np.ndarray,
+    r_indptr: np.ndarray, r_indices: np.ndarray,
+    r_etype: np.ndarray, r_weight: np.ndarray,
+    keep_etypes: Sequence[int],
+    max_deg: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    cdll = lib()
+    if cdll is None:
+        return None
+    nbr = np.full((n_nodes, max_deg), -1, np.int32)
+    wgt = np.zeros((n_nodes, max_deg), np.float32)
+    keep = np.asarray(list(keep_etypes), np.int16)
+    cdll.cg_padded_adjacency(
+        n_nodes,
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int32),
+        np.ascontiguousarray(etype, np.int16),
+        np.ascontiguousarray(weight, np.float32),
+        np.ascontiguousarray(r_indptr, np.int64),
+        np.ascontiguousarray(r_indices, np.int32),
+        np.ascontiguousarray(r_etype, np.int16),
+        np.ascontiguousarray(r_weight, np.float32),
+        keep, len(keep), max_deg, nbr, wgt,
+    )
+    return nbr, wgt
+
+
+def _pack_strings(strings: Sequence[str]) -> Tuple[bytes, np.ndarray]:
+    offs = np.zeros((len(strings) + 1,), np.int64)
+    parts: List[bytes] = []
+    total = 0
+    for i, s in enumerate(strings):
+        b = s.encode("utf-8", errors="replace")
+        parts.append(b)
+        total += len(b)
+        offs[i + 1] = total
+    return b"".join(parts), offs
+
+
+def trigram_preselect_native(
+    targets: Sequence[str],
+    symbols: Sequence[str],
+    threshold: float = 0.3,
+    top_j: int = 8,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """-> (idx [n_targets, top_j] into symbols, scores), or None."""
+    cdll = lib()
+    if cdll is None or not targets or not symbols:
+        return None
+    tbuf, toff = _pack_strings(targets)
+    sbuf, soff = _pack_strings(symbols)
+    idx = np.full((len(targets), top_j), -1, np.int32)
+    score = np.zeros((len(targets), top_j), np.float32)
+    cdll.cg_trigram_preselect(
+        tbuf, toff, len(targets), sbuf, soff, len(symbols),
+        threshold, top_j, idx, score,
+    )
+    return idx, score
+
+
+def bm25_score_native(
+    post_off: np.ndarray, post_doc: np.ndarray, post_tf: np.ndarray,
+    doc_len: np.ndarray, avg_len: float,
+    k1: float, b: float, top_n: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    cdll = lib()
+    if cdll is None:
+        return None
+    out_doc = np.zeros((top_n,), np.int32)
+    out_score = np.zeros((top_n,), np.float32)
+    n = cdll.cg_bm25_score(
+        np.ascontiguousarray(post_off, np.int64),
+        np.ascontiguousarray(post_doc, np.int32),
+        np.ascontiguousarray(post_tf, np.int32),
+        len(post_off) - 1,
+        np.ascontiguousarray(doc_len, np.int32), len(doc_len), avg_len,
+        k1, b, top_n, out_doc, out_score,
+    )
+    return out_doc[:n], out_score[:n]
+
+
+__all__ = [
+    "available",
+    "ensure_built",
+    "lib",
+    "padded_adjacency_native",
+    "trigram_preselect_native",
+    "bm25_score_native",
+]
