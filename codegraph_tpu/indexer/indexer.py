@@ -52,6 +52,7 @@ class IndexStats:
     edges_unresolved: int = 0
     chunks: int = 0
     embedded: int = 0
+    analyzer_counters: Dict[str, int] = field(default_factory=dict)
     stage_seconds: Dict[str, float] = field(default_factory=dict)
 
     def to_dict(self) -> Dict:
@@ -153,9 +154,27 @@ class ProjectIndexer:
         for fp in to_ingest:
             new_nodes.extend(fp.result.nodes)
             new_edges.extend(fp.result.edges)
+        stats.stage_seconds["nodes"] = time.perf_counter() - t0
+
+        # analyzers per tier (reference: indexer.rs:977-1388)
+        t0 = time.perf_counter()
+        if new_nodes:
+            from codegraph_tpu.indexer.analyzers import (
+                AnalyzerSettings,
+                run_analyzers,
+            )
+
+            aout = run_analyzers(
+                project=os.path.abspath(root), root=root,
+                nodes=new_nodes, edges=new_edges,
+                settings=AnalyzerSettings.for_tier(self.config.indexing.tier),
+            )
+            new_nodes.extend(aout.nodes)
+            new_edges.extend(aout.edges)
+            stats.analyzer_counters = aout.counters
         self.store.upsert_nodes(new_nodes)
         stats.nodes = len(new_nodes)
-        stats.stage_seconds["nodes"] = time.perf_counter() - t0
+        stats.stage_seconds["analyze"] = time.perf_counter() - t0
 
         # edge resolution against ALL nodes (cross-file)
         t0 = time.perf_counter()
