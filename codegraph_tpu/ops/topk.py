@@ -119,13 +119,15 @@ def streaming_topk(
 
 
 def _extract_topk_rows(
-    cand_s: jax.Array, cand_i: jax.Array, k_pad: int
+    cand_s: jax.Array, cand_i: jax.Array, k: int, k_pad: int
 ) -> Tuple[jax.Array, jax.Array]:
     """In-kernel top-k by iterative max-extract (no lax.top_k in Mosaic).
 
-    cand_s/cand_i: [B, C]. Returns ([B, k_pad], [B, k_pad]). Cost is
-    k_pad VPU passes over [B, C] — negligible next to the MXU dot when
-    C ~ tile_n and D >= 128.
+    cand_s/cand_i: [B, C]. Returns ([B, k_pad], [B, k_pad]) with only the
+    first k entries meaningful (k_pad is lane-width storage padding).
+    Cost is k VPU passes over [B, C] — k, NOT k_pad: padding the loop to
+    the 128-lane width would multiply the VPU work ~13x for k=10 and
+    dominate the whole scan.
     """
     Bt, C = cand_s.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (Bt, C), 1)
@@ -147,12 +149,13 @@ def _extract_topk_rows(
         jnp.full((Bt, k_pad), NEG_INF, jnp.float32),
         jnp.full((Bt, k_pad), -1, jnp.int32),
     )
-    _, outs, outi = jax.lax.fori_loop(0, k_pad, body, init)
+    _, outs, outi = jax.lax.fori_loop(0, k, body, init)
     return outs, outi
 
 
 def _flat_topk_kernel(
-    q_ref, x_ref, bias_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k_pad: int, tile_n: int
+    q_ref, x_ref, bias_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k: int,
+    k_pad: int, tile_n: int
 ):
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
@@ -174,7 +177,7 @@ def _flat_topk_kernel(
 
     cand_s = jnp.concatenate([acc_s[:], s], axis=1)
     cand_i = jnp.concatenate([acc_i[:], ids], axis=1)
-    new_s, new_i = _extract_topk_rows(cand_s, cand_i, k_pad)
+    new_s, new_i = _extract_topk_rows(cand_s, cand_i, k, k_pad)
     acc_s[:] = new_s
     acc_i[:] = new_i
 
@@ -211,7 +214,9 @@ def streaming_topk_pallas(
     k_pad = _round_up(max(k, 1), LANE)
 
     grid = (B // tile_b, N // tile_n)
-    kernel = functools.partial(_flat_topk_kernel, k_pad=k_pad, tile_n=tile_n)
+    kernel = functools.partial(
+        _flat_topk_kernel, k=k, k_pad=k_pad, tile_n=tile_n
+    )
 
     out_s, out_i = pl.pallas_call(
         kernel,
