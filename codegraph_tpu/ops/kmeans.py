@@ -22,18 +22,28 @@ import jax
 import jax.numpy as jnp
 
 
-def _tile_assign(x_tile: jax.Array, c: jax.Array) -> jax.Array:
-    """[T, D] x [K, D] -> argmax dot assignment [T] int32."""
+def _tile_assign(
+    x_tile: jax.Array, c: jax.Array, c_half_sq: jax.Array | None = None
+) -> jax.Array:
+    """[T, D] x [K, D] -> nearest-centroid assignment [T] int32.
+
+    c_half_sq = ||c||^2 / 2 turns the dot argmax into an L2 argmin
+    (argmin ||x-c||^2 == argmax x.c - ||c||^2/2); None/zeros keeps plain
+    dot (cosine on normalized data).
+    """
     scores = jax.lax.dot_general(
         x_tile, c, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if c_half_sq is not None:
+        scores = scores - c_half_sq[None, :]
     return jnp.argmax(scores, axis=1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n",))
+@functools.partial(jax.jit, static_argnames=("tile_n", "metric"))
 def assign_clusters(
-    x: jax.Array, centroids: jax.Array, mask: jax.Array, tile_n: int = 4096
+    x: jax.Array, centroids: jax.Array, mask: jax.Array, tile_n: int = 4096,
+    metric: str = "cosine",
 ) -> jax.Array:
     """Streaming nearest-centroid assignment.
 
@@ -44,15 +54,20 @@ def assign_clusters(
     N, D = x.shape
     assert N % tile_n == 0
     x_tiles = x.reshape(N // tile_n, tile_n, D)
+    c_half_sq = (
+        0.5 * jnp.sum(jnp.square(centroids), axis=1) if metric == "l2" else None
+    )
 
     def step(_, xt):
-        return None, _tile_assign(xt, centroids)
+        return None, _tile_assign(xt, centroids, c_half_sq)
 
     _, out = jax.lax.scan(step, None, x_tiles)
     return out.reshape(N)
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "tile_n", "spherical"))
+@functools.partial(
+    jax.jit, static_argnames=("n_clusters", "tile_n", "spherical", "l2")
+)
 def _lloyd_iteration(
     x: jax.Array,
     maskf: jax.Array,
@@ -60,16 +75,20 @@ def _lloyd_iteration(
     n_clusters: int,
     tile_n: int,
     spherical: bool,
+    l2: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One Lloyd's step. Returns (new_centroids [K, D], counts [K])."""
     N, D = x.shape
     x_tiles = x.reshape(N // tile_n, tile_n, D)
     m_tiles = maskf.reshape(N // tile_n, tile_n)
+    c_half_sq = (
+        0.5 * jnp.sum(jnp.square(centroids), axis=1) if l2 else None
+    )
 
     def step(carry, inp):
         sums, counts = carry
         xt, mt = inp
-        assign = _tile_assign(xt, centroids)  # [T]
+        assign = _tile_assign(xt, centroids, c_half_sq)  # [T]
         onehot = (
             jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32) * mt[:, None]
         )  # [T, K]
@@ -140,9 +159,10 @@ def kmeans(
 
     counts = jnp.zeros((n_clusters,), jnp.float32)
     spherical = metric == "cosine"
+    l2 = metric == "l2"
     for _ in range(n_iters):
         centroids, counts = _lloyd_iteration(
-            x, maskf, centroids, n_clusters, tile_n, spherical
+            x, maskf, centroids, n_clusters, tile_n, spherical, l2
         )
     return centroids, counts
 

@@ -1,0 +1,132 @@
+"""Product quantization: per-subspace k-means codebooks + ADC scan.
+
+TPU-native re-design of the reference's ProductQuantizer
+(crates/codegraph-vector/src/persistent.rs:118-330: m subquantizers x
+2^nbits centroids, per-subspace k-means training :155-186,
+encode/decode :190-243). Training reuses the batched on-chip Lloyd's
+kernel (ops/kmeans.py) vmapped over subspaces; query scoring is ADC
+(asymmetric distance computation): one small matmul builds the
+[m, ksub] dot-table, then scoring the whole corpus is a pure gather-sum
+over uint8 codes — 768-d f32 rows become m bytes, so the scan reads
+D*4/m times less HBM than the f32 flat scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codegraph_tpu.ops.kmeans import kmeans
+
+
+@dataclass
+class PQCodebook:
+    centroids: jax.Array  # [m, ksub, dsub] f32
+
+    @property
+    def m(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.centroids.shape[2]
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+
+def pq_train(
+    x: jax.Array, m: int, nbits: int = 8, n_iters: int = 10, seed: int = 0
+) -> PQCodebook:
+    """Train m per-subspace codebooks of 2^nbits centroids each.
+
+    x: [N, D] with D % m == 0. Euclidean subspace k-means (metric="dot"
+    spherical normalization would distort subspace geometry).
+    """
+    N, D = x.shape
+    assert D % m == 0, f"D={D} not divisible by m={m}"
+    ksub = 1 << nbits
+    assert N >= ksub, f"need >= {ksub} training rows, got {N}"
+    dsub = D // m
+    xs = x.reshape(N, m, dsub)
+    books = []
+    for j in range(m):
+        c, _ = kmeans(
+            xs[:, j, :], ksub, n_iters=n_iters, metric="l2",
+            tile_n=min(4096, max(8, N)), seed=seed + j,
+        )
+        books.append(c)
+    return PQCodebook(centroids=jnp.stack(books))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pq_encode(x: jax.Array, centroids: jax.Array) -> jax.Array:
+    """[N, D] -> [N, m] uint8 codes (nearest centroid per subspace by L2)."""
+    N, D = x.shape
+    m, ksub, dsub = centroids.shape
+    xs = x.reshape(N, m, dsub)
+    # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over ksub
+    dots = jnp.einsum("nmd,mkd->nmk", xs, centroids,
+                      preferred_element_type=jnp.float32)
+    c_sq = jnp.sum(jnp.square(centroids), axis=-1)  # [m, ksub]
+    dist = c_sq[None, :, :] - 2.0 * dots
+    return jnp.argmin(dist, axis=-1).astype(jnp.uint8)
+
+
+@jax.jit
+def pq_decode(codes: jax.Array, centroids: jax.Array) -> jax.Array:
+    """[N, m] uint8 -> [N, D] f32 reconstruction."""
+    m = centroids.shape[0]
+    gathered = jnp.take_along_axis(
+        centroids[None, :, :, :],
+        codes.astype(jnp.int32)[:, :, None, None],
+        axis=2,
+    )[:, :, 0, :]  # [N, m, dsub]
+    return gathered.reshape(codes.shape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def pq_adc_topk(
+    q: jax.Array,          # [B, D] f32 queries
+    codes: jax.Array,      # [N, m] uint8 corpus codes
+    centroids: jax.Array,  # [m, ksub, dsub]
+    bias: jax.Array,       # [N] f32 (0 live / NEG_INF dead)
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """ADC dot-product top-k: table lookup instead of full matmul.
+
+    score[b, n] = sum_j table[b, j, codes[n, j]] where
+    table[b, j, :] = q_sub[b, j] . centroids[j, :, :].
+    """
+    B, D = q.shape
+    N, m = codes.shape
+    dsub = centroids.shape[2]
+    qs = q.reshape(B, m, dsub)
+    table = jnp.einsum("bmd,mkd->bmk", qs, centroids,
+                       preferred_element_type=jnp.float32)  # [B, m, ksub]
+    # gather-sum over codes: one-hot-free indexing
+    idx = codes.astype(jnp.int32)  # [N, m]
+    # scores[b, n] = sum_j table[b, j, idx[n, j]]
+    scores = jnp.sum(
+        jnp.take_along_axis(
+            table[:, None, :, :],                    # [B, 1, m, ksub]
+            idx[None, :, :, None],                   # [1, N, m, 1]
+            axis=3,
+        )[:, :, :, 0],
+        axis=-1,
+    )  # [B, N]
+    scores = scores + bias[None, :]
+    return jax.lax.top_k(scores, k)
+
+
+__all__ = ["PQCodebook", "pq_train", "pq_encode", "pq_decode", "pq_adc_topk"]

@@ -1,0 +1,63 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from codegraph_tpu.ops.pq import (
+    pq_adc_topk,
+    pq_decode,
+    pq_encode,
+    pq_train,
+)
+
+
+def recall_at_k(got, ref):
+    return sum(len(set(g) & set(r)) for g, r in zip(got, ref)) / ref.size
+
+
+def test_pq_roundtrip_reduces_error(rng):
+    N, D, m = 1024, 64, 8
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    book = pq_train(jnp.asarray(x), m=m, nbits=6, n_iters=6)
+    codes = pq_encode(jnp.asarray(x), book.centroids)
+    assert codes.shape == (N, m) and codes.dtype == jnp.uint8
+    recon = np.asarray(pq_decode(codes, book.centroids))
+    err = np.mean(np.sum((x - recon) ** 2, axis=1))
+    base = np.mean(np.sum(x**2, axis=1))
+    assert err < 0.7 * base  # quantization must explain a chunk of variance
+
+
+def test_pq_codes_use_codebook_range(rng):
+    x = rng.standard_normal((512, 32)).astype(np.float32)
+    book = pq_train(jnp.asarray(x), m=4, nbits=4, n_iters=4)
+    codes = np.asarray(pq_encode(jnp.asarray(x), book.centroids))
+    assert codes.max() < 16
+    assert len(np.unique(codes)) > 4  # uses a spread of the codebook
+
+
+def test_pq_adc_recall_vs_exact(rng):
+    N, D, m, B, k = 2048, 64, 16, 4, 10
+    # clustered data so PQ has structure to capture
+    centers = rng.standard_normal((32, D)).astype(np.float32) * 3
+    x = (centers[rng.integers(0, 32, N)] +
+         rng.standard_normal((N, D)).astype(np.float32) * 0.5)
+    q = x[rng.choice(N, B, replace=False)] + 0.05
+    book = pq_train(jnp.asarray(x), m=m, nbits=8, n_iters=8)
+    codes = pq_encode(jnp.asarray(x), book.centroids)
+    bias = jnp.zeros((N,), jnp.float32)
+    s, i = pq_adc_topk(jnp.asarray(q), codes, book.centroids, bias, k)
+    exact = np.asarray(jnp.asarray(q) @ jnp.asarray(x).T)
+    ref_i = np.argsort(-exact, axis=1)[:, :k]
+    assert recall_at_k(np.asarray(i), ref_i) >= 0.5  # ADC-only, no rescore
+
+
+def test_pq_adc_respects_bias(rng):
+    N, D, m = 256, 32, 4
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    book = pq_train(jnp.asarray(x), m=m, nbits=4, n_iters=4)
+    codes = pq_encode(jnp.asarray(x), book.centroids)
+    bias = np.zeros((N,), np.float32)
+    bias[:128] = -1e30  # tombstone the first half
+    s, i = pq_adc_topk(jnp.asarray(x[:2]), codes, book.centroids,
+                       jnp.asarray(bias), 5)
+    assert (np.asarray(i) >= 128).all()
