@@ -117,11 +117,25 @@ class MCPServer:
         return self.tools.execute(name, arguments)
 
     def _agentic(self, name: str, arguments: Dict[str, Any]) -> Dict[str, Any]:
+        from codegraph_tpu.mcp.prompts import (
+            FOCUS_TO_ANALYSIS,
+            AnalysisType,
+            PromptSelector,
+        )
+
         query = arguments.get("query", "")
         spec = AGENTIC_TOOLS[name]
-        task = f"[{name}] {query}"
-        if arguments.get("focus"):
-            task += f" (focus: {arguments['focus']})"
+        # focus -> AnalysisType -> tier-aware prompt (official_server.rs:306)
+        default_analysis = {
+            "agentic_context": AnalysisType.CONTEXT_BUILDER,
+            "agentic_impact": AnalysisType.DEPENDENCIES,
+            "agentic_architecture": AnalysisType.ARCHITECTURE,
+            "agentic_quality": AnalysisType.COMPLEXITY,
+        }[name]
+        analysis = FOCUS_TO_ANALYSIS.get(
+            str(arguments.get("focus", "")).lower(), default_analysis
+        )
+        task = PromptSelector(self.tier).select(analysis, query)
         if self.llm.is_available():
             try:
                 agent = create_agent(self.architecture, self.llm, self.tools)

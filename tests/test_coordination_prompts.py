@@ -1,0 +1,97 @@
+import pytest
+
+from codegraph_tpu.mcp.coordination import (
+    AgentRegistry,
+    AggregationPolicy,
+    Coordinator,
+    TaskSpec,
+)
+from codegraph_tpu.mcp.prompts import (
+    FOCUS_TO_ANALYSIS,
+    AnalysisType,
+    PromptSelector,
+)
+from codegraph_tpu.mcp.tiers import ContextTier
+
+
+def test_prompt_selector_tier_scaling():
+    small = PromptSelector(ContextTier.SMALL).select(AnalysisType.CODE_SEARCH)
+    massive = PromptSelector(ContextTier.MASSIVE).select(AnalysisType.CODE_SEARCH)
+    assert "terse" in small and "exhaustive" in massive
+    assert "depth 2" in small and "depth 5" in massive
+    # every analysis type renders
+    for at in AnalysisType:
+        p = PromptSelector().select(at, "the query")
+        assert "the query" in p and "file paths" in p
+
+
+def test_focus_mapping():
+    assert FOCUS_TO_ANALYSIS["architecture"] == AnalysisType.ARCHITECTURE
+    assert FOCUS_TO_ANALYSIS["impact"] == AnalysisType.DEPENDENCIES
+
+
+def test_registry_capability_matching():
+    reg = AgentRegistry()
+    reg.register("searcher", ["search"], lambda d: f"found: {d}")
+    reg.register("analyzer", ["search", "graph"], lambda d: f"analyzed: {d}")
+    spec = TaskSpec("t1", "task", required_capabilities=["graph"])
+    cands = reg.candidates(spec)
+    assert [a.name for a in cands] == ["analyzer"]
+
+
+def test_coordinator_first_success_and_retry():
+    reg = AgentRegistry()
+    calls = {"flaky": 0}
+
+    def flaky(desc):
+        calls["flaky"] += 1
+        if calls["flaky"] == 1:
+            raise RuntimeError("transient")
+        return "ok-flaky"
+
+    reg.register("flaky", ["search"], flaky)
+    coord = Coordinator(reg)
+    spec = TaskSpec("t1", "do it", required_capabilities=["search"],
+                    max_retries=1)
+    results = coord.execute(spec)
+    assert any(r.ok for r in results)
+    assert coord.aggregate(spec, results) == "ok-flaky"
+    assert reg.stats()["flaky"]["completed"] == 1
+    assert reg.stats()["flaky"]["failed"] == 1
+
+
+def test_coordinator_majority_aggregation():
+    reg = AgentRegistry()
+    reg.register("a1", ["vote"], lambda d: "yes")
+    reg.register("a2", ["vote"], lambda d: "yes")
+    reg.register("a3", ["vote"], lambda d: "no")
+    coord = Coordinator(reg)
+    spec = TaskSpec("t2", "vote", required_capabilities=["vote"],
+                    aggregation=AggregationPolicy.ALL)
+    results = coord.execute(spec)
+    assert len([r for r in results if r.ok]) == 3
+    spec_m = TaskSpec("t3", "vote", required_capabilities=["vote"],
+                      aggregation=AggregationPolicy.MAJORITY)
+    assert coord.aggregate(spec_m, results) == "yes"
+
+
+def test_coordinator_no_capable_agent():
+    coord = Coordinator(AgentRegistry())
+    results = coord.execute(TaskSpec("t", "x", ["missing"]))
+    assert not results[0].ok
+    assert "no capable agent" in results[0].error
+
+
+def test_coordinator_circuit_breaker_blocks():
+    reg = AgentRegistry()
+
+    def always_fail(d):
+        raise RuntimeError("down")
+
+    entry = reg.register("bad", ["x"], always_fail)
+    entry.breaker.failure_threshold = 2
+    coord = Coordinator(reg)
+    spec = TaskSpec("t", "x", ["x"], max_retries=2)
+    coord.execute(spec)
+    # breaker tripped after repeated failures -> excluded from candidates
+    assert not reg.candidates(spec)
