@@ -140,10 +140,15 @@ def cmd_check(args, cfg: CodeGraphConfig) -> int:
         from codegraph_tpu.graph.store import GraphStore
 
         try:
+            from codegraph_tpu.index.snapshot import MANIFEST, load_arrays
+
             store = GraphStore.load(str(data_dir))
             s = store.stats()
-            if s["chunks"] and not (data_dir / "index.npz").exists():
-                problems.append("store has chunks but no index.npz")
+            if s["chunks"]:
+                if not (data_dir / MANIFEST).exists():
+                    problems.append("store has chunks but no index snapshot")
+                else:
+                    load_arrays(str(data_dir))  # verifies digests
         except Exception as exc:
             problems.append(f"snapshot load failed: {exc}")
     print(json.dumps({"ok": not problems, "problems": problems}, indent=2))

@@ -302,46 +302,83 @@ class ProjectIndexer:
         return directory
 
     def _save_index(self, directory: str) -> None:
-        path = os.path.join(directory, "index.npz")
+        """Persist via the mmap snapshot format (index/snapshot.py)."""
+        from codegraph_tpu.index.snapshot import save_arrays
+
+        meta = {"n_rows": self.index.n_rows, "n_live": self.index.n_live,
+                "dim": getattr(self.index, "dim", 0)}
         if isinstance(self.index, FlatIndex):
             x, bias = self.index.arrays()
             if x is None:
                 return
-            np.savez(
-                path, kind="flat", x=np.asarray(x, np.float32),
-                bias=np.asarray(bias),
-                n_rows=self.index.n_rows, n_live=self.index.n_live,
-                dim=self.index.dim, metric=self.index.metric,
-            )
+            meta["kind"] = "flat"
+            save_arrays(directory, {
+                "x": np.asarray(x, np.float32), "bias": np.asarray(bias),
+            }, meta)
         elif isinstance(self.index, Int8FlatIndex):
             q, s, r, bias = self.index.arrays()
             if q is None:
                 return
-            np.savez(
-                path, kind="int8", q=np.asarray(q), s=np.asarray(s),
-                r=np.asarray(r, np.float32) if r is not None else np.zeros(0),
-                bias=np.asarray(bias), n_rows=self.index.n_rows,
-                n_live=self.index.n_live, dim=self.index.dim,
-            )
+            meta["kind"] = "int8"
+            arrays = {"q": np.asarray(q), "s": np.asarray(s),
+                      "bias": np.asarray(bias)}
+            if r is not None:
+                arrays["r"] = np.asarray(r, np.float32)
+            save_arrays(directory, arrays, meta)
+        elif isinstance(self.index, IVFIndex):
+            cents, x, ids, bias = self.index.arrays()
+            if x is None:
+                return
+            meta.update({
+                "kind": "ivf", "nlist": self.index.nlist,
+                "list_cap": self.index.list_cap,
+                "fill": self.index._fill.tolist(),
+            })
+            save_arrays(directory, {
+                "centroids": np.asarray(cents),
+                "x_lists": np.asarray(x, np.float32),
+                "id_lists": np.asarray(ids),
+                "bias_lists": np.asarray(bias),
+            }, meta)
 
     def load(self, directory: Optional[str] = None) -> None:
         directory = directory or str(self.config.resolved_data_dir())
+        from codegraph_tpu.index.snapshot import MANIFEST, load_arrays
+
         self.store = GraphStore.load(directory)
-        path = os.path.join(directory, "index.npz")
-        if os.path.exists(path):
-            data = np.load(path, allow_pickle=False)
-            kind = str(data["kind"])
+        if os.path.exists(os.path.join(directory, MANIFEST)):
+            arrays, meta = load_arrays(directory)
+            kind = meta.get("kind")
             if kind == "flat" and isinstance(self.index, FlatIndex):
                 self.index.load_arrays(
-                    data["x"], data["bias"], int(data["n_rows"]),
-                    int(data["n_live"]),
+                    arrays["x"], arrays["bias"], int(meta["n_rows"]),
+                    int(meta["n_live"]),
                 )
             elif kind == "int8" and isinstance(self.index, Int8FlatIndex):
-                r = data["r"] if data["r"].size else None
                 self.index.load_arrays(
-                    data["q"], data["s"], r, data["bias"],
-                    int(data["n_rows"]), int(data["n_live"]),
+                    arrays["q"], arrays["s"], arrays.get("r"),
+                    arrays["bias"], int(meta["n_rows"]), int(meta["n_live"]),
                 )
+            elif kind == "ivf" and isinstance(self.index, IVFIndex):
+                import jax.numpy as jnp
+
+                idx = self.index
+                idx._centroids = jnp.asarray(arrays["centroids"])
+                idx._x = jnp.asarray(arrays["x_lists"], idx.dtype)
+                idx._ids = jnp.asarray(arrays["id_lists"])
+                idx._bias = jnp.asarray(arrays["bias_lists"])
+                idx.list_cap = int(meta["list_cap"])
+                idx.n_rows = int(meta["n_rows"])
+                idx.n_live = int(meta["n_live"])
+                idx._fill = np.asarray(meta["fill"], np.int64)
+                # rebuild the row -> (cell, pos) map for future deletes
+                ids_np = np.asarray(arrays["id_lists"])
+                cells, pos = np.nonzero(ids_np >= 0)
+                idx._row_loc = {
+                    int(ids_np[c, p]): (int(c), int(p))
+                    for c, p in zip(cells, pos)
+                }
+                self._ivf_trained = True
         # rebuild BM25 from the store (derived state)
         self.bm25 = BM25Index()
         for node in self.store.nodes.values():
