@@ -26,9 +26,11 @@ from codegraph_tpu.ops.quantize import (
     quantize_rows,
     rescore_topk,
     streaming_topk_int8,
+    streaming_topk_int8_pallas,
 )
 
 DEFAULT_TILE_N = 2048
+_PALLAS_TILE_B = 32
 
 
 class Int8FlatIndex:
@@ -145,10 +147,23 @@ class Int8FlatIndex:
 
         cand_k = min(max(k, self.rescore_k), self.capacity)
         qv, qs = quantize_rows(q)
-        s, i = streaming_topk_int8(
-            qv, qs, self._q, self._s, self._bias, cand_k,
-            tile_n=min(self.tile_n, self.capacity),
-        )
+        if jax.default_backend() in ("tpu", "axon"):
+            # fused Pallas int8 kernel on real hardware
+            B = q.shape[0]
+            B_pad = -(-B // _PALLAS_TILE_B) * _PALLAS_TILE_B
+            if B_pad != B:
+                qv = jnp.pad(qv, ((0, B_pad - B), (0, 0)))
+                qs = jnp.pad(qs, ((0, B_pad - B),))
+            s, i = streaming_topk_int8_pallas(
+                qv, qs, self._q, self._s, self._bias, cand_k,
+                tile_n=min(self.tile_n, self.capacity), tile_b=_PALLAS_TILE_B,
+            )
+            s, i = s[:B], i[:B]
+        else:
+            s, i = streaming_topk_int8(
+                qv, qs, self._q, self._s, self._bias, cand_k,
+                tile_n=min(self.tile_n, self.capacity),
+            )
         if self._r is not None:
             k_eff = min(k, cand_k)
             s, i = rescore_topk(q, self._r, i, s, k_eff)

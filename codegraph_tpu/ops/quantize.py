@@ -106,6 +106,113 @@ def streaming_topk_int8(
     return top_s, top_i
 
 
+# ---------------------------------------------------------------------------
+# Pallas fused int8 kernel
+# ---------------------------------------------------------------------------
+
+
+def _int8_topk_kernel(
+    qv_ref, qs_ref, xv_ref, xs_ref, bias_ref, out_s_ref, out_i_ref,
+    acc_s, acc_i, *, k: int, k_pad: int, tile_n: int
+):
+    import jax.experimental.pallas as pl
+
+    from codegraph_tpu.ops.topk import NEG_INF, _extract_topk_rows
+
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
+        acc_i[:] = jnp.full_like(acc_i, -1)
+
+    raw = jax.lax.dot_general(
+        qv_ref[:], xv_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # int8 x int8 -> int32 on the MXU
+    s = raw.astype(jnp.float32) * qs_ref[:] * xs_ref[:] + bias_ref[:]
+
+    Bt = s.shape[0]
+    ids = j * tile_n + jax.lax.broadcasted_iota(jnp.int32, (Bt, tile_n), 1)
+    cand_s = jnp.concatenate([acc_s[:], s], axis=1)
+    cand_i = jnp.concatenate([acc_i[:], ids], axis=1)
+    new_s, new_i = _extract_topk_rows(cand_s, cand_i, k, k_pad)
+    acc_s[:] = new_s
+    acc_i[:] = new_i
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "tile_b", "interpret")
+)
+def streaming_topk_int8_pallas(
+    qv: jax.Array,
+    qs: jax.Array,
+    xv: jax.Array,
+    xs: jax.Array,
+    bias: jax.Array,
+    k: int,
+    tile_n: int = 2048,
+    tile_b: int = 32,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused int8 matmul + streaming top-k (the config-2 hot kernel).
+
+    Same contract as streaming_topk_int8; int8 corpus tiles halve the HBM
+    traffic of bf16 and quadruple f32, so the scan runs ~4x the rows/s of
+    the f32 flat kernel at equal bandwidth.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from codegraph_tpu.ops.topk import LANE, _round_up
+
+    B, D = qv.shape
+    N = xv.shape[0]
+    assert N % tile_n == 0 and B % tile_b == 0
+    k_pad = _round_up(max(k, 1), LANE)
+    grid = (B // tile_b, N // tile_n)
+    kernel = functools.partial(
+        _int8_topk_kernel, k=k, k_pad=k_pad, tile_n=tile_n
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, k_pad), jnp.float32),
+            pltpu.VMEM((tile_b, k_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=B * D + N * D + N * 8 + 2 * B * k_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qv, qs.reshape(B, 1), xv, xs.reshape(1, N), bias.reshape(1, N))
+    return out_s[:, :k], out_i[:, :k]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def rescore_topk(
     q: jax.Array,
