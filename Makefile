@@ -1,0 +1,26 @@
+# Developer entry points (reference: Makefile test/bench/ci targets).
+
+PY ?= python
+
+.PHONY: test test-fast bench native entry ci clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x -m "not slow"
+
+bench:
+	$(PY) bench.py
+
+native:
+	$(MAKE) -C native
+
+entry:
+	$(PY) __graft_entry__.py
+
+ci: native test entry
+
+clean:
+	$(MAKE) -C native clean
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -52,6 +52,7 @@ class HybridSearch:
         bm25: Optional[BM25Index] = None,
         config: Optional[SearchConfig] = None,
         max_deg: int = 32,
+        monitor=None,
     ):
         self.store = store
         self.index = index
@@ -61,6 +62,11 @@ class HybridSearch:
         self.max_deg = max_deg
         self.cache = SearchCache(self.config.cache_size, self.config.cache_ttl_s)
         self._adj = None  # (nbr, wgt) padded adjacency, built lazily
+        if monitor is None:
+            from codegraph_tpu.utils.perfmon import PerformanceMonitor
+
+            monitor = PerformanceMonitor()
+        self.monitor = monitor
 
     # -- index maintenance hooks ------------------------------------------
 
@@ -95,7 +101,8 @@ class HybridSearch:
             return cached
 
         prefetch = max(limit * self.config.prefetch_multiplier, limit)
-        scores, rows = self.index.search(embedding[None, :], prefetch)
+        with self.monitor.timer("vector_search_ms"):
+            scores, rows = self.index.search(embedding[None, :], prefetch)
         scores, rows = scores[0], rows[0]
 
         # chunk -> parent node, keep max vector score per node
