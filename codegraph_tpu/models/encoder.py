@@ -43,6 +43,7 @@ class EncoderConfig:
     mlp_ratio: int = 4
     max_len: int = 512
     pooling: str = "mean"        # mean | cls | max (local_provider.rs:43-50)
+    n_experts: int = 0           # >0 switches the MLP to a dense-dispatch MoE
     dtype: Any = jnp.bfloat16
     eps: float = 1e-6
 
@@ -75,52 +76,81 @@ def init_encoder_params(key: jax.Array, cfg: EncoderConfig) -> Params:
             jnp.float32
         )
 
+    layers: Dict[str, Any] = {
+        "ln1_scale": jnp.ones((L, H), jnp.float32),
+        "ln1_bias": jnp.zeros((L, H), jnp.float32),
+        "wqkv": dense(next(k), (L, H, 3 * H), H),
+        "wo": dense(next(k), (L, H, H), H),
+        "ln2_scale": jnp.ones((L, H), jnp.float32),
+        "ln2_bias": jnp.zeros((L, H), jnp.float32),
+    }
+    if cfg.n_experts > 0:
+        E = cfg.n_experts
+        layers.update({
+            "gate": dense(next(k), (L, H, E), H),
+            "w_up_e": dense(next(k), (L, E, H, F), H),
+            "b_up_e": jnp.zeros((L, E, F), jnp.float32),
+            "w_down_e": dense(next(k), (L, E, F, H), F),
+            "b_down_e": jnp.zeros((L, E, H), jnp.float32),
+        })
+    else:
+        layers.update({
+            "w_up": dense(next(k), (L, H, F), H),
+            "b_up": jnp.zeros((L, F), jnp.float32),
+            "w_down": dense(next(k), (L, F, H), F),
+            "b_down": jnp.zeros((L, H), jnp.float32),
+        })
     return {
         "tok_emb": dense(next(k), (cfg.vocab_size, H), H),
         "pos_emb": dense(next(k), (cfg.max_len, H), H),
         "ln_in_scale": jnp.ones((H,), jnp.float32),
         "ln_in_bias": jnp.zeros((H,), jnp.float32),
-        "layers": {
-            "ln1_scale": jnp.ones((L, H), jnp.float32),
-            "ln1_bias": jnp.zeros((L, H), jnp.float32),
-            "wqkv": dense(next(k), (L, H, 3 * H), H),
-            "wo": dense(next(k), (L, H, H), H),
-            "ln2_scale": jnp.ones((L, H), jnp.float32),
-            "ln2_bias": jnp.zeros((L, H), jnp.float32),
-            "w_up": dense(next(k), (L, H, F), H),
-            "b_up": jnp.zeros((L, F), jnp.float32),
-            "w_down": dense(next(k), (L, F, H), F),
-            "b_down": jnp.zeros((L, H), jnp.float32),
-        },
+        "layers": layers,
         "ln_out_scale": jnp.ones((H,), jnp.float32),
         "ln_out_bias": jnp.zeros((H,), jnp.float32),
     }
 
 
 def encoder_param_shardings(cfg: EncoderConfig) -> Params:
-    """PartitionSpecs for tensor parallelism over mesh axis "tp".
+    """PartitionSpecs for tensor (+ optional expert) parallelism.
 
-    Column-parallel wqkv/w_up (split output features = heads), row-parallel
-    wo/w_down (split input features); XLA places the psum after wo/w_down.
-    Embeddings and norms replicated.
+    tp: column-parallel wqkv/w_up (split output features = heads),
+    row-parallel wo/w_down (split input features); XLA places the psum
+    after wo/w_down. ep (MoE configs): the expert dimension of the
+    per-expert MLP weights shards over "ep" — each device computes its
+    expert slice for all tokens and XLA reduces the gate-weighted sum
+    over ep (dense-dispatch expert parallelism). Embeddings/norms
+    replicated.
     """
+    layers: Dict[str, Any] = {
+        "ln1_scale": P(None, None),
+        "ln1_bias": P(None, None),
+        "wqkv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),
+        "ln2_scale": P(None, None),
+        "ln2_bias": P(None, None),
+    }
+    if cfg.n_experts > 0:
+        layers.update({
+            "gate": P(None, None, None),
+            "w_up_e": P(None, "ep", None, "tp"),
+            "b_up_e": P(None, "ep", "tp"),
+            "w_down_e": P(None, "ep", "tp", None),
+            "b_down_e": P(None, "ep", None),
+        })
+    else:
+        layers.update({
+            "w_up": P(None, None, "tp"),
+            "b_up": P(None, "tp"),
+            "w_down": P(None, "tp", None),
+            "b_down": P(None, None),
+        })
     return {
         "tok_emb": P(None, None),
         "pos_emb": P(None, None),
         "ln_in_scale": P(None),
         "ln_in_bias": P(None),
-        "layers": {
-            "ln1_scale": P(None, None),
-            "ln1_bias": P(None, None),
-            "wqkv": P(None, None, "tp"),
-            "wo": P(None, "tp", None),
-            "ln2_scale": P(None, None),
-            "ln2_bias": P(None, None),
-            "w_up": P(None, None, "tp"),
-            "b_up": P(None, "tp"),
-            "w_down": P(None, "tp", None),
-            "b_down": P(None, None),
-        },
+        "layers": layers,
         "ln_out_scale": P(None),
         "ln_out_bias": P(None),
     }
@@ -165,32 +195,78 @@ def _mlp(x: jax.Array, w_up, b_up, w_down, b_down) -> jax.Array:
     return (out + b_down).astype(x.dtype)
 
 
+def _moe_mlp(x: jax.Array, gate, w_up_e, b_up_e, w_down_e, b_down_e) -> jax.Array:
+    """Dense-dispatch mixture of experts: every expert computes every
+    token and the gate-weighted sum reduces over the expert axis — on an
+    "ep"-sharded mesh, each device holds an expert slice and XLA inserts
+    the psum over ep (expert parallelism without an all-to-all)."""
+    probs = jax.nn.softmax(
+        jnp.einsum("blh,he->ble", x.astype(jnp.float32), gate), axis=-1
+    ).astype(x.dtype)  # [B, L, E]
+    h = jnp.einsum("blh,ehf->belf", x, w_up_e.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h + b_up_e[None, :, None, :]).astype(x.dtype)
+    y = jnp.einsum("belf,efh->belh", h, w_down_e.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    y = y + b_down_e[None, :, None, :]
+    out = jnp.einsum("ble,belh->blh", probs.astype(jnp.float32), y)
+    return out.astype(x.dtype)
+
+
 def encode(
     params: Params,
     token_ids: jax.Array,
     mask: jax.Array,
     cfg: EncoderConfig,
     normalize: bool = True,
+    mesh=None,
+    dp_axis: Optional[str] = None,
+    sp_axis: Optional[str] = None,
 ) -> jax.Array:
     """Forward pass: [B, L] int32 tokens + [B, L] bool mask -> [B, H] f32.
 
     Pooled per cfg.pooling (masked mean by default, as the reference's
     default Mean pooling, local_provider.rs:43-50), then L2-normalized.
+
+    sp_axis enables Megatron-style sequence parallelism: per-token work
+    (norms, MLP/MoE) runs with activations sharded over L on `sp_axis`;
+    sharding constraints around attention make XLA insert the
+    all-gather (full L for QK^T) and the re-scatter afterwards — both
+    ride ICI.
     """
     B, L = token_ids.shape
     dt = cfg.dtype
+
+    def cstr(v, spec):
+        if mesh is None:
+            return v
+        from jax.sharding import NamedSharding
+
+        return jax.lax.with_sharding_constraint(v, NamedSharding(mesh, spec))
+
+    seq_spec = P(dp_axis, sp_axis, None)   # token-parallel regions
+    full_spec = P(dp_axis, None, None)     # attention needs full L
+
     x = jnp.take(params["tok_emb"], token_ids, axis=0)
     x = (x + params["pos_emb"][:L][None, :, :]).astype(dt)
+    x = cstr(x, seq_spec)
     x = _layer_norm(x, params["ln_in_scale"], params["ln_in_bias"], cfg.eps)
 
     attn_bias = jnp.where(mask[:, None, None, :], 0.0, -1e30).astype(jnp.float32)
+    moe = cfg.n_experts > 0
 
     def layer(x, lp):
         h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], cfg.eps)
-        x = x + _attention(h, lp["wqkv"], lp["wo"], attn_bias, cfg)
+        h = cstr(h, full_spec)  # gather sequence for attention
+        x = cstr(x + _attention(h, lp["wqkv"], lp["wo"], attn_bias, cfg),
+                 seq_spec)      # scatter back to sequence-parallel
         h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.eps)
-        x = x + _mlp(h, lp["w_up"], lp["b_up"], lp["w_down"], lp["b_down"])
-        return x, None
+        if moe:
+            x = x + _moe_mlp(h, lp["gate"], lp["w_up_e"], lp["b_up_e"],
+                             lp["w_down_e"], lp["b_down_e"])
+        else:
+            x = x + _mlp(h, lp["w_up"], lp["b_up"], lp["w_down"], lp["b_down"])
+        return cstr(x, seq_spec), None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])
     x = _layer_norm(x, params["ln_out_scale"], params["ln_out_bias"], cfg.eps)

@@ -44,14 +44,16 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def info_nce_loss(
-    params, batch: Dict[str, jax.Array], cfg: EncoderConfig, temperature: float
+    params, batch: Dict[str, jax.Array], cfg: EncoderConfig, temperature: float,
+    mesh=None, dp_axis=None, sp_axis=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Symmetric InfoNCE over in-batch negatives.
 
     batch: anchor_ids/anchor_mask/positive_ids/positive_mask, all [B, L].
     """
-    za = encode(params, batch["anchor_ids"], batch["anchor_mask"], cfg)
-    zp = encode(params, batch["positive_ids"], batch["positive_mask"], cfg)
+    kw = dict(mesh=mesh, dp_axis=dp_axis, sp_axis=sp_axis)
+    za = encode(params, batch["anchor_ids"], batch["anchor_mask"], cfg, **kw)
+    zp = encode(params, batch["positive_ids"], batch["positive_mask"], cfg, **kw)
     logits = (za @ zp.T) / temperature  # [B, B]; XLA all-gathers under dp
     labels = jnp.arange(za.shape[0])
     loss_a = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
@@ -62,10 +64,13 @@ def info_nce_loss(
 
 
 def train_step(
-    params, opt_state, batch, cfg: EncoderConfig, tcfg: TrainConfig, optimizer
+    params, opt_state, batch, cfg: EncoderConfig, tcfg: TrainConfig, optimizer,
+    mesh=None, dp_axis=None, sp_axis=None,
 ):
     (loss, metrics), grads = jax.value_and_grad(
-        lambda p: info_nce_loss(p, batch, cfg, tcfg.temperature), has_aux=True
+        lambda p: info_nce_loss(p, batch, cfg, tcfg.temperature,
+                                mesh, dp_axis, sp_axis),
+        has_aux=True,
     )(params)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
@@ -78,15 +83,28 @@ def make_sharded_train_step(
     cfg: EncoderConfig,
     tcfg: TrainConfig,
     dp_axis: str = "dp",
+    sp_axis: Optional[str] = None,
 ):
-    """Compile the training step over a (dp, tp) mesh.
+    """Compile the training step over a (dp, tp[, sp|ep]) mesh.
 
     Returns (step_fn, init_fn): init_fn(key) places params/opt_state with
-    tp shardings; step_fn(params, opt_state, batch) runs one global step
-    with the batch split over `dp_axis`.
+    tp (and ep for MoE configs) shardings; step_fn(params, opt_state,
+    batch) runs one global step with the batch split over `dp_axis` and,
+    when sp_axis is given, activations sequence-sharded between
+    attention blocks.
     """
     optimizer = make_optimizer(tcfg)
     pspecs = encoder_param_shardings(cfg)
+    # drop mesh axes the caller's mesh doesn't have (e.g. dense model on
+    # an ep-less mesh)
+    axes = set(mesh.axis_names)
+
+    def _filter(spec):
+        return P(*[
+            (a if (a is None or a in axes) else None) for a in spec
+        ])
+
+    pspecs = jax.tree.map(_filter, pspecs, is_leaf=lambda x: isinstance(x, P))
     param_sh = jax.tree.map(
         lambda spec: NamedSharding(mesh, spec), pspecs,
         is_leaf=lambda x: isinstance(x, P),
@@ -100,7 +118,8 @@ def make_sharded_train_step(
         return params, opt_state
 
     step = jax.jit(
-        partial(train_step, cfg=cfg, tcfg=tcfg, optimizer=optimizer),
+        partial(train_step, cfg=cfg, tcfg=tcfg, optimizer=optimizer,
+                mesh=mesh, dp_axis=dp_axis, sp_axis=sp_axis),
         donate_argnums=(0, 1),
     )
 
