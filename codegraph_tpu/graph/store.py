@@ -216,11 +216,16 @@ class GraphStore:
         }
 
     # -- snapshots ---------------------------------------------------------
+    # Record files are gzip jsonl: code content compresses 3-5x (the
+    # reference gets the same from zstd content compression,
+    # CHANGELOG.md:111-112). Plain .jsonl from older snapshots still loads.
 
     def save(self, directory: str) -> None:
-        """Snapshot to a directory: records as jsonl, arrays as npz
+        """Snapshot to a directory: records as gzip jsonl + json meta
         (replaces the reference's DB persistence + PersistentVectorStore
         header/update-log format, persistent.rs:480-710)."""
+        import gzip
+
         os.makedirs(directory, exist_ok=True)
         meta = {
             "version": SNAPSHOT_VERSION,
@@ -231,20 +236,41 @@ class GraphStore:
         }
         with open(os.path.join(directory, "store_meta.json"), "w") as f:
             json.dump(meta, f)
-        with open(os.path.join(directory, "nodes.jsonl"), "w") as f:
-            for node in self.nodes.values():
-                rec = asdict(node)
-                rec["node_type"] = node.node_type.value
-                rec["language"] = node.language.value
-                f.write(json.dumps(rec) + "\n")
-        with open(os.path.join(directory, "edges.jsonl"), "w") as f:
-            for e in self.edges:
-                rec = asdict(e)
-                rec["edge_type"] = e.edge_type.value
-                f.write(json.dumps(rec) + "\n")
-        with open(os.path.join(directory, "chunks.jsonl"), "w") as f:
-            for c in self.chunks.values():
-                f.write(json.dumps(asdict(c)) + "\n")
+
+        def dump(name, records):
+            with gzip.open(
+                os.path.join(directory, name + ".jsonl.gz"), "wt"
+            ) as f:
+                for rec in records:
+                    f.write(json.dumps(rec) + "\n")
+            # remove any stale uncompressed copy
+            plain = os.path.join(directory, name + ".jsonl")
+            if os.path.exists(plain):
+                os.remove(plain)
+
+        def node_rec(node):
+            rec = asdict(node)
+            rec["node_type"] = node.node_type.value
+            rec["language"] = node.language.value
+            return rec
+
+        def edge_rec(e):
+            rec = asdict(e)
+            rec["edge_type"] = e.edge_type.value
+            return rec
+
+        dump("nodes", (node_rec(n) for n in self.nodes.values()))
+        dump("edges", (edge_rec(e) for e in self.edges))
+        dump("chunks", (asdict(c) for c in self.chunks.values()))
+
+    @staticmethod
+    def _open_records(directory: str, name: str):
+        import gzip
+
+        gz = os.path.join(directory, name + ".jsonl.gz")
+        if os.path.exists(gz):
+            return gzip.open(gz, "rt")
+        return open(os.path.join(directory, name + ".jsonl"))
 
     @classmethod
     def load(cls, directory: str) -> "GraphStore":
@@ -260,7 +286,7 @@ class GraphStore:
         store.row_chunks = meta["row_chunks"]
         store.file_metadata = meta["file_metadata"]
         store.file_nodes = meta["file_nodes"]
-        with open(os.path.join(directory, "nodes.jsonl")) as f:
+        with cls._open_records(directory, "nodes") as f:
             for line in f:
                 rec = json.loads(line)
                 rec["node_type"] = NodeType(rec["node_type"])
@@ -271,12 +297,12 @@ class GraphStore:
         store.node_rows = {
             nid: row for row, nid in enumerate(store.row_nodes) if nid
         }
-        with open(os.path.join(directory, "edges.jsonl")) as f:
+        with cls._open_records(directory, "edges") as f:
             for line in f:
                 rec = json.loads(line)
                 rec["edge_type"] = EdgeType(rec["edge_type"])
                 store.edges.append(CodeEdge(**rec))
-        with open(os.path.join(directory, "chunks.jsonl")) as f:
+        with cls._open_records(directory, "chunks") as f:
             for line in f:
                 chunk = CodeChunk(**json.loads(line))
                 store.chunks[chunk.id] = chunk
