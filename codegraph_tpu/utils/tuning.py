@@ -1,0 +1,105 @@
+"""Auto-tuning coordinator: pick index layout + kernel knobs from the
+corpus profile.
+
+Reference: crates/codegraph-core/src/optimization_coordinator.rs:11-589
+(memory/CPU/IO "clusters" of tuning knobs). TPU re-design: the knobs
+that matter are index kind (flat vs IVF), storage dtype (f32/bf16/int8),
+tile sizes, and IVF nlist/nprobe — all derivable from corpus size,
+dimension, and the device HBM budget.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+
+@dataclasses.dataclass
+class IndexPlan:
+    kind: str           # flat | ivf
+    dtype: str          # float32 | bfloat16 | int8
+    tile_n: int
+    nlist: int = 0
+    nprobe: int = 0
+    rescore_k: int = 0
+    reason: str = ""
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+
+# conservative HBM budget per chip for the embedding matrix (bytes);
+# v5e has 16GB, leave headroom for activations/duplicates
+DEFAULT_HBM_BUDGET = 8 << 30
+
+_DTYPE_BYTES = {"float32": 4, "bfloat16": 2, "int8": 1}
+
+
+def plan_index(
+    n_vectors: int,
+    dim: int,
+    hbm_budget_bytes: int = DEFAULT_HBM_BUDGET,
+    target_recall: float = 0.95,
+) -> IndexPlan:
+    """Choose the index configuration for a corpus.
+
+    Policy:
+    * small corpora (< 200k rows): exact flat f32 — scan cost is trivial
+      and recall is perfect.
+    * medium: flat bf16 (half the HBM traffic, ~1e-3 score noise).
+    * matrix won't fit in budget at bf16: int8 + f32-rescore (config 2).
+    * >= 2M rows: IVF (config 3) — nlist ~ 4*sqrt(N) rounded to a power
+      of two, nprobe scaled by target recall.
+    """
+    f32_bytes = n_vectors * dim * 4
+    bf16_bytes = n_vectors * dim * 2
+
+    if n_vectors < 200_000 and f32_bytes <= hbm_budget_bytes:
+        return IndexPlan(
+            kind="flat", dtype="float32", tile_n=_tile_n(n_vectors),
+            reason="small corpus: exact f32 scan",
+        )
+    if n_vectors < 2_000_000 and bf16_bytes <= hbm_budget_bytes:
+        return IndexPlan(
+            kind="flat", dtype="bfloat16", tile_n=_tile_n(n_vectors),
+            reason="medium corpus: bf16 halves HBM traffic",
+        )
+    if n_vectors < 2_000_000:
+        return IndexPlan(
+            kind="flat", dtype="int8", tile_n=_tile_n(n_vectors),
+            rescore_k=100,
+            reason="bf16 over HBM budget: int8 scan + f32 rescore",
+        )
+    nlist = 1 << max(8, min(16, round(math.log2(4 * math.sqrt(n_vectors)))))
+    # nprobe fraction rises with target recall; 1.5% at 0.95 is a sane
+    # starting point for clustered data, sweep refines it
+    frac = 0.01 + 0.08 * max(0.0, target_recall - 0.9)
+    nprobe = max(8, min(nlist, int(nlist * frac)))
+    return IndexPlan(
+        kind="ivf", dtype="bfloat16", tile_n=_tile_n(n_vectors),
+        nlist=nlist, nprobe=nprobe, rescore_k=100,
+        reason=f"large corpus: IVF nlist={nlist} nprobe={nprobe}",
+    )
+
+
+def _tile_n(n_vectors: int) -> int:
+    if n_vectors < 100_000:
+        return 1024
+    if n_vectors < 5_000_000:
+        return 2048
+    return 4096
+
+
+def apply_plan(config, plan: IndexPlan) -> None:
+    """Write a plan into a CodeGraphConfig's index section."""
+    config.index.kind = plan.kind
+    config.index.dtype = plan.dtype
+    if plan.nlist:
+        config.index.nlist = plan.nlist
+        config.index.nprobe = plan.nprobe
+    if plan.rescore_k:
+        config.index.rescore_k = plan.rescore_k
+
+
+__all__ = ["IndexPlan", "plan_index", "apply_plan", "DEFAULT_HBM_BUDGET"]

@@ -1,0 +1,36 @@
+import pytest
+
+from codegraph_tpu.core.config import CodeGraphConfig
+from codegraph_tpu.utils.tuning import apply_plan, plan_index
+
+
+def test_small_corpus_exact_f32():
+    plan = plan_index(50_000, 384)
+    assert plan.kind == "flat" and plan.dtype == "float32"
+
+
+def test_medium_corpus_bf16():
+    plan = plan_index(1_000_000, 768)
+    assert plan.kind == "flat" and plan.dtype == "bfloat16"
+
+
+def test_memory_pressure_int8():
+    plan = plan_index(1_500_000, 768, hbm_budget_bytes=2 << 30)
+    assert plan.dtype == "int8" and plan.rescore_k == 100
+
+
+def test_large_corpus_ivf():
+    plan = plan_index(10_000_000, 768)
+    assert plan.kind == "ivf"
+    assert plan.nlist & (plan.nlist - 1) == 0  # power of two
+    assert 8 <= plan.nprobe <= plan.nlist
+    # higher target recall -> more probes
+    plan_hi = plan_index(10_000_000, 768, target_recall=0.99)
+    assert plan_hi.nprobe >= plan.nprobe
+
+
+def test_apply_plan():
+    cfg = CodeGraphConfig()
+    plan = plan_index(10_000_000, 768)
+    apply_plan(cfg, plan)
+    assert cfg.index.kind == "ivf" and cfg.index.nlist == plan.nlist
