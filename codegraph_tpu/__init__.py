@@ -25,4 +25,15 @@ Layer map (mirrors reference SURVEY.md section 1, re-architected for TPU):
 
 from codegraph_tpu.version import __version__
 
-__all__ = ["__version__"]
+
+def __getattr__(name):
+    # lazy: `from codegraph_tpu import CodeGraph` without importing jax
+    # at package-import time
+    if name == "CodeGraph":
+        from codegraph_tpu.api import CodeGraph
+
+        return CodeGraph
+    raise AttributeError(name)
+
+
+__all__ = ["__version__", "CodeGraph"]
