@@ -188,6 +188,35 @@ class HybridSearch:
             boost = boost / boost.max()  # normalize to [0, 1]
         return {nid: float(b) for nid, b in zip(cand_ids, boost)}
 
+    def search_chunks(
+        self, query: str, limit: int = 10
+    ) -> List[Dict[str, Any]]:
+        """Chunk-level results (reference:
+        fn::semantic_search_chunks_with_context, surql:538): the raw
+        retrieval units with their parent-node context attached."""
+        q = self.provider.embed_texts([query])[0]
+        scores, rows = self.index.search(q[None, :], limit)
+        out: List[Dict[str, Any]] = []
+        for score, row in zip(scores[0], rows[0]):
+            if row < 0:
+                continue
+            chunk = self.store.chunk_by_row(int(row))
+            if chunk is None:
+                continue
+            node = self.store.nodes.get(chunk.parent_node)
+            out.append({
+                "chunk_id": chunk.id,
+                "score": round(float(score), 6),
+                "text": chunk.text[:SNIPPET_CHARS],
+                "chunk_index": chunk.chunk_index,
+                "n_chunks": chunk.n_chunks,
+                "parent_node": chunk.parent_node,
+                "parent_name": node.name if node else "",
+                "file_path": node.location.file_path if node else "",
+                "start_line": node.location.start_line if node else 0,
+            })
+        return out
+
     # -- multi-vector combine (search.rs:31-35) ----------------------------
 
     def search_multi(

@@ -147,3 +147,12 @@ def test_empty_index_search():
     store = GraphStore()
     hs = HybridSearch(store, FlatIndex(DIM, backend="xla"), HashProvider(DIM))
     assert hs.search_text("anything") == []
+
+
+def test_search_chunks_parity():
+    store, index, provider, bm25 = build_corpus()
+    hs = HybridSearch(store, index, provider, bm25)
+    chunks = hs.search_chunks("parse the source file", limit=3)
+    assert chunks
+    assert chunks[0]["parent_name"] == "parse_source_file"
+    assert chunks[0]["chunk_id"] and chunks[0]["text"]
