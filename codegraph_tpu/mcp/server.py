@@ -169,9 +169,23 @@ class MCPServer:
             traces=traces, turns=len(traces), agent="pipeline",
         ).structured()
 
+    # -- progress notifications (3-stage, progress_notifier.rs) -----------
+
+    def _notify_progress(self, notify, token, progress: int, message: str):
+        if notify is None or token is None:
+            return
+        notify({
+            "jsonrpc": "2.0",
+            "method": "notifications/progress",
+            "params": {"progressToken": token, "progress": progress,
+                       "total": 100, "message": message},
+        })
+
     # -- JSON-RPC ----------------------------------------------------------
 
-    def handle_message(self, msg: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    def handle_message(
+        self, msg: Dict[str, Any], notify=None
+    ) -> Optional[Dict[str, Any]]:
         mid = msg.get("id")
         method = msg.get("method", "")
         params = msg.get("params") or {}
@@ -200,7 +214,14 @@ class MCPServer:
             if method == "tools/call":
                 name = params.get("name", "")
                 args = params.get("arguments") or {}
+                token = (params.get("_meta") or {}).get("progressToken")
+                self._notify_progress(notify, token, 10, f"starting {name}")
+                if name in AGENTIC_TOOLS:
+                    self._notify_progress(
+                        notify, token, 40, "gathering graph evidence"
+                    )
                 result = self.call_tool(name, args)
+                self._notify_progress(notify, token, 100, "done")
                 return ok({
                     "content": [{
                         "type": "text",
@@ -220,6 +241,11 @@ class MCPServer:
     def serve_stdio(self, stdin=None, stdout=None) -> None:
         stdin = stdin or sys.stdin
         stdout = stdout or sys.stdout
+
+        def notify(notification):
+            stdout.write(json.dumps(notification) + "\n")
+            stdout.flush()
+
         for line in stdin:
             line = line.strip()
             if not line:
@@ -228,7 +254,7 @@ class MCPServer:
                 msg = json.loads(line)
             except ValueError:
                 continue
-            reply = self.handle_message(msg)
+            reply = self.handle_message(msg, notify=notify)
             if reply is not None:
                 stdout.write(json.dumps(reply) + "\n")
                 stdout.flush()

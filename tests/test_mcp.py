@@ -257,3 +257,18 @@ def test_create_llm_factory():
     cfg.llm.provider = "anthropic"
     llm = create_llm(cfg)
     assert llm.name == "anthropic"
+
+
+def test_progress_notifications(indexed):
+    indexer, cfg = indexed
+    server = MCPServer(make_executor(indexer), cfg)
+    notes = []
+    reply = server.handle_message({
+        "jsonrpc": "2.0", "id": 9, "method": "tools/call",
+        "params": {"name": "agentic_quality",
+                   "arguments": {"query": "complexity"},
+                   "_meta": {"progressToken": "tok1"}},
+    }, notify=notes.append)
+    assert reply["id"] == 9
+    assert [n["params"]["progress"] for n in notes] == [10, 40, 100]
+    assert all(n["params"]["progressToken"] == "tok1" for n in notes)
