@@ -272,3 +272,22 @@ def test_progress_notifications(indexed):
     assert reply["id"] == 9
     assert [n["params"]["progress"] for n in notes] == [10, 40, 100]
     assert all(n["params"]["progressToken"] == "tok1" for n in notes)
+
+
+def test_agent_executor_history(indexed):
+    from codegraph_tpu.mcp.executor import AgentExecutor
+
+    indexer, _ = indexed
+    ex = make_executor(indexer)
+    llm = ScriptedLLM(["first answer about add_numbers", "second answer"])
+    exec_ = AgentExecutor(llm, ex, architecture="react")
+    r1 = exec_.execute("what does add_numbers do?")
+    assert r1.answer.startswith("first")
+    r2 = exec_.execute("and who calls it?")
+    # second turn's prompt includes the prior Q/A transcript
+    assert "Prior conversation" in llm.prompts[-1]
+    assert "add_numbers" in llm.prompts[-1]
+    s = exec_.stats()
+    assert s["turns"] == 2
+    exec_.reset()
+    assert exec_.stats()["turns"] == 0
