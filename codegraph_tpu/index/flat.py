@@ -32,7 +32,8 @@ from codegraph_tpu.ops.topk import (
 
 def _default_backend() -> str:
     try:
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        # "axon" = TPU via the remote-attach plugin
+        return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     except Exception:  # pragma: no cover
         return "xla"
 
@@ -153,7 +154,7 @@ class FlatIndex:
                 k_eff,
                 tile_n=min(self.tile_n, self.capacity),
                 tile_b=tile_b,
-                interpret=jax.default_backend() != "tpu",
+                interpret=jax.default_backend() not in ("tpu", "axon"),
             )
             s, i = s[:B], i[:B]
         elif be == "xla":
