@@ -2,19 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Config (BASELINE north star): 1M x 768-d corpus, batch=64 queries, k=10,
-bf16 storage, fused Pallas streaming matmul+top-k. Baseline for
-vs_baseline is the reference's published vector-query latency of 2-5 ms
-per query on its dev machine (README.md:425, CHANGELOG.md:840) ->
-midpoint 3.5 ms ~= 285.7 QPS. The reference's HNSW is approximate; this
-scan is EXACT brute-force at 1M rows.
+Config (BASELINE north star): 1M x 768-d corpus, bf16, k=10, EXACT
+brute-force via the query-major fused Pallas kernel
+(ops/topk.py streaming_topk_pallas_qmajor): the corpus streams from HBM
+once per call regardless of batch size, so a 1024-query batch amortizes
+both the scan and the dev-tunnel transport (~30 ms per synchronous
+dispatch; block_until_ready returns early on this transport, so every
+timing below synchronizes with a host fetch).
 
-Measurement notes: the dev-tunnel transport adds ~30 ms per synchronous
-dispatch and can result-cache identical dispatches, so the harness runs
-ITERS distinct query batches inside ONE jit (lax.scan) and syncs once —
-the per-batch time is the on-chip rate, with transport amortized to
-~1 ms. On non-TPU backends (dev runs) shapes shrink and the XLA
-streaming path is used.
+Baseline for vs_baseline: the reference's published vector-query latency
+of 2-5 ms/query (README.md:425, CHANGELOG.md:840) -> midpoint 3.5 ms
+~= 285.7 QPS — and that is an approximate HNSW; this scan is exact.
 """
 
 from __future__ import annotations
@@ -30,15 +28,18 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from codegraph_tpu.ops.topk import streaming_topk, streaming_topk_pallas
+    from codegraph_tpu.ops.topk import (
+        streaming_topk,
+        streaming_topk_pallas_qmajor,
+    )
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu:
-        N, D, B, K, tile_n, tile_b, dtype = 1_000_000, 768, 64, 10, 2048, 64, jnp.bfloat16
-        iters = 32
+        N, D, B, K, tile_n, tile_b = 1_000_000, 768, 1024, 10, 2048, 64
+        dtype, iters = jnp.bfloat16, 4
     else:
-        N, D, B, K, tile_n, tile_b, dtype = 100_000, 384, 64, 10, 2048, 8, jnp.float32
-        iters = 4
+        N, D, B, K, tile_n, tile_b = 100_000, 384, 256, 10, 2048, 8
+        dtype, iters = jnp.float32, 2
     N = (N // tile_n) * tile_n
 
     key = jax.random.PRNGKey(0)
@@ -46,57 +47,30 @@ def main() -> None:
     x = jax.random.normal(kx, (N, D), jnp.float32)
     x = x * jax.lax.rsqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), 1e-12))
     x = x.astype(dtype)
-    qs = jax.random.normal(kq, (iters, B, D), jnp.float32)
+    # distinct query batches per iteration (identical dispatches can be
+    # result-cached by the transport)
+    qs = jax.random.normal(kq, (iters + 1, B, D), jnp.float32)
     qs = qs * jax.lax.rsqrt(jnp.maximum(jnp.sum(qs * qs, -1, keepdims=True), 1e-12))
     qs = qs.astype(dtype)
     bias = jnp.zeros((N,), jnp.float32)
 
     if on_tpu:
         def one(q):
-            return streaming_topk_pallas(q, x, bias, K, tile_n=tile_n, tile_b=tile_b)
+            return streaming_topk_pallas_qmajor(
+                q, x, bias, K, tile_n=tile_n, tile_b=tile_b
+            )
     else:
         def one(q):
-            return streaming_topk(q.astype(jnp.float32), x, bias, K, tile_n=tile_n)
+            return streaming_topk(q.astype(jnp.float32), x, bias, K,
+                                  tile_n=tile_n)
 
-    # Primary measurement: per-call with a host fetch after every call
-    # (the only synchronization the dev tunnel honors). Includes ~30 ms
-    # transport per call, so this UNDER-reports the on-chip rate.
-    np.asarray(one(qs[0])[0])  # compile
+    np.asarray(one(qs[iters])[0])  # compile + warm
     t0 = time.perf_counter()
     for it in range(iters):
-        np.asarray(one(qs[it])[0])
+        np.asarray(one(qs[it])[0])  # host fetch = true synchronization
     dt = time.perf_counter() - t0
+
     qps = B * iters / dt
-
-    # Opportunistic upgrade: amortize transport by scanning all batches
-    # inside one jit. Guarded by an alarm — if the remote compile of the
-    # scanned program stalls, keep the per-call number.
-    if on_tpu:
-        import signal
-
-        def _timeout(signum, frame):
-            raise TimeoutError
-
-        old = signal.signal(signal.SIGALRM, _timeout)
-        signal.alarm(600)
-        try:
-            @jax.jit
-            def run_all(qs):
-                def step(_, q):
-                    return None, one(q)
-                _, out = jax.lax.scan(step, None, qs)
-                return out
-
-            np.asarray(run_all(qs)[0])  # compile + full sync
-            t0 = time.perf_counter()
-            np.asarray(run_all(qs)[0])
-            dt_scan = time.perf_counter() - t0
-            qps = max(qps, B * iters / dt_scan)
-        except Exception:
-            pass
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
     print(json.dumps({
         "metric": f"flat_exact_cosine_top{K}_qps_{N}x{D}_{jnp.dtype(dtype).name}",
         "value": round(qps, 2),

@@ -248,10 +248,114 @@ def streaming_topk_pallas(
     return out_s[:, :k], out_i[:, :k]
 
 
+# ---------------------------------------------------------------------------
+# Query-major Pallas kernel: corpus read ONCE for the whole query batch
+# ---------------------------------------------------------------------------
+
+
+def _flat_topk_qmajor_kernel(
+    q_ref, x_ref, bias_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k: int,
+    k_pad: int, tile_n: int, tile_b: int
+):
+    """Grid (n_tiles, b_tiles): the corpus tile is the OUTER loop, so each
+    [tile_n, D] block streams from HBM exactly once and serves every
+    query tile — total HBM traffic is one corpus read per call regardless
+    of B. The accumulator holds top-k for ALL query rows in VMEM."""
+    i = pl.program_id(0)          # N tile (outer)
+    j = pl.program_id(1)          # B tile (inner)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_s[pl.ds(j * tile_b, tile_b), :] = jnp.full(
+            (tile_b, k_pad), NEG_INF, jnp.float32
+        )
+        acc_i[pl.ds(j * tile_b, tile_b), :] = jnp.full(
+            (tile_b, k_pad), -1, jnp.int32
+        )
+
+    s = jax.lax.dot_general(
+        q_ref[:], x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[:]
+
+    ids = i * tile_n + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_b, tile_n), 1
+    )
+    row = pl.ds(j * tile_b, tile_b)
+    cand_s = jnp.concatenate([acc_s[row, :], s], axis=1)
+    cand_i = jnp.concatenate([acc_i[row, :], ids], axis=1)
+    new_s, new_i = _extract_topk_rows(cand_s, cand_i, k, k_pad)
+    acc_s[row, :] = new_s
+    acc_i[row, :] = new_i
+
+    @pl.when(i == n_i - 1)
+    def _():
+        out_s_ref[:] = acc_s[row, :]
+        out_i_ref[:] = acc_i[row, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "tile_b", "interpret")
+)
+def streaming_topk_pallas_qmajor(
+    q: jax.Array,
+    x: jax.Array,
+    bias: jax.Array,
+    k: int,
+    tile_n: int = DEFAULT_TILE_N,
+    tile_b: int = 64,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Corpus-outer variant of streaming_topk_pallas for LARGE query
+    batches: HBM reads the corpus once per call instead of once per
+    query tile. Accumulator VMEM = B * k_pad * 8 bytes, so B up to a few
+    thousand fits comfortably."""
+    B, D = q.shape
+    N = x.shape[0]
+    assert N % tile_n == 0 and B % tile_b == 0
+    k_pad = _round_up(max(k, 1), LANE)
+    grid = (N // tile_n, B // tile_b)
+    kernel = functools.partial(
+        _flat_topk_qmajor_kernel, k=k, k_pad=k_pad, tile_n=tile_n,
+        tile_b=tile_b,
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, k_pad), jnp.float32),
+            pltpu.VMEM((B, k_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=B * D * 4 + N * D * 4 + N * 4 + 2 * B * k_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, x, bias.reshape(1, N))
+    return out_s[:, :k], out_i[:, :k]
+
+
 __all__ = [
     "NEG_INF",
     "exact_topk",
     "merge_topk",
     "streaming_topk",
     "streaming_topk_pallas",
+    "streaming_topk_pallas_qmajor",
 ]

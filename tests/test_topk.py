@@ -101,3 +101,22 @@ def test_pallas_topk_bias_and_multitile(rng):
     picked_true = np.take_along_axis(sr, i, axis=1)
     kth_true = ref_s[:, -1:]
     assert (picked_true >= kth_true - 0.06).all()
+
+
+def test_qmajor_pallas_matches_exact(rng):
+    import jax.numpy as jnp
+
+    from codegraph_tpu.ops.topk import exact_topk, streaming_topk_pallas_qmajor
+
+    N, D, B, k = 768, 64, 64, 7
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    bias = np.zeros((N,), np.float32)
+    bias[:100] = -1e30  # tombstones respected
+    se, ie = exact_topk(jnp.asarray(q), jnp.asarray(x), k, jnp.asarray(bias))
+    sp, ip = streaming_topk_pallas_qmajor(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(bias), k,
+        tile_n=256, tile_b=16, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ie), np.asarray(ip))
+    np.testing.assert_allclose(np.asarray(se), np.asarray(sp), atol=1e-4)
