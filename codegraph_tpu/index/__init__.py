@@ -1,5 +1,14 @@
 from codegraph_tpu.index.flat import FlatIndex
 from codegraph_tpu.index.int8_flat import Int8FlatIndex
 from codegraph_tpu.index.ivf import IVFIndex
+from codegraph_tpu.index.segments import SegmentedIndex
+from codegraph_tpu.index.snapshot import load_arrays, save_arrays
 
-__all__ = ["FlatIndex", "Int8FlatIndex", "IVFIndex"]
+__all__ = [
+    "FlatIndex",
+    "Int8FlatIndex",
+    "IVFIndex",
+    "SegmentedIndex",
+    "save_arrays",
+    "load_arrays",
+]

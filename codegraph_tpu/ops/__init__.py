@@ -5,7 +5,17 @@ from codegraph_tpu.ops.topk import (
     merge_topk,
     streaming_topk,
     streaming_topk_pallas,
+    streaming_topk_pallas_qmajor,
 )
+from codegraph_tpu.ops.quantize import (
+    quantize_rows,
+    dequantize_rows,
+    streaming_topk_int8,
+    streaming_topk_int8_pallas,
+    rescore_topk,
+)
+from codegraph_tpu.ops.kmeans import kmeans, assign_clusters
+from codegraph_tpu.ops.pq import pq_train, pq_encode, pq_decode, pq_adc_topk
 
 __all__ = [
     "NEG_INF",
@@ -15,4 +25,16 @@ __all__ = [
     "merge_topk",
     "streaming_topk",
     "streaming_topk_pallas",
+    "streaming_topk_pallas_qmajor",
+    "quantize_rows",
+    "dequantize_rows",
+    "streaming_topk_int8",
+    "streaming_topk_int8_pallas",
+    "rescore_topk",
+    "kmeans",
+    "assign_clusters",
+    "pq_train",
+    "pq_encode",
+    "pq_decode",
+    "pq_adc_topk",
 ]
