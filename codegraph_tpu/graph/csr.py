@@ -167,19 +167,8 @@ def _jax():
     return jax, jnp
 
 
-def adjacency_boost(
-    cand_ids: np.ndarray,  # [B, K] int32 candidate node rows (-1 pad)
-    nbr: "np.ndarray",     # [n, max_deg] int32 padded adjacency (-1 pad)
-    wgt: "np.ndarray",     # [n, max_deg] f32
-):
-    """Device kernel: per-candidate graph-context boost.
-
-    boost[b, c] = sum of edge weights from candidate c to any *other*
-    candidate of query b — vector hits that form a connected neighborhood
-    in the code graph rank above isolated hits, the TPU-resident analogue
-    of the reference's edge-context enrichment (surql:481-536).
-    Shapes are static; work is a [B, K, max_deg] gather + a K x K compare.
-    """
+@functools.lru_cache(maxsize=1)
+def _boost_kernel():
     jax, jnp = _jax()
 
     @jax.jit
@@ -196,7 +185,26 @@ def adjacency_boost(
         boost = jnp.sum(jnp.where(hit, cw, 0.0), axis=-1)  # [B, K]
         return jnp.where(cand >= 0, boost, 0.0)
 
-    return _kernel(jnp.asarray(cand_ids), jnp.asarray(nbr), jnp.asarray(wgt))
+    return _kernel
+
+
+def adjacency_boost(
+    cand_ids: np.ndarray,  # [B, K] int32 candidate node rows (-1 pad)
+    nbr: "np.ndarray",     # [n, max_deg] int32 padded adjacency (-1 pad)
+    wgt: "np.ndarray",     # [n, max_deg] f32
+):
+    """Device kernel: per-candidate graph-context boost.
+
+    boost[b, c] = sum of edge weights from candidate c to any *other*
+    candidate of query b — vector hits that form a connected neighborhood
+    in the code graph rank above isolated hits, the TPU-resident analogue
+    of the reference's edge-context enrichment (surql:481-536).
+    Shapes are static; work is a [B, K, max_deg] gather + a K x K compare.
+    The jitted kernel is module-cached — per-call jit closures would
+    recompile on every query.
+    """
+    _, jnp = _jax()
+    return _boost_kernel()(jnp.asarray(cand_ids), jnp.asarray(nbr), jnp.asarray(wgt))
 
 
 __all__ = [

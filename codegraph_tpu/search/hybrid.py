@@ -183,7 +183,14 @@ class HybridSearch:
         nbr, wgt = self._adjacency()
         if nbr.shape[0] == 0:
             return {}
-        boost = np.asarray(adjacency_boost(rows[None, :], nbr, wgt))[0]
+        # pad the candidate axis to a bucket so the jitted boost kernel
+        # compiles once per bucket, not once per distinct candidate count
+        bucket = max(16, 1 << (int(rows.size - 1).bit_length()))
+        padded = np.full((bucket,), -1, np.int32)
+        padded[: rows.size] = rows
+        boost = np.asarray(
+            adjacency_boost(padded[None, :], nbr, wgt)
+        )[0][: rows.size]
         if boost.max() > 0:
             boost = boost / boost.max()  # normalize to [0, 1]
         return {nid: float(b) for nid, b in zip(cand_ids, boost)}
