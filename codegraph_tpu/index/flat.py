@@ -27,6 +27,7 @@ from codegraph_tpu.ops.topk import (
     exact_topk,
     streaming_topk,
     streaming_topk_pallas,
+    streaming_topk_pallas_qmajor,
 )
 
 
@@ -140,12 +141,17 @@ class FlatIndex:
         be = backend or self.backend
         k_eff = min(k, self.capacity)
         if be == "pallas":
-            tile_b = 8
             B = q.shape[0]
+            # large batches -> query-major kernel (corpus read once/call)
+            qmajor = B >= 32
+            tile_b = 64 if qmajor else 8
             B_pad = -(-B // tile_b) * tile_b
             if B_pad != B:
                 q = jnp.pad(q, ((0, B_pad - B), (0, 0)))
-            s, i = streaming_topk_pallas(
+            kernel = (
+                streaming_topk_pallas_qmajor if qmajor else streaming_topk_pallas
+            )
+            s, i = kernel(
                 q.astype(self.dtype).astype(jnp.float32)
                 if self.dtype == jnp.float32
                 else q.astype(self.dtype),

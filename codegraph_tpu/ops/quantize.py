@@ -117,7 +117,7 @@ def _int8_topk_kernel(
 ):
     import jax.experimental.pallas as pl
 
-    from codegraph_tpu.ops.topk import NEG_INF, _extract_topk_rows
+    from codegraph_tpu.ops.topk import NEG_INF, _threshold_merge
 
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
@@ -134,11 +134,9 @@ def _int8_topk_kernel(
     )  # int8 x int8 -> int32 on the MXU
     s = raw.astype(jnp.float32) * qs_ref[:] * xs_ref[:] + bias_ref[:]
 
-    Bt = s.shape[0]
-    ids = j * tile_n + jax.lax.broadcasted_iota(jnp.int32, (Bt, tile_n), 1)
-    cand_s = jnp.concatenate([acc_s[:], s], axis=1)
-    cand_i = jnp.concatenate([acc_i[:], ids], axis=1)
-    new_s, new_i = _extract_topk_rows(cand_s, cand_i, k, k_pad)
+    new_s, new_i = _threshold_merge(
+        s, j * tile_n, acc_s[:], acc_i[:], k, k_pad
+    )
     acc_s[:] = new_s
     acc_i[:] = new_i
 

@@ -153,6 +153,45 @@ def _extract_topk_rows(
     return outs, outi
 
 
+def _threshold_merge(s, base, accs, acci, k: int, k_pad: int):
+    """Merge a score tile into the sorted (descending) top-k accumulator
+    with threshold-gated insertion: extract candidates only while some
+    row still beats its k-th best; each winner inserts via a roll-shift.
+    O(improvements) instead of O(k) passes per tile — a row improves its
+    top-k only ~k*ln(N/k) times over a whole random scan."""
+    Bt, tile_n = s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, tile_n), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, k_pad), 1)
+
+    def cond(state):
+        s_cur, accs, _ = state
+        return jnp.any(jnp.max(s_cur, axis=1) > accs[:, k - 1])
+
+    def body(state):
+        s_cur, accs, acci = state
+        m = jnp.max(s_cur, axis=1)
+        am = jnp.argmax(s_cur, axis=1)
+        do = m > accs[:, k - 1]
+        s_cur = jnp.where(col == am[:, None], NEG_INF, s_cur)
+        ins_s = jnp.where(do, m, NEG_INF)
+        ins_i = jnp.where(do, base + am.astype(jnp.int32), -1)
+        pos = jnp.sum(
+            (accs > ins_s[:, None]).astype(jnp.int32)[:, :k], axis=1
+        )
+        shifted_s = pltpu.roll(accs, 1, 1)
+        shifted_i = pltpu.roll(acci, 1, 1)
+        at = kcol == pos[:, None]
+        before = kcol < pos[:, None]
+        accs = jnp.where(before, accs,
+                         jnp.where(at, ins_s[:, None], shifted_s))
+        acci = jnp.where(before, acci,
+                         jnp.where(at, ins_i[:, None], shifted_i))
+        return s_cur, accs, acci
+
+    _, new_s, new_i = jax.lax.while_loop(cond, body, (s, accs, acci))
+    return new_s, new_i
+
+
 def _flat_topk_kernel(
     q_ref, x_ref, bias_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k: int,
     k_pad: int, tile_n: int
@@ -171,13 +210,9 @@ def _flat_topk_kernel(
         preferred_element_type=jnp.float32,
     ) + bias_ref[:]  # bias block is [1, tile_n], broadcasts over B
 
-    Bt = s.shape[0]
-    base = j * tile_n
-    ids = base + jax.lax.broadcasted_iota(jnp.int32, (Bt, tile_n), 1)
-
-    cand_s = jnp.concatenate([acc_s[:], s], axis=1)
-    cand_i = jnp.concatenate([acc_i[:], ids], axis=1)
-    new_s, new_i = _extract_topk_rows(cand_s, cand_i, k, k_pad)
+    new_s, new_i = _threshold_merge(
+        s, j * tile_n, acc_s[:], acc_i[:], k, k_pad
+    )
     acc_s[:] = new_s
     acc_i[:] = new_i
 
@@ -290,38 +325,8 @@ def _flat_topk_qmajor_kernel(
     ) + bias_ref[:]
 
     row = pl.ds(j * tile_b, tile_b)
-    base = i * tile_n
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_n), 1)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (tile_b, k_pad), 1)
-
-    def cond(state):
-        s_cur, accs, _ = state
-        return jnp.any(jnp.max(s_cur, axis=1) > accs[:, k - 1])
-
-    def body(state):
-        s_cur, accs, acci = state
-        m = jnp.max(s_cur, axis=1)                    # [B]
-        am = jnp.argmax(s_cur, axis=1)                # [B]
-        do = m > accs[:, k - 1]                       # rows that improve
-        sel = col == am[:, None]
-        s_cur = jnp.where(sel, NEG_INF, s_cur)        # consume the max
-        ins_s = jnp.where(do, m, NEG_INF)
-        ins_i = jnp.where(do, base + am.astype(jnp.int32), -1)
-        pos = jnp.sum(
-            (accs > ins_s[:, None]).astype(jnp.int32)[:, :k], axis=1
-        )                                             # insertion position
-        shifted_s = pltpu.roll(accs, 1, 1)
-        shifted_i = pltpu.roll(acci, 1, 1)
-        at = kcol == pos[:, None]
-        before = kcol < pos[:, None]
-        accs = jnp.where(before, accs,
-                         jnp.where(at, ins_s[:, None], shifted_s))
-        acci = jnp.where(before, acci,
-                         jnp.where(at, ins_i[:, None], shifted_i))
-        return s_cur, accs, acci
-
-    _, new_s, new_i = jax.lax.while_loop(
-        cond, body, (s, acc_s[row, :], acc_i[row, :])
+    new_s, new_i = _threshold_merge(
+        s, i * tile_n, acc_s[row, :], acc_i[row, :], k, k_pad
     )
     acc_s[row, :] = new_s
     acc_i[row, :] = new_i
