@@ -88,11 +88,38 @@ class MCPServer:
         self.llm = create_llm(self.config)
         self.tier = ContextTier.from_context_window(self.config.llm.context_window)
         self.initialized = False
+        self._startup: Optional[str] = None
         import os
 
         self.architecture = os.environ.get(
             "CODEGRAPH_AGENT_ARCHITECTURE", "react"
         )
+
+    def _startup_context(self) -> str:
+        """Project overview primed into agent tasks (reference:
+        autoagents startup_context.rs:266 bootstrap context)."""
+        if self._startup is None:
+            try:
+                q = self.tools.queries
+                stats = q.store.stats()
+                dirs = q.top_directories(limit=5)["directories"]
+                hubs = q.hub_nodes(limit=5)["hubs"]
+                parts = [
+                    f"Project: {stats['nodes']} nodes, {stats['edges']} edges, "
+                    f"{stats['files']} files indexed.",
+                ]
+                if dirs:
+                    parts.append("Top directories: " + ", ".join(
+                        f"{d['path'] or '.'} ({d['nodes']})" for d in dirs
+                    ))
+                if hubs:
+                    parts.append("Hub symbols: " + ", ".join(
+                        h["name"] for h in hubs
+                    ))
+                self._startup = " ".join(parts)
+            except Exception:
+                self._startup = ""
+        return self._startup
 
     # -- tool surface ------------------------------------------------------
 
@@ -136,6 +163,9 @@ class MCPServer:
             str(arguments.get("focus", "")).lower(), default_analysis
         )
         task = PromptSelector(self.tier).select(analysis, query)
+        startup = self._startup_context()
+        if startup:
+            task = f"{startup}\n\n{task}"
         if self.llm.is_available():
             try:
                 agent = create_agent(self.architecture, self.llm, self.tools)
