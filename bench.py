@@ -35,7 +35,7 @@ def main() -> None:
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu:
-        N, D, B, K, tile_n, tile_b = 1_000_000, 768, 1024, 10, 2048, 64
+        N, D, B, K, tile_n, tile_b = 1_000_000, 768, 1024, 10, 2048, 256
         dtype, iters = jnp.bfloat16, 4
     else:
         N, D, B, K, tile_n, tile_b = 100_000, 384, 256, 10, 2048, 8
