@@ -95,6 +95,11 @@ class EncoderProvider(EmbeddingProvider):
     onnx_provider.rs:32-421). Weights load from an .npz checkpoint when
     given; otherwise deterministic random init (useful for perf tests and
     as a fixed random-projection encoder).
+
+    Sequence bucketing: attention is O(L^2) and most code chunks are far
+    shorter than max_len, so texts group into power-of-two length buckets
+    (64..max_len), each a separately compiled static shape. Short chunks
+    run 10-60x cheaper than one max_len-padded batch would.
     """
 
     name = "encoder"
@@ -106,6 +111,7 @@ class EncoderProvider(EmbeddingProvider):
         max_len: int = 512,
         checkpoint: Optional[str] = None,
         seed: int = 0,
+        bucketing: bool = True,
     ):
         super().__init__(dimension, batch_size)
         import jax
@@ -124,20 +130,42 @@ class EncoderProvider(EmbeddingProvider):
         )
         self.tokenizer = ByteTokenizer(max_len=max_len)
         self._encode = encode_jit
+        self.buckets = (
+            [b for b in (64, 128, 256, 512, 1024, 2048) if b < max_len]
+            + [max_len]
+            if bucketing else [max_len]
+        )
         if checkpoint and os.path.exists(checkpoint):
             self.params = load_encoder_checkpoint(checkpoint)
         else:
             self.params = init_encoder_params(jax.random.PRNGKey(seed), self.cfg)
 
+    def _bucket_for(self, text: str) -> int:
+        need = self.tokenizer.count_tokens(text)
+        for b in self.buckets:
+            if need <= b:
+                return b
+        return self.buckets[-1]
+
     def _embed(self, texts: Sequence[str]) -> np.ndarray:
         import jax.numpy as jnp
 
-        # pad the batch to the configured batch size -> one compiled shape
         n = len(texts)
-        padded = list(texts) + [""] * (self.batch_size - n)
-        ids, mask = self.tokenizer.encode_batch(padded)
-        out = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg)
-        return np.asarray(out)[:n]
+        out = np.zeros((n, self.dimension), np.float32)
+        # group by length bucket; each bucket pads to batch_size so every
+        # (bucket, batch_size) shape compiles exactly once
+        groups: Dict[int, List[int]] = {}
+        for idx, t in enumerate(texts):
+            groups.setdefault(self._bucket_for(t), []).append(idx)
+        for bucket, idxs in groups.items():
+            batch = [texts[i] for i in idxs]
+            padded = batch + [""] * (self.batch_size - len(batch))
+            ids, mask = self.tokenizer.encode_batch(padded, max_len=bucket)
+            emb = self._encode(
+                self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg
+            )
+            out[idxs] = np.asarray(emb)[: len(batch)]
+        return out
 
 
 def save_encoder_checkpoint(path: str, params) -> None:

@@ -145,3 +145,22 @@ def test_encoder_provider_and_checkpoint(tmp_path):
     p2 = EncoderProvider(dimension=32, batch_size=4, max_len=16, checkpoint=ckpt)
     e2 = p2.embed_texts(["hello"])
     np.testing.assert_allclose(e[0], e2[0], atol=1e-4)
+
+
+def test_encoder_provider_bucketing():
+    from codegraph_tpu.models.providers import EncoderProvider
+
+    p = EncoderProvider(dimension=32, batch_size=4, max_len=256)
+    assert p.buckets == [64, 128, 256]
+    short = "tiny"
+    longer = "x" * 200
+    assert p._bucket_for(short) == 64
+    assert p._bucket_for(longer) == 256
+    e = p.embed_texts([short, longer, short])
+    assert e.shape == (3, 32)
+    import numpy as np
+
+    np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-3)
+    # same text embeds identically regardless of which bucket-batch ran it
+    e2 = p.embed_texts([short])
+    np.testing.assert_allclose(e[0], e2[0], atol=1e-4)
