@@ -108,3 +108,24 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_int8_index_recall(rng):
+    from codegraph_tpu.parallel.mesh import make_mesh
+    from codegraph_tpu.parallel.sharded_search import ShardedInt8Index
+
+    mesh = make_mesh((8,), ("data",))
+    N, D, B, k = 900, 64, 6, 10
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    idx = ShardedInt8Index(D, mesh, tile_n=64, rescore_k=50)
+    idx.build(x)
+    s, i = idx.search(q, k)
+    _, ref_i = cosine_oracle(q, x, k)
+    hits = sum(len(set(a) & set(b)) for a, b in zip(i, ref_i))
+    assert hits / ref_i.size >= 0.95  # int8 scan + f32 rescore
+
+    idx.delete(np.arange(0, 450))
+    s, i = idx.search(x[450:453], 5)
+    assert (i[:, 0] == np.arange(450, 453)).all()
+    assert (i[i >= 0] >= 450).all()
