@@ -130,10 +130,42 @@ def make_sharded_train_step(
     return step_fn, init_fn
 
 
+def save_train_state(path: str, params, opt_state, step: int) -> None:
+    """Checkpoint the full train state (orbax StandardCheckpointer —
+    the rebuild's answer to the reference's training persistence,
+    ml/training.rs)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        _abs(path), {"params": params, "opt_state": opt_state, "step": step},
+        force=True,
+    )
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(path: str, template=None):
+    """-> (params, opt_state, step). Pass `template` (matching pytree of
+    shapes, e.g. a fresh init) to restore with the correct topology."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(_abs(path), template)
+    return restored["params"], restored["opt_state"], int(restored["step"])
+
+
+def _abs(path: str) -> str:
+    import os
+
+    return os.path.abspath(path)
+
+
 __all__ = [
     "TrainConfig",
     "make_optimizer",
     "info_nce_loss",
     "train_step",
     "make_sharded_train_step",
+    "save_train_state",
+    "restore_train_state",
 ]

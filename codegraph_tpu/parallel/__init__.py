@@ -8,6 +8,18 @@ with dp x tp sharding via pjit + XLA collectives.
 """
 
 from codegraph_tpu.parallel.mesh import make_mesh, default_mesh_shape
-from codegraph_tpu.parallel.sharded_search import ShardedFlatIndex, sharded_topk
+from codegraph_tpu.parallel.sharded_search import (
+    ShardedFlatIndex,
+    ShardedInt8Index,
+    sharded_topk,
+    sharded_topk_int8,
+)
 
-__all__ = ["make_mesh", "default_mesh_shape", "ShardedFlatIndex", "sharded_topk"]
+__all__ = [
+    "make_mesh",
+    "default_mesh_shape",
+    "ShardedFlatIndex",
+    "ShardedInt8Index",
+    "sharded_topk",
+    "sharded_topk_int8",
+]

@@ -164,3 +164,31 @@ def test_encoder_provider_bucketing():
     # same text embeds identically regardless of which bucket-batch ran it
     e2 = p.embed_texts([short])
     np.testing.assert_allclose(e[0], e2[0], atol=1e-4)
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from codegraph_tpu.models.encoder import EncoderConfig, init_encoder_params
+    from codegraph_tpu.models.tokenizer import VOCAB_SIZE
+    from codegraph_tpu.models.training import (
+        TrainConfig,
+        make_optimizer,
+        restore_train_state,
+        save_train_state,
+    )
+
+    cfg = EncoderConfig(vocab_size=VOCAB_SIZE, hidden=32, n_layers=1,
+                        n_heads=2, max_len=16)
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(TrainConfig())
+    opt_state = opt.init(params)
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, params, opt_state, step=7)
+    p2, o2, step = restore_train_state(
+        path, {"params": params, "opt_state": opt_state, "step": 0}
+    )
+    assert step == 7
+    np.testing.assert_array_equal(
+        np.asarray(params["tok_emb"]), np.asarray(p2["tok_emb"])
+    )
