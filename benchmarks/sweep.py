@@ -19,15 +19,18 @@ import json
 import time
 
 
-def _timed(fn, *args, repeats=3):
-    import jax
+def _timed(fn, queries, *args, repeats=3):
+    """Times fn(q_variant, *args) with a DISTINCT query batch per repeat
+    (remote transports can result-cache identical dispatches) and a host
+    fetch per repeat (block_until_ready can return early)."""
     import numpy as np
 
-    np.asarray(fn(*args)[0])  # warmup/compile
+    B = queries.shape[0]
+    variants = [np.roll(queries, r, axis=0) + r * 1e-6 for r in range(repeats)]
+    np.asarray(fn(queries, *args)[0])  # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fn(*args)
-    np.asarray(out[0])
+    for r in range(repeats):
+        np.asarray(fn(variants[r], *args)[0])
     return (time.perf_counter() - t0) / repeats
 
 
@@ -71,22 +74,27 @@ def main() -> None:
     # config 1: flat exact
     flat = FlatIndex(args.d, tile_n=2048)
     flat.add(x)
-    dt = _timed(flat.search, q, args.k)
+    dt = _timed(lambda qq, k: flat.search(qq, k), q, args.k)
     ref_s, ref_i = flat.search(q, args.k)
+    ref_i = np.asarray(ref_i)
     report["configs"]["flat_f32"] = {
         "latency_ms": round(dt * 1e3, 2), "qps": round(args.b / dt, 1),
         "recall_at_10": 1.0,
     }
+    print(json.dumps(report["configs"]["flat_f32"]), flush=True)
+    del flat  # free HBM before the next index
 
     # config 2: int8 + rescore
-    int8 = Int8FlatIndex(args.d, rescore_dtype="float32", rescore_k=100)
+    int8 = Int8FlatIndex(args.d, rescore_dtype="bfloat16", rescore_k=100)
     int8.add(x)
-    dt = _timed(int8.search, q, args.k)
+    dt = _timed(lambda qq, k: int8.search(qq, k), q, args.k)
     _, i8 = int8.search(q, args.k)
     report["configs"]["int8_rescore"] = {
         "latency_ms": round(dt * 1e3, 2), "qps": round(args.b / dt, 1),
         "recall_at_10": round(recall_at_k(i8, ref_i), 4),
     }
+    print(json.dumps(report["configs"]["int8_rescore"]), flush=True)
+    del int8
 
     # config 3: IVF sweep
     nlist = max(64, int(4 * np.sqrt(args.n)))
@@ -97,7 +105,7 @@ def main() -> None:
     build_s = time.perf_counter() - t0
     curve = []
     for nprobe in (1, 4, 16, 64, min(256, nlist)):
-        dt = _timed(lambda q, k, npb=nprobe: ivf.search(q, k, nprobe=npb),
+        dt = _timed(lambda qq, k, npb=nprobe: ivf.search(qq, k, nprobe=npb),
                     q, args.k)
         _, ii = ivf.search(q, args.k, nprobe=nprobe)
         curve.append({
@@ -106,6 +114,7 @@ def main() -> None:
             "qps": round(args.b / dt, 1),
             "recall_at_10": round(recall_at_k(ii, ref_i), 4),
         })
+        print(json.dumps(curve[-1]), flush=True)
     report["configs"]["ivf"] = {
         "nlist": nlist, "build_s": round(build_s, 2),
         "padding_waste": round(ivf.stats()["padding_waste"], 4),
