@@ -118,41 +118,6 @@ def streaming_topk(
 # ---------------------------------------------------------------------------
 
 
-def _extract_topk_rows(
-    cand_s: jax.Array, cand_i: jax.Array, k: int, k_pad: int
-) -> Tuple[jax.Array, jax.Array]:
-    """In-kernel top-k by iterative max-extract (no lax.top_k in Mosaic).
-
-    cand_s/cand_i: [B, C]. Returns ([B, k_pad], [B, k_pad]) with only the
-    first k entries meaningful (k_pad is lane-width storage padding).
-    Cost is k VPU passes over [B, C] — k, NOT k_pad: padding the loop to
-    the 128-lane width would multiply the VPU work ~13x for k=10 and
-    dominate the whole scan.
-    """
-    Bt, C = cand_s.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, C), 1)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, k_pad), 1)
-
-    def body(t, carry):
-        s, outs, outi = carry
-        m = jnp.max(s, axis=1, keepdims=True)  # [B,1]
-        am = jnp.argmax(s, axis=1).reshape(Bt, 1)  # [B,1]
-        sel = col == am
-        picked_i = jnp.sum(jnp.where(sel, cand_i, 0), axis=1, keepdims=True)
-        s = jnp.where(sel, NEG_INF, s)
-        outs = jnp.where(kcol == t, m, outs)
-        outi = jnp.where(kcol == t, picked_i, outi)
-        return s, outs, outi
-
-    init = (
-        cand_s,
-        jnp.full((Bt, k_pad), NEG_INF, jnp.float32),
-        jnp.full((Bt, k_pad), -1, jnp.int32),
-    )
-    _, outs, outi = jax.lax.fori_loop(0, k, body, init)
-    return outs, outi
-
-
 def _threshold_merge(s, base, accs, acci, k: int, k_pad: int):
     """Merge a score tile into the sorted (descending) top-k accumulator
     with threshold-gated insertion: extract candidates only while some
