@@ -180,3 +180,16 @@ def test_estimator(project):
     assert est.embed_eta_seconds >= 0
     d = est.to_dict()
     assert d["provider"] == "hash"
+
+
+def test_index_project_int8_config(project):
+    cfg = make_cfg(project)
+    cfg.index.dtype = "int8"
+    cfg.index.rescore_k = 20
+    indexer = ProjectIndexer(cfg)
+    from codegraph_tpu.index.int8_flat import Int8FlatIndex
+
+    assert isinstance(indexer.index, Int8FlatIndex)
+    indexer.index_project(str(project))
+    results = indexer.search.search_text("add two numbers", limit=3)
+    assert any(r.name == "add_numbers" for r in results)
