@@ -59,14 +59,23 @@ def main() -> None:
     from codegraph_tpu.index.ivf import IVFIndex
 
     rng = np.random.default_rng(0)
-    # clustered corpus so IVF has structure (uniform random is the
-    # worst case for any partition index)
+    # clustered corpus so IVF has structure (uniform random is the worst
+    # case for any partition index). Generated ON DEVICE: a host-side 3GB
+    # corpus would cross the (slow) host->device transport several times.
     n_centers = max(64, args.n // 1000)
-    centers = rng.standard_normal((n_centers, args.d)).astype(np.float32) * 2
-    x = (centers[rng.integers(0, n_centers, args.n)]
-         + rng.standard_normal((args.n, args.d)).astype(np.float32) * 0.6)
-    q = (centers[rng.integers(0, n_centers, args.b)]
-         + rng.standard_normal((args.b, args.d)).astype(np.float32) * 0.6)
+    key = jax.random.PRNGKey(0)
+    kc, kx, ka, kq, kqa = jax.random.split(key, 5)
+    centers_d = jax.random.normal(kc, (n_centers, args.d), jnp.float32) * 2
+    assign = jax.random.randint(ka, (args.n,), 0, n_centers)
+    x_d = (jnp.take(centers_d, assign, axis=0)
+           + jax.random.normal(kx, (args.n, args.d), jnp.float32) * 0.6)
+    q_assign = jax.random.randint(kqa, (args.b,), 0, n_centers)
+    q_d = (jnp.take(centers_d, q_assign, axis=0)
+           + jax.random.normal(kq, (args.b, args.d), jnp.float32) * 0.6)
+    # indexes ingest numpy; the arrays round-trip once here, but searches
+    # and the oracle reuse device-resident state
+    x = np.asarray(x_d)
+    q = np.asarray(q_d)
 
     report = {"n": args.n, "d": args.d, "b": args.b, "k": args.k,
               "backend": jax.default_backend(), "configs": {}}
