@@ -72,10 +72,10 @@ def main() -> None:
     q_assign = jax.random.randint(kqa, (args.b,), 0, n_centers)
     q_d = (jnp.take(centers_d, q_assign, axis=0)
            + jax.random.normal(kq, (args.b, args.d), jnp.float32) * 0.6)
-    # indexes ingest numpy; the arrays round-trip once here, but searches
-    # and the oracle reuse device-resident state
-    x = np.asarray(x_d)
-    q = np.asarray(q_d)
+    # index ingest accepts jax arrays (jnp.asarray is a no-op on device
+    # arrays), so the corpus never crosses the transport
+    x = x_d
+    q = np.asarray(q_d)  # queries are small; numpy for the timing variants
 
     report = {"n": args.n, "d": args.d, "b": args.b, "k": args.k,
               "backend": jax.default_backend(), "configs": {}}
