@@ -107,7 +107,7 @@ def main() -> None:
 
     # config 3: IVF sweep
     nlist = max(64, int(4 * np.sqrt(args.n)))
-    ivf = IVFIndex(args.d, nlist=nlist, kmeans_iters=8)
+    ivf = IVFIndex(args.d, nlist=nlist, kmeans_iters=8, dtype="bfloat16")
     t0 = time.perf_counter()
     ivf.train(x)
     ivf.add(x)
