@@ -35,6 +35,13 @@ from codegraph_tpu.ops.topk import NEG_INF, merge_topk
 from codegraph_tpu.ops.kmeans import assign_clusters, kmeans
 
 
+# donated scatters: .at[].set() on a multi-GB cell tensor would otherwise
+# allocate a full copy next to the original (OOM at 1M x 768 scale)
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter2(buf, cells, pos, vals):
+    return buf.at[cells, pos].set(vals)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def ivf_search_kernel(
     q: jax.Array,          # [B, D] f32
@@ -198,11 +205,13 @@ class IVFIndex:
             fill[c] += 1
         cells_j = jnp.asarray(assign.astype(np.int32))
         pos_j = jnp.asarray(pos.astype(np.int32))
-        self._x = self._x.at[cells_j, pos_j].set(v.astype(self.dtype))
-        self._ids = self._ids.at[cells_j, pos_j].set(
-            jnp.asarray(rows.astype(np.int32))
+        self._x = _scatter2(self._x, cells_j, pos_j, v.astype(self.dtype))
+        self._ids = _scatter2(
+            self._ids, cells_j, pos_j, jnp.asarray(rows.astype(np.int32))
         )
-        self._bias = self._bias.at[cells_j, pos_j].set(0.0)
+        self._bias = _scatter2(
+            self._bias, cells_j, pos_j, jnp.zeros((n,), jnp.float32)
+        )
         for r, c, p in zip(rows, assign, pos):
             self._row_loc[int(r)] = (int(c), int(p))
         self.n_rows += n
