@@ -172,7 +172,15 @@ class IVFIndex:
         self.list_cap = list_cap
 
     def add(self, vectors: np.ndarray) -> np.ndarray:
-        """Assign to nearest cell and append. Returns global row ids."""
+        """Assign to nearest cell (with capacity-bounded spill) and append.
+
+        Cells are capped at capacity_factor * N/nlist rows: k-means cell
+        sizes are heavy-tailed (measured 87% padding waste at 1M x 768
+        without a cap), so a full cell spills rows to their SECOND
+        nearest centroid, and if that is also full, to the least-filled
+        cell. Spilled rows are still found whenever their host cell is
+        probed; nprobe == nlist remains exact.
+        """
         if not self.is_trained:
             raise IndexNotBuilt("IVFIndex.train() must run before add()")
         v = self._prepare(vectors)
@@ -183,24 +191,32 @@ class IVFIndex:
         pad = (-n) % tile
         v_pad = jnp.concatenate([v, jnp.zeros((pad, self.dim), v.dtype)]) if pad else v
         mask = jnp.concatenate([jnp.ones((n,), bool), jnp.zeros((pad,), bool)]) if pad else jnp.ones((n,), bool)
-        assign = np.asarray(assign_clusters(v_pad, self._centroids, mask, tile_n=tile))[:n]
+        from codegraph_tpu.ops.kmeans import assign_clusters_topk
 
-        # capacity check (host): grow list_cap if any cell would overflow
-        new_fill = self._fill.copy()
-        np.add.at(new_fill, assign, 1)
-        need = int(new_fill.max())
-        if need > self.list_cap:
-            target = max(
-                need,
-                int(self.capacity_factor * (self.n_rows + n) / self.nlist),
-            )
-            self._alloc(target)
+        top2 = np.asarray(assign_clusters_topk(
+            v_pad, self._centroids, mask, tile_n=tile,
+            metric="cosine" if self.metric == "cosine" else "dot", top=2,
+        ))[:n]
+
+        # bounded capacity: never grow past the capacity factor
+        target_cap = max(
+            8, int(np.ceil(self.capacity_factor * (self.n_rows + n) / self.nlist))
+        )
+        if target_cap > self.list_cap:
+            self._alloc(target_cap)
 
         rows = np.arange(self.n_rows, self.n_rows + n, dtype=np.int64)
-        # compute (cell, pos) for every new row on host, then one scatter
+        # (cell, pos) per row with spill: first choice -> second -> least-filled
+        assign = np.empty((n,), np.int64)
         pos = np.empty((n,), np.int64)
         fill = self._fill
-        for j, c in enumerate(assign):
+        cap = self.list_cap
+        for j in range(n):
+            c = int(top2[j, 0])
+            if fill[c] >= cap:
+                c2 = int(top2[j, 1])
+                c = c2 if fill[c2] < cap else int(np.argmin(fill))
+            assign[j] = c
             pos[j] = fill[c]
             fill[c] += 1
         cells_j = jnp.asarray(assign.astype(np.int32))

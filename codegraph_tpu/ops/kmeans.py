@@ -167,4 +167,32 @@ def kmeans(
     return centroids, counts
 
 
-__all__ = ["kmeans", "assign_clusters"]
+@functools.partial(jax.jit, static_argnames=("tile_n", "metric", "top"))
+def assign_clusters_topk(
+    x: jax.Array, centroids: jax.Array, mask: jax.Array, tile_n: int = 4096,
+    metric: str = "cosine", top: int = 2,
+) -> jax.Array:
+    """Top-`top` nearest centroids per row ([N_pad, top] int32) — the
+    spill targets for capacity-bounded IVF cells."""
+    N, D = x.shape
+    assert N % tile_n == 0
+    x_tiles = x.reshape(N // tile_n, tile_n, D)
+    c_half_sq = (
+        0.5 * jnp.sum(jnp.square(centroids), axis=1) if metric == "l2" else None
+    )
+
+    def step(_, xt):
+        scores = jax.lax.dot_general(
+            xt, centroids, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if c_half_sq is not None:
+            scores = scores - c_half_sq[None, :]
+        _, idx = jax.lax.top_k(scores, top)
+        return None, idx.astype(jnp.int32)
+
+    _, out = jax.lax.scan(step, None, x_tiles)
+    return out.reshape(N, top)
+
+
+__all__ = ["kmeans", "assign_clusters", "assign_clusters_topk"]
