@@ -206,19 +206,27 @@ class IVFIndex:
             self._alloc(target_cap)
 
         rows = np.arange(self.n_rows, self.n_rows + n, dtype=np.int64)
-        # (cell, pos) per row with spill: first choice -> second -> least-filled
-        assign = np.empty((n,), np.int64)
-        pos = np.empty((n,), np.int64)
+        # (cell, pos) per row with spill: first choice -> second -> least-
+        # filled. Sequential (fill state) -> native cghost when available
+        # (~15s interpreted at 500k rows, ~10ms native).
+        from codegraph_tpu.native import ivf_spill_fill_native
+
         fill = self._fill
         cap = self.list_cap
-        for j in range(n):
-            c = int(top2[j, 0])
-            if fill[c] >= cap:
-                c2 = int(top2[j, 1])
-                c = c2 if fill[c2] < cap else int(np.argmin(fill))
-            assign[j] = c
-            pos[j] = fill[c]
-            fill[c] += 1
+        native = ivf_spill_fill_native(top2, fill, cap)
+        if native is not None:
+            assign, pos = native
+        else:
+            assign = np.empty((n,), np.int64)
+            pos = np.empty((n,), np.int64)
+            for j in range(n):
+                c = int(top2[j, 0])
+                if fill[c] >= cap:
+                    c2 = int(top2[j, 1])
+                    c = c2 if fill[c2] < cap else int(np.argmin(fill))
+                assign[j] = c
+                pos[j] = fill[c]
+                fill[c] += 1
         cells_j = jnp.asarray(assign.astype(np.int32))
         pos_j = jnp.asarray(pos.astype(np.int32))
         self._x = _scatter2(self._x, cells_j, pos_j, v.astype(self.dtype))

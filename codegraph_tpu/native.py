@@ -93,6 +93,12 @@ def lib() -> Optional[ctypes.CDLL]:
     ]
     cdll.cg_chunk_boundaries.restype = ctypes.c_int64
 
+    cdll.cg_ivf_spill_fill.argtypes = [
+        _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _i64p, _i32p, _i32p,
+    ]
+    cdll.cg_ivf_spill_fill.restype = None
+
     _lib = cdll
     return _lib
 
@@ -188,6 +194,27 @@ def bm25_score_native(
     return out_doc[:n], out_score[:n]
 
 
+def ivf_spill_fill_native(
+    top2: np.ndarray, fill: np.ndarray, cap: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Sequential capacity-bounded cell placement. Mutates `fill`;
+    returns (cells [n], pos [n]) or None when the library is absent."""
+    cdll = lib()
+    if cdll is None:
+        return None
+    n = top2.shape[0]
+    out_cell = np.zeros((n,), np.int32)
+    out_pos = np.zeros((n,), np.int32)
+    fill64 = np.ascontiguousarray(fill, np.int64)
+    cdll.cg_ivf_spill_fill(
+        np.ascontiguousarray(top2, np.int32), n, len(fill), cap,
+        fill64, out_cell, out_pos,
+    )
+    if fill64 is not fill:  # conversion copied: propagate mutations back
+        fill[:] = fill64
+    return out_cell, out_pos
+
+
 __all__ = [
     "available",
     "ensure_built",
@@ -195,4 +222,5 @@ __all__ = [
     "padded_adjacency_native",
     "trigram_preselect_native",
     "bm25_score_native",
+    "ivf_spill_fill_native",
 ]

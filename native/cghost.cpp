@@ -210,3 +210,55 @@ int64_t cg_chunk_boundaries(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// IVF capacity-bounded placement (index/ivf.py add()): sequential fill
+// with second-choice spill — first-choice cell if it has room, else the
+// second choice, else the currently least-filled cell. The loop is
+// inherently sequential (fill state), so it lives here instead of Python
+// (~15s for 500k rows interpreted; ~10ms native).
+// ---------------------------------------------------------------------------
+void cg_ivf_spill_fill(
+    const int32_t* top2,   // [n, 2] first/second nearest cells
+    int64_t n,
+    int64_t n_cells,
+    int64_t cap,
+    int64_t* fill,         // [n_cells] in/out current fill
+    int32_t* out_cell,     // [n]
+    int32_t* out_pos)      // [n]
+{
+  // min-heap over (fill, cell) for the least-filled fallback
+  std::vector<std::pair<int64_t, int32_t>> heap;
+  heap.reserve(n_cells);
+  for (int64_t c = 0; c < n_cells; ++c) heap.emplace_back(fill[c], (int32_t)c);
+  std::make_heap(heap.begin(), heap.end(), std::greater<>());
+
+  for (int64_t j = 0; j < n; ++j) {
+    int32_t c = top2[j * 2];
+    if (fill[c] >= cap) {
+      int32_t c2 = top2[j * 2 + 1];
+      if (fill[c2] < cap) {
+        c = c2;
+      } else {
+        // pop stale entries until the top reflects current fill
+        while (true) {
+          std::pop_heap(heap.begin(), heap.end(), std::greater<>());
+          auto [f, cand] = heap.back();
+          heap.pop_back();
+          if (f == fill[cand]) { c = cand; break; }
+          heap.emplace_back(fill[cand], cand);
+          std::push_heap(heap.begin(), heap.end(), std::greater<>());
+        }
+      }
+    }
+    out_cell[j] = c;
+    out_pos[j] = (int32_t)fill[c];
+    fill[c] += 1;
+    heap.emplace_back(fill[c], c);
+    std::push_heap(heap.begin(), heap.end(), std::greater<>());
+  }
+}
+
+}  // extern "C"
