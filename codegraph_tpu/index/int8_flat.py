@@ -27,6 +27,7 @@ from codegraph_tpu.ops.quantize import (
     rescore_topk,
     streaming_topk_int8,
     streaming_topk_int8_pallas,
+    streaming_topk_int8_qmajor,
 )
 
 DEFAULT_TILE_N = 2048
@@ -148,13 +149,19 @@ class Int8FlatIndex:
         cand_k = min(max(k, self.rescore_k), self.capacity)
         qv, qs = quantize_rows(q)
         if jax.default_backend() in ("tpu", "axon"):
-            # fused Pallas int8 kernel on real hardware
+            # fused Pallas int8 kernel on real hardware; large batches use
+            # the query-major grid (corpus read once per call)
             B = q.shape[0]
+            qmajor = B >= _PALLAS_TILE_B
+            kernel = (
+                streaming_topk_int8_qmajor if qmajor
+                else streaming_topk_int8_pallas
+            )
             B_pad = -(-B // _PALLAS_TILE_B) * _PALLAS_TILE_B
             if B_pad != B:
                 qv = jnp.pad(qv, ((0, B_pad - B), (0, 0)))
                 qs = jnp.pad(qs, ((0, B_pad - B),))
-            s, i = streaming_topk_int8_pallas(
+            s, i = kernel(
                 qv, qs, self._q, self._s, self._bias, cand_k,
                 tile_n=min(self.tile_n, self.capacity), tile_b=_PALLAS_TILE_B,
             )
