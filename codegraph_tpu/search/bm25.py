@@ -82,13 +82,23 @@ class BM25Index:
             return 0.0
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
+    # above this corpus size the native scorer pays for its packing cost
+    NATIVE_THRESHOLD = 2000
+
     def search(self, query: str, limit: int = 50) -> List[Tuple[int, float]]:
         """Top-`limit` (doc_id, bm25_score), descending."""
         if self.n_docs == 0:
             return []
         avg_len = self.total_len / self.n_docs
+        terms = [t for t in set(tokenize(query)) if t in self.postings]
+        if not terms:
+            return []
+        if self.n_docs >= self.NATIVE_THRESHOLD:
+            native = self._search_native(terms, avg_len, limit)
+            if native is not None:
+                return native
         scores: Dict[int, float] = {}
-        for term in set(tokenize(query)):
+        for term in terms:
             idf = self._idf(term)
             if idf == 0.0:
                 continue
@@ -98,6 +108,38 @@ class BM25Index:
                 scores[doc_id] = scores.get(doc_id, 0.0) + idf * tf * (self.k1 + 1) / denom
         top = sorted(scores.items(), key=lambda kv: -kv[1])[:limit]
         return top
+
+    def _search_native(self, terms, avg_len, limit):
+        """Score via the cghost kernel over packed per-term postings."""
+        from codegraph_tpu.native import bm25_score_native
+
+        post_off = [0]
+        post_doc: List[int] = []
+        post_tf: List[int] = []
+        max_doc = -1
+        for t in terms:
+            docs_tf = self.postings.get(t, {})
+            for d, tf in docs_tf.items():
+                post_doc.append(d)
+                post_tf.append(tf)
+                if d > max_doc:
+                    max_doc = d
+            post_off.append(len(post_doc))
+        if max_doc < 0:
+            return []
+        doc_len = np.zeros((max_doc + 1,), np.int32)
+        for d, n in self.doc_len.items():
+            if d <= max_doc:
+                doc_len[d] = n
+        out = bm25_score_native(
+            np.asarray(post_off, np.int64), np.asarray(post_doc, np.int32),
+            np.asarray(post_tf, np.int32), doc_len, avg_len,
+            self.k1, self.b, limit,
+        )
+        if out is None:
+            return None
+        out_doc, out_score = out
+        return [(int(d), float(s)) for d, s in zip(out_doc, out_score)]
 
     def scores_for(self, query: str, doc_ids: Sequence[int]) -> np.ndarray:
         """BM25 scores for specific docs (the hybrid mix needs aligned

@@ -156,3 +156,42 @@ def test_search_chunks_parity():
     assert chunks
     assert chunks[0]["parent_name"] == "parse_source_file"
     assert chunks[0]["chunk_id"] and chunks[0]["text"]
+
+
+def test_bm25_native_path_matches_python(rng):
+    """Above the native threshold the cghost scorer must agree with the
+    pure-Python loop."""
+    from codegraph_tpu import native as native_mod
+    if not native_mod.available():
+        pytest.skip("libcghost not built")
+
+    idx = BM25Index()
+    vocab = ["parse", "file", "http", "server", "token", "graph", "cache",
+             "merge", "route", "index"]
+    for d in range(2500):
+        words = [vocab[(d + j) % len(vocab)] for j in range(1 + d % 5)]
+        idx.add(d, " ".join(words))
+    assert idx.n_docs >= idx.NATIVE_THRESHOLD
+    got = idx.search("parse file server", limit=20)
+    # force the python path for comparison
+    thr = BM25Index.NATIVE_THRESHOLD
+    BM25Index.NATIVE_THRESHOLD = 10**9
+    try:
+        ref = idx.search("parse file server", limit=20)
+    finally:
+        BM25Index.NATIVE_THRESHOLD = thr
+    # the synthetic corpus is full of ties: top-20 doc identity is
+    # tie-break-dependent, but the score multiset must match exactly
+    got_scores = sorted(round(s, 4) for _, s in got)
+    ref_scores = sorted(round(s, 4) for _, s in ref)
+    assert got_scores == ref_scores
+    # and every native hit's score must equal the python-computed score
+    # for that same document
+    full_ref = dict(ref)
+    BM25Index.NATIVE_THRESHOLD = 10**9
+    try:
+        all_python = dict(idx.search("parse file server", limit=10**6))
+    finally:
+        BM25Index.NATIVE_THRESHOLD = 2000
+    for d, s in got:
+        assert abs(s - all_python[d]) < 1e-4
