@@ -44,6 +44,8 @@ class EncoderConfig:
     max_len: int = 512
     pooling: str = "mean"        # mean | cls | max (local_provider.rs:43-50)
     n_experts: int = 0           # >0 switches the MLP to a dense-dispatch MoE
+    remat: bool = False          # rematerialize layer activations (training
+                                 # memory = O(1) layers instead of O(depth))
     dtype: Any = jnp.bfloat16
     eps: float = 1e-6
 
@@ -268,6 +270,10 @@ def encode(
             x = x + _mlp(h, lp["w_up"], lp["b_up"], lp["w_down"], lp["b_down"])
         return cstr(x, seq_spec), None
 
+    if cfg.remat:
+        # recompute layer activations in the backward pass: with the
+        # lax.scan depth stack this bounds live activations to one layer
+        layer = jax.checkpoint(layer)
     x, _ = jax.lax.scan(layer, x, params["layers"])
     x = _layer_norm(x, params["ln_out_scale"], params["ln_out_bias"], cfg.eps)
 

@@ -192,3 +192,32 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["tok_emb"]), np.asarray(p2["tok_emb"])
     )
+
+
+def test_encoder_remat_matches_and_trains():
+    import jax
+    import jax.numpy as jnp
+
+    from codegraph_tpu.models.encoder import (
+        EncoderConfig,
+        encode,
+        init_encoder_params,
+    )
+    from codegraph_tpu.models.tokenizer import VOCAB_SIZE
+
+    base = dict(vocab_size=VOCAB_SIZE, hidden=32, n_layers=2, n_heads=2,
+                max_len=16, dtype=jnp.float32)
+    cfg = EncoderConfig(**base)
+    cfg_r = EncoderConfig(**base, remat=True)
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer(max_len=16)
+    ids, mask = tok.encode_batch(["remat test"])
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    out = np.asarray(encode(params, ids, mask, cfg))
+    out_r = np.asarray(encode(params, ids, mask, cfg_r))
+    np.testing.assert_allclose(out, out_r, atol=1e-6)
+    # gradients flow through the checkpointed scan
+    def loss(p):
+        return jnp.sum(encode(p, ids, mask, cfg_r))
+    g = jax.grad(loss)(params)
+    assert np.isfinite(np.asarray(g["tok_emb"]).sum())
