@@ -34,6 +34,7 @@ class SessionMetrics:
     batches: int = 0
     files_indexed: int = 0
     files_deleted: int = 0
+    impacted_nodes: int = 0
     failures: int = 0
     started_at: float = field(default_factory=time.time)
 
@@ -102,14 +103,31 @@ class WatchDaemon:
         self.heartbeat.stop()
 
     def process_batch(self, indexer, batch: BatchedChanges) -> None:
-        """session.rs:93 process_batch semantics."""
+        """session.rs:93 process_batch semantics + change-impact
+        propagation: after reindexing, dependents of the changed files
+        re-enrich (their reference counts / impact metadata shift even
+        though their content didn't)."""
+        from codegraph_tpu.graph.propagation import PropagationManager
+
         self.metrics.batches += 1
+        changed = []
         for path in batch.created + batch.modified:
             indexer.index_single_file(path)
             self.metrics.files_indexed += 1
+            changed.append(path)
         for path in batch.deleted:
             indexer.delete_file(path)
             self.metrics.files_deleted += 1
+            changed.append(path)
+        if changed:
+            plan = PropagationManager(indexer.store).plan_for_files(changed)
+            self.metrics.impacted_nodes += plan.total_impacted
+            if plan.impacted:
+                logger.info(
+                    "change impact: %d nodes across %d files (top: %s)",
+                    plan.total_impacted, len(plan.files_to_reanalyze),
+                    ", ".join(i.name for i in plan.impacted[:5]),
+                )
 
     def stop(self) -> None:
         self._stop.set()
