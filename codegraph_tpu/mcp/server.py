@@ -232,7 +232,7 @@ class MCPServer:
                 self.initialized = True
                 return ok({
                     "protocolVersion": PROTOCOL_VERSION,
-                    "capabilities": {"tools": {}},
+                    "capabilities": {"tools": {}, "prompts": {}},
                     "serverInfo": SERVER_INFO,
                 })
             if method == "notifications/initialized":
@@ -241,6 +241,40 @@ class MCPServer:
                 return ok({})
             if method == "tools/list":
                 return ok({"tools": self.list_tools()})
+            if method == "prompts/list":
+                from codegraph_tpu.mcp.prompts import AnalysisType
+
+                return ok({"prompts": [
+                    {
+                        "name": at.value,
+                        "description": f"Tier-aware {at.value} analysis prompt",
+                        "arguments": [{
+                            "name": "query", "required": True,
+                            "description": "the question or target area",
+                        }],
+                    }
+                    for at in AnalysisType
+                ]})
+            if method == "prompts/get":
+                from codegraph_tpu.mcp.prompts import (
+                    AnalysisType,
+                    PromptSelector,
+                )
+
+                name = params.get("name", "")
+                try:
+                    analysis = AnalysisType(name)
+                except ValueError:
+                    return err(-32602, f"unknown prompt: {name}")
+                query = (params.get("arguments") or {}).get("query", "")
+                text = PromptSelector(self.tier).select(analysis, query)
+                return ok({
+                    "description": f"{name} ({self.tier.value} tier)",
+                    "messages": [{
+                        "role": "user",
+                        "content": {"type": "text", "text": text},
+                    }],
+                })
             if method == "tools/call":
                 name = params.get("name", "")
                 args = params.get("arguments") or {}

@@ -291,3 +291,25 @@ def test_agent_executor_history(indexed):
     assert s["turns"] == 2
     exec_.reset()
     assert exec_.stats()["turns"] == 0
+
+
+def test_mcp_prompts_endpoints(indexed):
+    indexer, cfg = indexed
+    server = MCPServer(make_executor(indexer), cfg)
+    lst = server.handle_message(
+        {"jsonrpc": "2.0", "id": 1, "method": "prompts/list"}
+    )
+    names = {p["name"] for p in lst["result"]["prompts"]}
+    assert "architecture_analysis" in names and len(names) == 8
+    got = server.handle_message({
+        "jsonrpc": "2.0", "id": 2, "method": "prompts/get",
+        "params": {"name": "code_search",
+                   "arguments": {"query": "find the parser"}},
+    })
+    text = got["result"]["messages"][0]["content"]["text"]
+    assert "find the parser" in text and "graph tools" in text
+    bad = server.handle_message({
+        "jsonrpc": "2.0", "id": 3, "method": "prompts/get",
+        "params": {"name": "nope"},
+    })
+    assert "error" in bad
