@@ -142,9 +142,10 @@ class FlatIndex:
         k_eff = min(k, self.capacity)
         if be == "pallas":
             B = q.shape[0]
-            # large batches -> query-major kernel (corpus read once/call)
+            # large batches -> query-major kernel (corpus read once/call);
+            # tile_b=256 measured best at B>=256 (fewer grid steps)
             qmajor = B >= 32
-            tile_b = 64 if qmajor else 8
+            tile_b = (256 if B >= 256 else 64) if qmajor else 8
             B_pad = -(-B // tile_b) * tile_b
             if B_pad != B:
                 q = jnp.pad(q, ((0, B_pad - B), (0, 0)))
