@@ -95,38 +95,63 @@ def pq_decode(codes: jax.Array, centroids: jax.Array) -> jax.Array:
     return gathered.reshape(codes.shape[0], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "tile_n"))
 def pq_adc_topk(
     q: jax.Array,          # [B, D] f32 queries
     codes: jax.Array,      # [N, m] uint8 corpus codes
     centroids: jax.Array,  # [m, ksub, dsub]
     bias: jax.Array,       # [N] f32 (0 live / NEG_INF dead)
     k: int,
+    tile_n: int = 16384,
 ) -> Tuple[jax.Array, jax.Array]:
     """ADC dot-product top-k: table lookup instead of full matmul.
 
     score[b, n] = sum_j table[b, j, codes[n, j]] where
-    table[b, j, :] = q_sub[b, j] . centroids[j, :, :].
+    table[b, j, :] = q_sub[b, j] . centroids[j, :, :]. Streams over N in
+    tiles (a flat gather would materialize [B, N, m] — ~100GB at
+    1M x 256 x 96).
+
+    Caveat: ADC is gather-bound, which is the VPU's weak spot — on TPU
+    the int8 flat scan (ops/quantize.py) is the production quantized
+    path; PQ earns its keep as a compression format (m bytes/row) and on
+    gather-friendly backends.
     """
+    from codegraph_tpu.ops.topk import NEG_INF, merge_topk
+
     B, D = q.shape
     N, m = codes.shape
+    assert N % tile_n == 0, f"N={N} must be a multiple of tile_n={tile_n}"
     dsub = centroids.shape[2]
     qs = q.reshape(B, m, dsub)
     table = jnp.einsum("bmd,mkd->bmk", qs, centroids,
                        preferred_element_type=jnp.float32)  # [B, m, ksub]
-    # gather-sum over codes: one-hot-free indexing
-    idx = codes.astype(jnp.int32)  # [N, m]
-    # scores[b, n] = sum_j table[b, j, idx[n, j]]
-    scores = jnp.sum(
-        jnp.take_along_axis(
-            table[:, None, :, :],                    # [B, 1, m, ksub]
-            idx[None, :, :, None],                   # [1, N, m, 1]
-            axis=3,
-        )[:, :, :, 0],
-        axis=-1,
-    )  # [B, N]
-    scores = scores + bias[None, :]
-    return jax.lax.top_k(scores, k)
+    code_tiles = codes.reshape(N // tile_n, tile_n, m)
+    bias_tiles = bias.reshape(N // tile_n, tile_n)
+
+    def step(carry, inp):
+        top_s, top_i = carry
+        ct, bt, base = inp
+        idx = ct.astype(jnp.int32)  # [tile_n, m]
+        s = jnp.sum(
+            jnp.take_along_axis(
+                table[:, None, :, :],            # [B, 1, m, ksub]
+                idx[None, :, :, None],           # [1, tile_n, m, 1]
+                axis=3,
+            )[:, :, :, 0],
+            axis=-1,
+        ) + bt[None, :]                          # [B, tile_n]
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
+        return merge_topk(top_s, top_i, s, ids, k), None
+
+    init = (
+        jnp.full((B, k), NEG_INF, jnp.float32),
+        jnp.full((B, k), -1, jnp.int32),
+    )
+    bases = jnp.arange(N // tile_n, dtype=jnp.int32) * tile_n
+    (top_s, top_i), _ = jax.lax.scan(
+        step, init, (code_tiles, bias_tiles, bases)
+    )
+    return top_s, top_i
 
 
 __all__ = ["PQCodebook", "pq_train", "pq_encode", "pq_decode", "pq_adc_topk"]

@@ -45,7 +45,7 @@ def test_pq_adc_recall_vs_exact(rng):
     book = pq_train(jnp.asarray(x), m=m, nbits=8, n_iters=8)
     codes = pq_encode(jnp.asarray(x), book.centroids)
     bias = jnp.zeros((N,), jnp.float32)
-    s, i = pq_adc_topk(jnp.asarray(q), codes, book.centroids, bias, k)
+    s, i = pq_adc_topk(jnp.asarray(q), codes, book.centroids, bias, k, tile_n=512)
     exact = np.asarray(jnp.asarray(q) @ jnp.asarray(x).T)
     ref_i = np.argsort(-exact, axis=1)[:, :k]
     assert recall_at_k(np.asarray(i), ref_i) >= 0.5  # ADC-only, no rescore
@@ -59,5 +59,5 @@ def test_pq_adc_respects_bias(rng):
     bias = np.zeros((N,), np.float32)
     bias[:128] = -1e30  # tombstone the first half
     s, i = pq_adc_topk(jnp.asarray(x[:2]), codes, book.centroids,
-                       jnp.asarray(bias), 5)
+                       jnp.asarray(bias), 5, tile_n=256)
     assert (np.asarray(i) >= 128).all()
