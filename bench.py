@@ -35,7 +35,9 @@ def main() -> None:
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu:
-        N, D, B, K, tile_n, tile_b = 1_000_000, 768, 1024, 10, 2048, 256
+        # B=2048 measured 29k QPS vs 20.6k at B=1024 (same compiled kernel
+        # family; the corpus is read once per dispatch regardless of B)
+        N, D, B, K, tile_n, tile_b = 1_000_000, 768, 2048, 10, 2048, 256
         dtype, iters = jnp.bfloat16, 4
     else:
         N, D, B, K, tile_n, tile_b = 100_000, 384, 256, 10, 2048, 8
