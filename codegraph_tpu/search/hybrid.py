@@ -77,8 +77,13 @@ class HybridSearch:
 
     def _adjacency(self):
         if self._adj is None:
+            import jax.numpy as jnp
+
             csr = self.store.csr()
-            self._adj = csr.padded_adjacency(max_deg=self.max_deg)
+            nbr, wgt = csr.padded_adjacency(max_deg=self.max_deg)
+            # device-resident: converting per query would re-upload the
+            # [n, max_deg] tables on every search
+            self._adj = (jnp.asarray(nbr), jnp.asarray(wgt))
         return self._adj
 
     # -- query path --------------------------------------------------------
