@@ -8,6 +8,8 @@ with dp x tp sharding via pjit + XLA collectives.
 """
 
 from codegraph_tpu.parallel.mesh import make_mesh, default_mesh_shape
+from codegraph_tpu.parallel.pipeline import pp_encode
+from codegraph_tpu.parallel.sharded_ivf import ShardedIVFIndex
 from codegraph_tpu.parallel.sharded_search import (
     ShardedFlatIndex,
     ShardedInt8Index,
@@ -20,6 +22,8 @@ __all__ = [
     "default_mesh_shape",
     "ShardedFlatIndex",
     "ShardedInt8Index",
+    "ShardedIVFIndex",
+    "pp_encode",
     "sharded_topk",
     "sharded_topk_int8",
 ]

@@ -129,3 +129,45 @@ def test_sharded_int8_index_recall(rng):
     s, i = idx.search(x[450:453], 5)
     assert (i[:, 0] == np.arange(450, 453)).all()
     assert (i[i >= 0] >= 450).all()
+
+
+def test_sharded_ivf_full_probe_exact(rng):
+    from codegraph_tpu.parallel.mesh import make_mesh
+    from codegraph_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+    mesh = make_mesh((8,), ("data",))
+    N, D, B, k = 800, 48, 5, 10
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    idx = ShardedIVFIndex(D, mesh, nlist=16, nprobe=16, kmeans_iters=4,
+                          dtype="float32")
+    idx.train(x)
+    idx.add(x)
+    # full local probe (nlist/shards = 2 cells per shard) == exact
+    s, i = idx.search(q, k, nprobe=16)
+    _, ref_i = cosine_oracle(q, x, k)
+    np.testing.assert_array_equal(np.sort(i, axis=1), np.sort(ref_i, axis=1))
+
+
+def test_sharded_ivf_partial_probe_recall(rng):
+    from codegraph_tpu.parallel.mesh import make_mesh
+    from codegraph_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+    mesh = make_mesh((8,), ("data",))
+    D = 32
+    centers = rng.standard_normal((16, D)).astype(np.float32) * 3
+    x = (centers[rng.integers(0, 16, 1600)]
+         + rng.standard_normal((1600, D)).astype(np.float32) * 0.3)
+    q = x[rng.choice(1600, 6, replace=False)] + 0.01
+    idx = ShardedIVFIndex(D, mesh, nlist=32, nprobe=2, kmeans_iters=6,
+                          dtype="float32")
+    idx.train(x)
+    rows = idx.add(x)
+    s, i = idx.search(q, 10)
+    _, ref_i = cosine_oracle(q, x, 10)
+    hits = sum(len(set(a) & set(b)) for a, b in zip(i, ref_i))
+    assert hits / ref_i.size >= 0.85  # nprobe=2 per shard = 16 cells total
+    # deletes tombstone through to the sharded tensors
+    idx.delete(rows[:800])
+    s, i = idx.search(x[800:803], 5)
+    assert (i[i >= 0] >= 800).all()
