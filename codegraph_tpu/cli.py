@@ -77,8 +77,12 @@ def cmd_estimate(args, cfg: CodeGraphConfig) -> int:
     from codegraph_tpu.indexer.estimation import RepositoryEstimator
 
     cfg.project_root = args.path
-    est = RepositoryEstimator(cfg).analyze(args.path)
-    print(json.dumps(est.to_dict(), indent=2))
+    estimator = RepositoryEstimator(cfg)
+    est = estimator.analyze(args.path)
+    out = est.to_dict()
+    if estimator.index_plan is not None:
+        out["recommended_index"] = estimator.index_plan.to_dict()
+    print(json.dumps(out, indent=2))
     return 0
 
 

@@ -58,6 +58,7 @@ class RepositoryEstimate:
 class RepositoryEstimator:
     def __init__(self, config: Optional[CodeGraphConfig] = None):
         self.config = config or CodeGraphConfig()
+        self.index_plan = None  # set by analyze(): recommended index config
 
     def analyze(self, root: Optional[str] = None) -> RepositoryEstimate:
         root = root or self.config.project_root
@@ -80,6 +81,11 @@ class RepositoryEstimator:
         )
         symbols = len({n.name for n in nodes})
         rate = _PROVIDER_RATES.get(self.config.embedding.provider, 100.0)
+        from codegraph_tpu.utils.tuning import plan_index
+
+        self.index_plan = plan_index(
+            max(len(plan.chunks), 1), self.config.embedding.dimension
+        )
         return RepositoryEstimate(
             files=pstats.parsed,
             lines=pstats.lines,
