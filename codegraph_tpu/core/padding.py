@@ -8,7 +8,6 @@ Lane width is 128; sublane depends on dtype (f32: 8, bf16: 16, int8: 32).
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 

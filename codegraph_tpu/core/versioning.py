@@ -9,7 +9,7 @@ immutable+interned, so only the version machinery carries over).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
 

@@ -16,7 +16,7 @@ import sys
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import Dict, Optional
+from typing import Dict
 
 from codegraph_tpu.core.config import CodeGraphConfig
 from codegraph_tpu.mcp.process import clear_pid, is_alive, read_pid, write_pid

@@ -10,8 +10,8 @@ adjacency; cost decays with distance so direct callers outrank
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Set
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Set
 
 from codegraph_tpu.core.types import EDGE_TYPE_CODES, EdgeType
 from codegraph_tpu.graph.store import GraphStore

@@ -12,7 +12,7 @@ Tarjan — which is also the representation the device boost kernel shares.
 from __future__ import annotations
 
 from collections import deque
-from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -17,12 +17,12 @@ import logging
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from codegraph_tpu.core.config import CodeGraphConfig
-from codegraph_tpu.core.types import CodeChunk, CodeNode, content_hash
+from codegraph_tpu.core.types import CodeChunk, CodeNode
 from codegraph_tpu.graph.store import GraphStore
 from codegraph_tpu.index.flat import FlatIndex
 from codegraph_tpu.index.int8_flat import Int8FlatIndex

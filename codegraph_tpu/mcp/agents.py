@@ -16,10 +16,10 @@ import json
 import logging
 import math
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 from codegraph_tpu.core.errors import ProviderUnavailable
-from codegraph_tpu.mcp.llm import ChatResponse, LLMProvider, ToolCall
+from codegraph_tpu.mcp.llm import LLMProvider, ToolCall
 from codegraph_tpu.mcp.tools import TOOL_SCHEMAS, GraphToolExecutor
 from codegraph_tpu.utils.debug_logger import DebugLogger
 

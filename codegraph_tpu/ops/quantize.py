@@ -18,7 +18,7 @@ top candidates (config 2), exactly like the reference's rescore stage
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

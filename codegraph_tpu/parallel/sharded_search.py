@@ -31,7 +31,6 @@ with warnings.catch_warnings():
 
 from codegraph_tpu.core.errors import DimensionMismatch
 from codegraph_tpu.core.padding import round_up
-from codegraph_tpu.ops.similarity import l2_normalize
 from codegraph_tpu.ops.topk import NEG_INF, streaming_topk
 
 

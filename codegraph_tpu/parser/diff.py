@@ -13,9 +13,9 @@ from __future__ import annotations
 
 import difflib
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Set, Tuple
+from typing import List, Sequence, Set
 
-from codegraph_tpu.core.types import CodeNode, Language
+from codegraph_tpu.core.types import Language
 from codegraph_tpu.parser.extractors import ExtractionResult, extract_file
 
 

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import fnmatch
 import os
-from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
 from codegraph_tpu.core.types import EXTENSION_LANGUAGES

@@ -14,7 +14,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import logging
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from codegraph_tpu.core.types import Language, content_hash, language_for_path

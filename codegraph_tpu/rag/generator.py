@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 from codegraph_tpu.core.types import SearchResult
 from codegraph_tpu.rag.query_processor import ProcessedQuery, QueryType

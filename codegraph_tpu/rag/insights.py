@@ -8,7 +8,7 @@ the agent tools.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from codegraph_tpu.graph.queries import GraphQueries
 

@@ -7,7 +7,7 @@ Popularity feeds back from answer usage (rag_system.rs:381).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List
 
 from codegraph_tpu.core.types import SearchResult

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 from codegraph_tpu.rag.generator import GeneratedResponse, ResponseGenerator
 from codegraph_tpu.rag.query_processor import QueryProcessor

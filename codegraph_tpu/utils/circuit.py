@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import time
 from enum import Enum
-from typing import Optional
 
 
 class CircuitState(str, Enum):
