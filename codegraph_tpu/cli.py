@@ -179,6 +179,29 @@ def cmd_daemon(args, cfg: CodeGraphConfig) -> int:
     return 0
 
 
+def cmd_secret(args, cfg: CodeGraphConfig) -> int:
+    """Encrypted API-key storage (reference: config.rs crypto secrets)."""
+    from codegraph_tpu.core.secrets import SecretStore
+
+    store = SecretStore()
+    if args.action == "set":
+        import getpass
+
+        value = args.value or getpass.getpass(f"value for {args.name}: ")
+        store.set(args.name, value)
+        print(json.dumps({"stored": args.name}))
+    elif args.action == "get":
+        val = store.get(args.name)
+        print(val if val is not None else "")
+        return 0 if val is not None else 1
+    elif args.action == "delete":
+        store.delete(args.name)
+        print(json.dumps({"deleted": args.name}))
+    else:
+        print(json.dumps({"secrets": store.names()}))
+    return 0
+
+
 def cmd_stats(args, cfg: CodeGraphConfig) -> int:
     indexer = _build_indexer(cfg)
     out = {
@@ -235,6 +258,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("stats", help="store/index/cache statistics")
     sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("secret", help="encrypted API-key storage")
+    sp.add_argument("action", choices=["set", "get", "delete", "list"])
+    sp.add_argument("name", nargs="?", default="")
+    sp.add_argument("value", nargs="?", default="")
+    sp.set_defaults(fn=cmd_secret)
     return p
 
 

@@ -40,6 +40,20 @@ class ChatResponse:
     usage: Dict[str, int] = field(default_factory=dict)
 
 
+def _secret(name: str) -> str:
+    """API keys: env var first, encrypted SecretStore fallback
+    (core/secrets.py; reference config.rs crypto module)."""
+    val = os.environ.get(name, "")
+    if val:
+        return val
+    try:
+        from codegraph_tpu.core.secrets import SecretStore
+
+        return SecretStore().get(name) or ""
+    except Exception:
+        return ""
+
+
 class LLMProvider:
     """Interface: chat(messages) and chat_with_tools(messages, tools)."""
 
@@ -87,10 +101,10 @@ class AnthropicProvider(LLMProvider):
     name = "anthropic"
 
     def is_available(self) -> bool:
-        return bool(os.environ.get(self.cfg.api_key_env or "ANTHROPIC_API_KEY"))
+        return bool(_secret(self.cfg.api_key_env or "ANTHROPIC_API_KEY"))
 
     def chat_with_tools(self, messages, tools) -> ChatResponse:
-        key = os.environ.get(self.cfg.api_key_env or "ANTHROPIC_API_KEY", "")
+        key = _secret(self.cfg.api_key_env or "ANTHROPIC_API_KEY")
         base = self.cfg.base_url or "https://api.anthropic.com"
         system = "\n".join(
             m["content"] for m in messages if m["role"] == "system"
@@ -141,12 +155,12 @@ class OpenAICompatibleProvider(LLMProvider):
 
     def is_available(self) -> bool:
         if self.cfg.api_key_env:
-            return bool(os.environ.get(self.cfg.api_key_env))
+            return bool(_secret(self.cfg.api_key_env))
         return bool(self.cfg.base_url)
 
     def chat_with_tools(self, messages, tools) -> ChatResponse:
         headers = {}
-        key = os.environ.get(self.cfg.api_key_env or "OPENAI_API_KEY", "")
+        key = _secret(self.cfg.api_key_env or "OPENAI_API_KEY")
         if key:
             headers["Authorization"] = f"Bearer {key}"
         body: Dict[str, Any] = {

@@ -95,3 +95,28 @@ def test_cli_config_dump(project):
     cfg = json.loads(r.stdout)
     assert cfg["embedding"]["provider"] == "hash"
     assert cfg["embedding"]["dimension"] == 64
+
+
+def test_cli_secret_roundtrip(project, tmp_path):
+    env_dir = str(tmp_path / "cfgdir")
+    import subprocess, sys as _sys
+
+    def run_secret(args, **kw):
+        env = os.environ.copy()
+        env["JAX_PLATFORMS"] = "cpu"
+        env["CODEGRAPH_CONFIG_DIR"] = env_dir
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        return subprocess.run(
+            [_sys.executable, "-m", "codegraph_tpu.cli", "secret", *args],
+            capture_output=True, text=True, timeout=60, env=env,
+        )
+
+    r = run_secret(["set", "TEST_KEY", "abc123"])
+    assert r.returncode == 0, r.stderr
+    r = run_secret(["get", "TEST_KEY"])
+    assert r.stdout.strip() == "abc123"
+    r = run_secret(["list"])
+    assert "TEST_KEY" in r.stdout
+    r = run_secret(["delete", "TEST_KEY"])
+    r = run_secret(["get", "TEST_KEY"])
+    assert r.returncode == 1
