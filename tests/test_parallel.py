@@ -171,3 +171,37 @@ def test_sharded_ivf_partial_probe_recall(rng):
     idx.delete(rows[:800])
     s, i = idx.search(x[800:803], 5)
     assert (i[i >= 0] >= 800).all()
+
+
+def test_hybrid_search_over_sharded_index(rng):
+    """The full hybrid pipeline runs unchanged over a mesh-sharded index."""
+    from codegraph_tpu.core.types import (CodeChunk, CodeNode, Language,
+                                          Location, NodeType)
+    from codegraph_tpu.graph.store import GraphStore
+    from codegraph_tpu.models.providers import HashProvider
+    from codegraph_tpu.parallel.mesh import make_mesh
+    from codegraph_tpu.parallel.sharded_search import ShardedFlatIndex
+    from codegraph_tpu.search.bm25 import BM25Index
+    from codegraph_tpu.search.hybrid import HybridSearch
+
+    mesh = make_mesh((8,), ("data",))
+    store = GraphStore()
+    provider = HashProvider(64)
+    texts = {f"handler_{i}": f"def handler_{i}(req): processes request type {i}"
+             for i in range(40)}
+    nodes = [CodeNode.make("p", n, NodeType.FUNCTION, Language.PYTHON,
+                           Location(f"{n}.py", 1, 3), content=t)
+             for n, t in texts.items()]
+    store.upsert_nodes(nodes)
+    chunks = [CodeChunk.make(n.id, texts[n.name], 0, 1) for n in nodes]
+    rows = store.upsert_chunks(chunks)
+    index = ShardedFlatIndex(64, mesh, tile_n=64)
+    got = index.build(provider.embed_texts([c.text for c in chunks]))
+    np.testing.assert_array_equal(got, rows)
+    bm25 = BM25Index()
+    for n in nodes:
+        bm25.add(n.row, f"{n.name} {n.content}")
+
+    hs = HybridSearch(store, index, provider, bm25)
+    results = hs.search_text("processes request type 7", limit=3)
+    assert results and results[0].name == "handler_7"
