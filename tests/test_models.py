@@ -221,3 +221,39 @@ def test_encoder_remat_matches_and_trains():
         return jnp.sum(encode(p, ids, mask, cfg_r))
     g = jax.grad(loss)(params)
     assert np.isfinite(np.asarray(g["tok_emb"]).sum())
+
+
+def test_cross_encoder_scores_and_rerank(tmp_path):
+    from codegraph_tpu.models.cross_encoder import (
+        CrossEncoder,
+        save_cross_encoder,
+    )
+
+    ce = CrossEncoder(hidden=32, n_layers=1, max_len=64)
+    scores = ce.score_pairs("parse the file", ["def parse_file(p)",
+                                               "class HttpServer",
+                                               "def render_page(c)"])
+    assert scores.shape == (3,)
+    assert np.isfinite(scores).all()
+    # deterministic
+    scores2 = ce.score_pairs("parse the file", ["def parse_file(p)",
+                                                "class HttpServer",
+                                                "def render_page(c)"])
+    np.testing.assert_allclose(scores, scores2, atol=1e-5)
+
+    # batched rerank over SearchResult-likes
+    from codegraph_tpu.core.types import SearchResult
+
+    results = [SearchResult(node_id=str(i), chunk_id="", score=0.5,
+                            name=f"fn{i}", snippet=f"body {i}")
+               for i in range(5)]
+    out = ce.rerank_batch("query", results, k=3)
+    assert len(out) == 3
+    assert out[0].score >= out[1].score >= out[2].score
+
+    # checkpoint roundtrip
+    path = str(tmp_path / "ce.npz")
+    save_cross_encoder(path, ce)
+    ce2 = CrossEncoder(hidden=32, n_layers=1, max_len=64, checkpoint=path)
+    scores3 = ce2.score_pairs("parse the file", ["def parse_file(p)"])
+    np.testing.assert_allclose(scores[:1], scores3, atol=1e-4)
