@@ -130,6 +130,44 @@ def make_sharded_train_step(
     return step_fn, init_fn
 
 
+def cross_encoder_loss(
+    params, head, batch: Dict[str, jax.Array], cfg: EncoderConfig
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Pairwise binary cross-entropy for the cross-encoder reranker
+    (models/cross_encoder.py): batch carries tokenized (query+doc) pairs
+    and 0/1 relevance labels."""
+    cls = encode(params, batch["pair_ids"], batch["pair_mask"], cfg,
+                 normalize=False)
+    logits = cls @ head["w"] + head["b"]
+    labels = batch["labels"].astype(jnp.float32)
+    loss = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+    acc = jnp.mean(((logits > 0) == (labels > 0.5)).astype(jnp.float32))
+    return loss, {"loss": loss, "accuracy": acc}
+
+
+def make_cross_encoder_train_step(cfg: EncoderConfig, tcfg: TrainConfig):
+    """Single-host train step over (encoder params, head). Returns
+    (step_fn, optimizer) — step_fn(state, batch) -> (state, metrics)
+    where state = ((params, head), opt_state)."""
+    optimizer = make_optimizer(tcfg)
+
+    @jax.jit
+    def step(state, batch):
+        (params, head), opt_state = state
+
+        def loss_fn(ph):
+            return cross_encoder_loss(ph[0], ph[1], batch, cfg)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (params, head)
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, (params, head))
+        params, head = optax.apply_updates((params, head), updates)
+        return ((params, head), opt_state), metrics
+
+    return step, optimizer
+
+
 def save_train_state(path: str, params, opt_state, step: int) -> None:
     """Checkpoint the full train state (orbax StandardCheckpointer —
     the rebuild's answer to the reference's training persistence,

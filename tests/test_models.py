@@ -257,3 +257,40 @@ def test_cross_encoder_scores_and_rerank(tmp_path):
     ce2 = CrossEncoder(hidden=32, n_layers=1, max_len=64, checkpoint=path)
     scores3 = ce2.score_pairs("parse the file", ["def parse_file(p)"])
     np.testing.assert_allclose(scores[:1], scores3, atol=1e-4)
+
+
+def test_cross_encoder_training_learns(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from codegraph_tpu.models.cross_encoder import CrossEncoder
+    from codegraph_tpu.models.training import (
+        TrainConfig,
+        make_cross_encoder_train_step,
+    )
+
+    ce = CrossEncoder(hidden=32, n_layers=1, max_len=48)
+    # synthetic relevance: (query, matching doc) = 1, mismatched = 0
+    pairs, labels = [], []
+    verbs = ["parse", "render", "cache", "merge"]
+    for v in verbs:
+        for w in verbs:
+            pairs.append(ce._pair_text(f"{v} the data", f"def {w}_data(x)"))
+            labels.append(1 if v == w else 0)
+    ids, mask = ce.tokenizer.encode_batch(pairs)
+    batch = {"pair_ids": jnp.asarray(ids), "pair_mask": jnp.asarray(mask),
+             "labels": jnp.asarray(labels)}
+
+    step, opt = make_cross_encoder_train_step(
+        ce.cfg, TrainConfig(learning_rate=3e-3)
+    )
+    state = ((ce.params, ce.head), opt.init((ce.params, ce.head)))
+    accs = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        accs.append(float(metrics["accuracy"]))
+    assert accs[-1] >= 0.9  # memorizes the toy relevance rule
+    (ce.params, ce.head), _ = state
+    s_match = ce.score_pairs("parse the data", ["def parse_data(x)"])[0]
+    s_mismatch = ce.score_pairs("parse the data", ["def cache_data(x)"])[0]
+    assert s_match > s_mismatch
