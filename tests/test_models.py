@@ -286,10 +286,11 @@ def test_cross_encoder_training_learns(tmp_path):
     )
     state = ((ce.params, ce.head), opt.init((ce.params, ce.head)))
     accs = []
-    for _ in range(30):
+    for _ in range(80):
         state, metrics = step(state, batch)
         accs.append(float(metrics["accuracy"]))
     assert accs[-1] >= 0.9  # memorizes the toy relevance rule
+    assert accs[-1] > accs[0]
     (ce.params, ce.head), _ = state
     s_match = ce.score_pairs("parse the data", ["def parse_data(x)"])[0]
     s_mismatch = ce.score_pairs("parse the data", ["def cache_data(x)"])[0]
