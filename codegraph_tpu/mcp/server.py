@@ -232,7 +232,8 @@ class MCPServer:
                 self.initialized = True
                 return ok({
                     "protocolVersion": PROTOCOL_VERSION,
-                    "capabilities": {"tools": {}, "prompts": {}},
+                    "capabilities": {"tools": {}, "prompts": {},
+                                     "resources": {}},
                     "serverInfo": SERVER_INFO,
                 })
             if method == "notifications/initialized":
@@ -241,6 +242,41 @@ class MCPServer:
                 return ok({})
             if method == "tools/list":
                 return ok({"tools": self.list_tools()})
+            if method == "resources/list":
+                # indexed files as MCP resources, hub files first
+                store = self.tools.queries.store
+                hub_files = []
+                try:
+                    for h in self.tools.queries.hub_nodes(limit=10)["hubs"]:
+                        if h["file_path"] not in hub_files:
+                            hub_files.append(h["file_path"])
+                except Exception:
+                    pass
+                files = hub_files + [
+                    p for p in sorted(store.file_metadata) if p not in hub_files
+                ]
+                return ok({"resources": [
+                    {"uri": f"codegraph://file/{p}", "name": p,
+                     "mimeType": "text/plain"}
+                    for p in files[:200]
+                ]})
+            if method == "resources/read":
+                uri = params.get("uri", "")
+                prefix = "codegraph://file/"
+                if not uri.startswith(prefix):
+                    return err(-32602, f"unknown resource uri: {uri}")
+                path = uri[len(prefix):]
+                store = self.tools.queries.store
+                if path not in store.file_metadata:
+                    return err(-32602, f"file not indexed: {path}")
+                try:
+                    with open(path, encoding="utf-8", errors="replace") as f:
+                        text = f.read()
+                except OSError as exc:
+                    return err(-32603, f"read failed: {exc}")
+                return ok({"contents": [{
+                    "uri": uri, "mimeType": "text/plain", "text": text,
+                }]})
             if method == "prompts/list":
                 from codegraph_tpu.mcp.prompts import AnalysisType
 

@@ -313,3 +313,26 @@ def test_mcp_prompts_endpoints(indexed):
         "params": {"name": "nope"},
     })
     assert "error" in bad
+
+
+def test_mcp_resources_endpoints(indexed):
+    indexer, cfg = indexed
+    server = MCPServer(make_executor(indexer), cfg)
+    lst = server.handle_message(
+        {"jsonrpc": "2.0", "id": 1, "method": "resources/list"}
+    )
+    resources = lst["result"]["resources"]
+    assert resources
+    uri = resources[0]["uri"]
+    assert uri.startswith("codegraph://file/")
+    got = server.handle_message({
+        "jsonrpc": "2.0", "id": 2, "method": "resources/read",
+        "params": {"uri": uri},
+    })
+    text = got["result"]["contents"][0]["text"]
+    assert "add_numbers" in text
+    bad = server.handle_message({
+        "jsonrpc": "2.0", "id": 3, "method": "resources/read",
+        "params": {"uri": "codegraph://file/nope.py"},
+    })
+    assert "error" in bad
