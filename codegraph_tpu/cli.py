@@ -101,7 +101,12 @@ def _make_server(cfg: CodeGraphConfig):
 
     indexer = _build_indexer(cfg)
     queries = GraphQueries(indexer.store)
-    reranker = RerankerPipeline(indexer.provider)
+    cross_encoder = None
+    if cfg.search.reranker == "cross_encoder":
+        from codegraph_tpu.models.cross_encoder import CrossEncoder
+
+        cross_encoder = CrossEncoder()
+    reranker = RerankerPipeline(indexer.provider, cross_encoder=cross_encoder)
     tools = GraphToolExecutor(queries, indexer.search, reranker)
     return MCPServer(tools, cfg)
 

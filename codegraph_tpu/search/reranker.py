@@ -137,7 +137,13 @@ class LLMReranker:
 
 
 class RerankerPipeline:
-    """embedding top-100 -> cross-score top-20 -> (LLM) top-10."""
+    """embedding top-100 -> cross-score top-20 -> (LLM) top-10.
+
+    Stage 2 accepts either a (query, text) -> float scorer (lexical
+    default, external APIs) or a batched model with
+    `rerank_batch(query, results, k)` — the on-chip cross-encoder
+    (models/cross_encoder.py) scores every candidate in one dispatch.
+    """
 
     def __init__(
         self,
@@ -145,16 +151,22 @@ class RerankerPipeline:
         llm=None,
         config: Optional[RerankerConfig] = None,
         cross_scorer: Optional[Callable[[str, str], float]] = None,
+        cross_encoder=None,
     ):
         self.config = config or RerankerConfig()
         self.stage1 = EmbeddingReranker(provider)
+        self.cross_encoder = cross_encoder
         self.stage2 = CrossScorerReranker(cross_scorer)
         self.stage3 = LLMReranker(llm) if (llm and self.config.use_llm) else None
 
     def rerank(self, query: str, results: List[SearchResult]) -> List[SearchResult]:
         c = self.config
         out = self.stage1.rerank(query, results[: c.stage1_k], c.stage2_k)
-        out = self.stage2.rerank(query, out, c.stage3_k if self.stage3 else c.stage2_k)
+        k2 = c.stage3_k if self.stage3 else c.stage2_k
+        if self.cross_encoder is not None:
+            out = self.cross_encoder.rerank_batch(query, out, k2)
+        else:
+            out = self.stage2.rerank(query, out, k2)
         if self.stage3:
             out = self.stage3.rerank(query, out, c.stage3_k)
         return out

@@ -195,3 +195,16 @@ def test_bm25_native_path_matches_python(rng):
         BM25Index.NATIVE_THRESHOLD = 2000
     for d, s in got:
         assert abs(s - all_python[d]) < 1e-4
+
+
+def test_reranker_pipeline_with_cross_encoder():
+    from codegraph_tpu.models.cross_encoder import CrossEncoder
+
+    store, index, provider, bm25 = build_corpus()
+    hs = HybridSearch(store, index, provider, bm25)
+    results = hs.search_text("parse source file", limit=3)
+    ce = CrossEncoder(hidden=32, n_layers=1, max_len=64)
+    rr = RerankerPipeline(provider, cross_encoder=ce)
+    out = rr.rerank("parse source file", results)
+    assert out and len(out) <= len(results)
+    assert all(hasattr(r, "score") for r in out)
