@@ -123,11 +123,31 @@ class EncoderProvider(EmbeddingProvider):
         )
         from codegraph_tpu.models.tokenizer import VOCAB_SIZE
 
-        n_heads = next(h for h in (12, 8, 6, 4, 2, 1) if dimension % h == 0)
-        self.cfg = EncoderConfig(
-            vocab_size=VOCAB_SIZE, hidden=dimension, n_heads=n_heads,
-            max_len=max_len,
-        )
+        if checkpoint and os.path.exists(checkpoint):
+            # architecture is implied by the checkpoint's array shapes
+            self.params = load_encoder_checkpoint(checkpoint)
+            tok_emb = self.params["tok_emb"]
+            wqkv = self.params["layers"]["wqkv"]
+            w_up = self.params["layers"]["w_up"]
+            hidden = int(tok_emb.shape[1])
+            dimension = hidden
+            max_len = int(self.params["pos_emb"].shape[0])
+            n_layers = int(wqkv.shape[0])
+            mlp_ratio = int(w_up.shape[2] // hidden)
+            n_heads = next(h for h in (12, 8, 6, 4, 2, 1) if hidden % h == 0)
+            self.cfg = EncoderConfig(
+                vocab_size=int(tok_emb.shape[0]), hidden=hidden,
+                n_layers=n_layers, n_heads=n_heads, mlp_ratio=mlp_ratio,
+                max_len=max_len,
+            )
+            self.dimension = dimension
+        else:
+            n_heads = next(h for h in (12, 8, 6, 4, 2, 1) if dimension % h == 0)
+            self.cfg = EncoderConfig(
+                vocab_size=VOCAB_SIZE, hidden=dimension, n_heads=n_heads,
+                max_len=max_len,
+            )
+            self.params = init_encoder_params(jax.random.PRNGKey(seed), self.cfg)
         self.tokenizer = ByteTokenizer(max_len=max_len)
         self._encode = encode_jit
         self.buckets = (
@@ -135,10 +155,6 @@ class EncoderProvider(EmbeddingProvider):
             + [max_len]
             if bucketing else [max_len]
         )
-        if checkpoint and os.path.exists(checkpoint):
-            self.params = load_encoder_checkpoint(checkpoint)
-        else:
-            self.params = init_encoder_params(jax.random.PRNGKey(seed), self.cfg)
 
     def _bucket_for(self, text: str) -> int:
         need = self.tokenizer.count_tokens(text)
@@ -337,15 +353,32 @@ _PROVIDERS = {
 }
 
 
+def _default_checkpoint() -> Optional[str]:
+    """The shipped seed checkpoint (trained on code/docstring pairs,
+    benchmarks/train_on_repo.py); env/model-path overrides win."""
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(here, "checkpoints", "encoder_seed.npz")
+    return path if os.path.exists(path) else None
+
+
 def make_provider(name: str, ecfg: EmbeddingConfig) -> EmbeddingProvider:
     cls = _PROVIDERS.get(name)
     if cls is None:
         raise ProviderUnavailable(f"unknown provider {name!r}")
     if cls is EncoderProvider:
+        # embedding.model may point at an .npz checkpoint; otherwise use
+        # the shipped seed checkpoint when present
+        ckpt = None
+        if ecfg.model and ecfg.model.endswith(".npz"):
+            ckpt = ecfg.model
+        elif ecfg.model in ("", "minilm-l6", "seed"):
+            ckpt = _default_checkpoint()
         return EncoderProvider(
             dimension=ecfg.dimension,
             batch_size=ecfg.batch_size,
             max_len=ecfg.max_chunk_tokens,
+            checkpoint=ckpt,
         )
     return cls(dimension=ecfg.dimension, batch_size=ecfg.batch_size)
 

@@ -295,3 +295,43 @@ def test_cross_encoder_training_learns(tmp_path):
     s_match = ce.score_pairs("parse the data", ["def parse_data(x)"])[0]
     s_mismatch = ce.score_pairs("parse the data", ["def cache_data(x)"])[0]
     assert s_match > s_mismatch
+
+
+def test_encoder_provider_infers_config_from_checkpoint(tmp_path):
+    import jax
+
+    from codegraph_tpu.models.encoder import EncoderConfig, init_encoder_params
+    from codegraph_tpu.models.providers import (
+        EncoderProvider,
+        save_encoder_checkpoint,
+    )
+    from codegraph_tpu.models.tokenizer import VOCAB_SIZE
+
+    cfg = EncoderConfig(vocab_size=VOCAB_SIZE, hidden=48, n_layers=3,
+                        n_heads=4, mlp_ratio=2, max_len=96)
+    params = init_encoder_params(jax.random.PRNGKey(3), cfg)
+    ckpt = str(tmp_path / "custom.npz")
+    save_encoder_checkpoint(ckpt, params)
+    # requested dimension is overridden by the checkpoint architecture
+    p = EncoderProvider(dimension=999, batch_size=4, checkpoint=ckpt)
+    assert p.dimension == 48
+    assert p.cfg.n_layers == 3 and p.cfg.mlp_ratio == 2 and p.cfg.max_len == 96
+    e = p.embed_texts(["infer me"])
+    assert e.shape == (1, 48)
+
+
+def test_seed_checkpoint_loads_if_present():
+    import os
+
+    from codegraph_tpu.core.config import CodeGraphConfig
+    from codegraph_tpu.models.providers import _default_checkpoint, create_provider
+
+    ckpt = _default_checkpoint()
+    if ckpt is None:
+        pytest.skip("seed checkpoint not shipped in this tree")
+    cfg = CodeGraphConfig()
+    cfg.embedding.provider = "encoder"
+    p = create_provider(cfg)
+    assert p.dimension == 256  # seed checkpoint architecture
+    e = p.embed_texts(["def parse_file(path): ..."])
+    assert e.shape == (1, 256)
