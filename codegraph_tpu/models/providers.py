@@ -355,11 +355,15 @@ _PROVIDERS = {
 
 def _default_checkpoint() -> Optional[str]:
     """The shipped seed checkpoint (trained on code/docstring pairs,
-    benchmarks/train_on_repo.py); env/model-path overrides win."""
+    benchmarks/train_on_repo.py); env/model-path overrides win. Prefers
+    the TPU-trained 4L/384 (held-out desc->code recall@1 0.91)."""
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    path = os.path.join(here, "checkpoints", "encoder_seed.npz")
-    return path if os.path.exists(path) else None
+    for name in ("encoder_seed_384.npz", "encoder_seed.npz"):
+        path = os.path.join(here, "checkpoints", name)
+        if os.path.exists(path):
+            return path
+    return None
 
 
 def make_provider(name: str, ecfg: EmbeddingConfig) -> EmbeddingProvider:
