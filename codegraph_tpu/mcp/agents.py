@@ -157,8 +157,15 @@ class LatsAgent:
         max_iterations: int = 6,
         expansion_width: int = 2,
         max_depth: int = 4,
+        propose_llm: Optional[LLMProvider] = None,
+        evaluate_llm: Optional[LLMProvider] = None,
     ):
+        # per-phase LLM routing (reference: autoagents provider_router.rs
+        # multi-LLM per LATS phase): a cheap model can propose/evaluate
+        # while a strong one writes the final answer
         self.llm = llm
+        self.propose_llm = propose_llm or llm
+        self.evaluate_llm = evaluate_llm or llm
         self.tools = tools
         self.max_iterations = max_iterations
         self.expansion_width = expansion_width
@@ -177,7 +184,7 @@ class LatsAgent:
             f"Available tools: {', '.join(TOOL_SCHEMAS)}. JSON only."
         )
         try:
-            reply = self.llm.complete(prompt)
+            reply = self.propose_llm.complete(prompt)
             start, end = reply.find("["), reply.rfind("]")
             actions = json.loads(reply[start : end + 1])
             return [
@@ -195,7 +202,7 @@ class LatsAgent:
             "Rate 0-10 how useful this evidence is for the task. Number only."
         )
         try:
-            reply = self.llm.complete(prompt)
+            reply = self.evaluate_llm.complete(prompt)
             for tok in reply.replace("/", " ").split():
                 try:
                     return min(max(float(tok), 0.0), 10.0) / 10.0

@@ -406,6 +406,14 @@ class HybridEmbeddingPipeline(EmbeddingProvider):
     def is_available(self) -> bool:
         return any(p.is_available() for p in self.providers)
 
+    def most_reliable(self) -> EmbeddingProvider:
+        """Lowest failure count, throughput as tie-break (reference:
+        ProviderHealthChecker::select_most_reliable, providers.rs:268)."""
+        return min(
+            self.providers,
+            key=lambda p: (p.metrics.failures, -p.metrics.texts_per_second),
+        )
+
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         now = time.monotonic()
         errors = []
