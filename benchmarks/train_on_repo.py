@@ -44,9 +44,45 @@ def harvest_pairs(root: str, max_pairs: int = 2000):
     return pairs
 
 
+def synth_pairs(n: int, rng) -> list:
+    """Template synthetics for vocabulary coverage beyond one repo."""
+    verbs = ["parse", "render", "compute", "validate", "serialize", "fetch",
+             "cache", "merge", "encode", "decode", "route", "schedule",
+             "compress", "filter", "sort", "hash", "index", "train",
+             "search", "resolve", "upload", "download", "retry", "batch"]
+    nouns = ["config", "request", "invoice", "token", "graph", "payload",
+             "session", "metric", "snapshot", "index", "template", "batch",
+             "record", "packet", "schema", "bucket", "vector", "document",
+             "queue", "cache", "header", "response", "chunk", "embedding"]
+    langs = [
+        ("def {v}_{o}(data):\n    return impl.{v}(data.{o})", "python"),
+        ("pub fn {v}_{o}(data: &Data) -> Result<{O}> {{ impl::{v}(&data.{o}) }}", "rust"),
+        ("function {v}{O}(data) {{ return impl.{v}(data.{o}); }}", "javascript"),
+        ("func {V}{O}(data Data) {O} {{ return impl.{V}(data.{O}) }}", "go"),
+    ]
+    descs = ["{v}s the {o}", "{v} a {o} record", "apply {v} to the {o}",
+             "helper that {v}s each {o}"]
+    out, seen = [], set()
+    while len(out) < n:
+        v, o = rng.choice(verbs), rng.choice(nouns)
+        tmpl, _ = rng.choice(langs)
+        d = rng.choice(descs)
+        key = (v, o, tmpl, d)
+        if key in seen:
+            continue
+        seen.add(key)
+        code = tmpl.format(v=v, o=o, V=v.capitalize(), O=o.capitalize())
+        out.append((code, d.format(v=v, o=o)))
+        if len(seen) >= len(verbs) * len(nouns) * len(langs) * len(descs):
+            break
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--root", default=".")
+    parser.add_argument("--synth", type=int, default=0,
+                        help="add N template-synthetic pairs")
     parser.add_argument("--steps", type=int, default=150)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--hidden", type=int, default=256)
@@ -68,6 +104,8 @@ def main() -> None:
 
     rng = random.Random(0)
     pairs = harvest_pairs(args.root)
+    if args.synth:
+        pairs += synth_pairs(args.synth, rng)
     rng.shuffle(pairs)
     print(f"harvested {len(pairs)} pairs", flush=True)
     held = pairs[: args.holdout]
