@@ -11,6 +11,14 @@ SPMD realization: every device runs the same tick loop; validity masking
 (jnp.where) replaces per-stage control flow, and out-of-window compute is
 wasted-but-harmless (the bubble). Gradients flow through ppermute, so
 jax.grad of a loss on the output trains all stages.
+
+Composite pp x tp (`pp_tp_encode`): within each pipeline stage the layer
+math runs Megatron-style over a second "tp" mesh axis — wq/wk/wv and
+w_up column-sharded (each tp device owns n_heads/tp heads / F/tp MLP
+columns), wo and w_down row-sharded with an explicit psum over tp after
+each row-parallel matmul. The pp ring (ppermute) and the tp reductions
+(psum) are orthogonal mesh axes, so K chips split as pp*tp: depth over
+pp, per-layer width over tp.
 """
 
 from __future__ import annotations
@@ -44,11 +52,50 @@ def pipeline_param_shardings(cfg: EncoderConfig) -> Dict[str, Any]:
     specs["layers"] = jax.tree.map(
         relayer, specs["layers"], is_leaf=lambda s: isinstance(s, P)
     )
-    # drop tp axis names (pure-pp layout); composite pp x tp is future work
+    # drop tp axis names: this is the pure-pp layout (composite pp x tp
+    # runs through pp_encode(tp_axis=...), which manages tp manually)
     def drop_tp(spec):
         return P(*[a if a == "pp" else None for a in spec])
 
     return jax.tree.map(drop_tp, specs, is_leaf=lambda s: isinstance(s, P))
+
+
+def _attention_tp(x, wq, wk, wv, wo, attn_bias, cfg, tp_axis):
+    """Megatron attention inside shard_map: wq/wk/wv column-sharded over
+    tp (this shard computes n_heads/tp heads), wo row-sharded with an
+    explicit psum. x: [B, L, H] replicated over tp."""
+    B, L, H = x.shape
+    hd = cfg.head_dim
+    nh_l = wq.shape[1] // hd
+
+    def proj(w):
+        y = jnp.einsum("blh,hk->blk", x, w.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return y.astype(x.dtype).reshape(B, L, nh_l, hd)
+
+    q, k_, v = proj(wq), proj(wk), proj(wv)
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k_,
+                        preferred_element_type=jnp.float32)
+    logits = logits / jnp.sqrt(jnp.float32(hd)) + attn_bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v,
+                     preferred_element_type=jnp.float32)
+    ctx = ctx.astype(x.dtype).reshape(B, L, nh_l * hd)
+    out = jnp.einsum("blh,hk->blk", ctx, wo.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return jax.lax.psum(out, tp_axis).astype(x.dtype)
+
+
+def _mlp_tp(x, w_up, b_up, w_down, b_down, tp_axis):
+    """Megatron MLP inside shard_map: w_up column-sharded (local gelu),
+    w_down row-sharded + psum; b_down added once after the reduction."""
+    h = jnp.einsum("blh,hf->blf", x, w_up.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h.astype(jnp.float32) + b_up).astype(x.dtype)
+    out = jnp.einsum("blf,fh->blh", h, w_down.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    out = jax.lax.psum(out, tp_axis)
+    return (out + b_down).astype(x.dtype)
 
 
 def pp_encode(
@@ -59,14 +106,20 @@ def pp_encode(
     mesh: Mesh,
     n_micro: int,
     pp_axis: str = "pp",
+    tp_axis: str | None = None,
     normalize: bool = True,
 ) -> jax.Array:
     """Pipeline-parallel forward: [B, L] -> [B, H] pooled embeddings.
 
-    cfg.n_layers must divide by the pp mesh size; B by n_micro.
+    cfg.n_layers must divide by the pp mesh size; B by n_micro. With
+    tp_axis, each stage's layer math additionally runs Megatron-style
+    tensor-parallel over that mesh axis (composite pp x tp).
     """
     pp = mesh.shape[pp_axis]
     assert cfg.n_layers % pp == 0, "n_layers must divide by pipeline stages"
+    tp = mesh.shape[tp_axis] if tp_axis else 1
+    if tp_axis:
+        assert cfg.n_heads % tp == 0 and cfg.mlp_hidden % tp == 0
     B, L = token_ids.shape
     assert B % n_micro == 0
     Bm = B // n_micro
@@ -83,14 +136,45 @@ def pp_encode(
     micro_x = x.reshape(n_micro, Bm, L, cfg.hidden)
     micro_ab = attn_bias_all.reshape(n_micro, Bm, 1, 1, L)
 
+    # composite layout: split the fused wqkv into per-projection weights
+    # so contiguous tp column shards land on whole heads ((nh, hd) column
+    # order), and give every leaf an explicit (pp, tp) spec
+    layers = params["layers"]
+    if tp_axis:
+        nh, hd, H = cfg.n_heads, cfg.head_dim, cfg.hidden
+        w3 = layers["wqkv"].reshape(cfg.n_layers, H, 3, nh * hd)
+        layers = {k: v for k, v in layers.items() if k != "wqkv"}
+        layers["wq"] = w3[:, :, 0]
+        layers["wk"] = w3[:, :, 1]
+        layers["wv"] = w3[:, :, 2]
+        layer_specs = {
+            "ln1_scale": P(pp_axis, None), "ln1_bias": P(pp_axis, None),
+            "wq": P(pp_axis, None, tp_axis), "wk": P(pp_axis, None, tp_axis),
+            "wv": P(pp_axis, None, tp_axis), "wo": P(pp_axis, tp_axis, None),
+            "ln2_scale": P(pp_axis, None), "ln2_bias": P(pp_axis, None),
+            "w_up": P(pp_axis, None, tp_axis), "b_up": P(pp_axis, tp_axis),
+            "w_down": P(pp_axis, tp_axis, None), "b_down": P(pp_axis, None),
+        }
+    else:
+        layer_specs = P(pp_axis)  # prefix: shard every depth axis over pp
+
     def _stage(local_layers, h, ab):
         """Apply this device's layer slice to one microbatch."""
 
         def layer(h, lp):
             z = _layer_norm(h, lp["ln1_scale"], lp["ln1_bias"], cfg.eps)
-            h = h + _attention(z, lp["wqkv"], lp["wo"], ab, cfg)
+            if tp_axis:
+                h = h + _attention_tp(z, lp["wq"], lp["wk"], lp["wv"],
+                                      lp["wo"], ab, cfg, tp_axis)
+            else:
+                h = h + _attention(z, lp["wqkv"], lp["wo"], ab, cfg)
             z = _layer_norm(h, lp["ln2_scale"], lp["ln2_bias"], cfg.eps)
-            h = h + _mlp(z, lp["w_up"], lp["b_up"], lp["w_down"], lp["b_down"])
+            if tp_axis:
+                h = h + _mlp_tp(z, lp["w_up"], lp["b_up"], lp["w_down"],
+                                lp["b_down"], tp_axis)
+            else:
+                h = h + _mlp(z, lp["w_up"], lp["b_up"],
+                             lp["w_down"], lp["b_down"])
             return h, None
 
         h, _ = jax.lax.scan(layer, h, local_layers)
@@ -132,11 +216,10 @@ def pp_encode(
 
     out = shard_map(
         _pipeline, mesh=mesh,
-        in_specs=(P(pp_axis), P(None), P(None)),  # prefix spec: every
-        # layer leaf shards its depth axis over the pipeline stages
+        in_specs=(layer_specs, P(None), P(None)),
         out_specs=P(None),
         check_rep=False,
-    )(params["layers"], micro_x, micro_ab)
+    )(layers, micro_x, micro_ab)
 
     x = out.reshape(B, L, cfg.hidden)
     x = _layer_norm(x, params["ln_out_scale"], params["ln_out_bias"], cfg.eps)

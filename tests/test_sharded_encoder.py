@@ -105,3 +105,39 @@ def test_pipeline_parallel_matches_dense(rng):
     g = jax.grad(loss)(params)
     per_layer = np.abs(np.asarray(g["layers"]["wqkv"])).sum(axis=(1, 2))
     assert (per_layer > 0).all()  # every pipeline stage received gradient
+
+
+def test_pipeline_tensor_composite_matches_dense(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from codegraph_tpu.models.encoder import (
+        EncoderConfig,
+        encode,
+        init_encoder_params,
+    )
+    from codegraph_tpu.models.tokenizer import VOCAB_SIZE, ByteTokenizer
+    from codegraph_tpu.parallel.mesh import make_mesh
+    from codegraph_tpu.parallel.pipeline import pp_encode
+
+    cfg = EncoderConfig(vocab_size=VOCAB_SIZE, hidden=64, n_layers=2,
+                        n_heads=4, max_len=32, dtype=jnp.float32)
+    params = init_encoder_params(jax.random.PRNGKey(3), cfg)
+    tok = ByteTokenizer(max_len=32)
+    ids, mask = tok.encode_batch([f"composite stage {i}" for i in range(8)])
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    dense = np.asarray(encode(params, ids, mask, cfg))
+    mesh = make_mesh((2, 4), ("pp", "tp"))
+    out = np.asarray(pp_encode(params, ids, mask, cfg, mesh,
+                               n_micro=4, tp_axis="tp"))
+    np.testing.assert_allclose(dense, out, atol=1e-5)
+
+    # gradients reach every stage through the composite layout too
+    def loss(p):
+        return jnp.sum(pp_encode(p, ids, mask, cfg, mesh,
+                                 n_micro=4, tp_axis="tp"))
+
+    g = jax.grad(loss)(params)
+    per_layer = np.abs(np.asarray(g["layers"]["wqkv"])).sum(axis=(1, 2))
+    assert (per_layer > 0).all()
