@@ -357,6 +357,109 @@ def streaming_topk_pallas_qmajor(
     return out_s[:, :k], out_i[:, :k]
 
 
+# ---------------------------------------------------------------------------
+# Query-major kernel over a TRANSPOSED corpus [D, N]
+# ---------------------------------------------------------------------------
+
+
+def _flat_topk_qmajor_xt_kernel(
+    q_ref, xt_ref, bias_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k: int,
+    k_pad: int, tile_n: int, tile_b: int
+):
+    """Same schedule as _flat_topk_qmajor_kernel but the corpus block is
+    [D, tile_n]: the tile dot is q @ xt (contracting (1, 0)) — the
+    natural [M,K]x[K,N] MXU orientation, so Mosaic never has to
+    transpose the streamed operand in registers."""
+    i = pl.program_id(0)          # N tile (outer)
+    j = pl.program_id(1)          # B tile (inner)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_s[pl.ds(j * tile_b, tile_b), :] = jnp.full(
+            (tile_b, k_pad), NEG_INF, jnp.float32
+        )
+        acc_i[pl.ds(j * tile_b, tile_b), :] = jnp.full(
+            (tile_b, k_pad), -1, jnp.int32
+        )
+
+    s = jax.lax.dot_general(
+        q_ref[:], xt_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[:]
+
+    row = pl.ds(j * tile_b, tile_b)
+    new_s, new_i = _threshold_merge(
+        s, i * tile_n, acc_s[row, :], acc_i[row, :], k, k_pad
+    )
+    acc_s[row, :] = new_s
+    acc_i[row, :] = new_i
+
+    @pl.when(i == n_i - 1)
+    def _():
+        out_s_ref[:] = acc_s[row, :]
+        out_i_ref[:] = acc_i[row, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "tile_b", "interpret")
+)
+def streaming_topk_pallas_qmajor_xt(
+    q: jax.Array,
+    xt: jax.Array,
+    bias: jax.Array,
+    k: int,
+    tile_n: int = DEFAULT_TILE_N,
+    tile_b: int = 64,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Query-major streaming top-k over a PRE-TRANSPOSED corpus xt [D, N].
+
+    Identical results to streaming_topk_pallas_qmajor(q, xt.T, ...); the
+    [D, tile_n] blocks feed the MXU in its native orientation. Callers
+    that own the corpus layout (FlatIndex) can store xt once and avoid
+    any per-call transpose.
+    """
+    B, D = q.shape
+    N = xt.shape[1]
+    assert N % tile_n == 0 and B % tile_b == 0
+    k_pad = _round_up(max(k, 1), LANE)
+    grid = (N // tile_n, B // tile_b)
+    kernel = functools.partial(
+        _flat_topk_qmajor_xt_kernel, k=k, k_pad=k_pad, tile_n=tile_n,
+        tile_b=tile_b,
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, k_pad), jnp.float32),
+            pltpu.VMEM((B, k_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=B * D * 4 + N * D * 4 + N * 4 + 2 * B * k_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, xt, bias.reshape(1, N))
+    return out_s[:, :k], out_i[:, :k]
+
+
 __all__ = [
     "NEG_INF",
     "exact_topk",
@@ -364,4 +467,5 @@ __all__ = [
     "streaming_topk",
     "streaming_topk_pallas",
     "streaming_topk_pallas_qmajor",
+    "streaming_topk_pallas_qmajor_xt",
 ]

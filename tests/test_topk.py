@@ -120,3 +120,25 @@ def test_qmajor_pallas_matches_exact(rng):
     )
     np.testing.assert_array_equal(np.asarray(ie), np.asarray(ip))
     np.testing.assert_allclose(np.asarray(se), np.asarray(sp), atol=1e-4)
+
+
+def test_qmajor_xt_pallas_matches_exact(rng):
+    import jax.numpy as jnp
+
+    from codegraph_tpu.ops.topk import (
+        exact_topk,
+        streaming_topk_pallas_qmajor_xt,
+    )
+
+    N, D, B, k = 768, 64, 64, 7
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    bias = np.zeros((N,), np.float32)
+    bias[:100] = -1e30
+    se, ie = exact_topk(jnp.asarray(q), jnp.asarray(x), k, jnp.asarray(bias))
+    sp, ip = streaming_topk_pallas_qmajor_xt(
+        jnp.asarray(q), jnp.asarray(np.ascontiguousarray(x.T)),
+        jnp.asarray(bias), k, tile_n=256, tile_b=16, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ie), np.asarray(ip))
+    np.testing.assert_allclose(np.asarray(se), np.asarray(sp), atol=1e-4)
