@@ -171,6 +171,11 @@ class IVFIndex:
         self._x, self._ids, self._bias = x, ids, bias
         self.list_cap = list_cap
 
+    def _store_values(self, v: jax.Array, cells: np.ndarray) -> jax.Array:
+        """What a cell stores per row — subclasses reshape this (IVFPQ
+        stores residual codes instead of the vectors themselves)."""
+        return v.astype(self.dtype)
+
     def add(self, vectors: np.ndarray) -> np.ndarray:
         """Assign to nearest cell (with capacity-bounded spill) and append.
 
@@ -229,7 +234,7 @@ class IVFIndex:
                 fill[c] += 1
         cells_j = jnp.asarray(assign.astype(np.int32))
         pos_j = jnp.asarray(pos.astype(np.int32))
-        self._x = _scatter2(self._x, cells_j, pos_j, v.astype(self.dtype))
+        self._x = _scatter2(self._x, cells_j, pos_j, self._store_values(v, assign))
         self._ids = _scatter2(
             self._ids, cells_j, pos_j, jnp.asarray(rows.astype(np.int32))
         )

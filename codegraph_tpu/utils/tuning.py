@@ -16,12 +16,14 @@ import math
 
 @dataclasses.dataclass
 class IndexPlan:
-    kind: str           # flat | ivf
+    kind: str           # flat | ivf | ivfpq
     dtype: str          # float32 | bfloat16 | int8
     tile_n: int
     nlist: int = 0
     nprobe: int = 0
     rescore_k: int = 0
+    pq_m: int = 0       # ivfpq: bytes per row
+    refine: str = ""    # ivfpq: none | int8 | f32 host rescore store
     reason: str = ""
 
     def to_dict(self):
@@ -50,9 +52,12 @@ def plan_index(
     * matrix won't fit in budget at bf16: int8 + f32-rescore (config 2).
     * >= 2M rows: IVF (config 3) — nlist ~ 4*sqrt(N) rounded to a power
       of two, nprobe scaled by target recall.
+    * int8 matrix over budget (~100M x 768): IVF-PQ — m-byte residual
+      codes in HBM + int8 host refine store.
     """
     f32_bytes = n_vectors * dim * 4
     bf16_bytes = n_vectors * dim * 2
+    int8_bytes = n_vectors * dim
 
     if n_vectors < 200_000 and f32_bytes <= hbm_budget_bytes:
         return IndexPlan(
@@ -75,6 +80,17 @@ def plan_index(
     # starting point for clustered data, sweep refines it
     frac = 0.01 + 0.08 * max(0.0, target_recall - 0.9)
     nprobe = max(8, min(nlist, int(nlist * frac)))
+    if int8_bytes > hbm_budget_bytes:
+        # even 1 byte/dim won't fit: compress rows to m-byte residual PQ
+        # codes (index/ivfpq.py) and keep an int8 refine store in host RAM
+        pq_m = max(8, dim // 8)
+        return IndexPlan(
+            kind="ivfpq", dtype="int8", tile_n=_tile_n(n_vectors),
+            nlist=nlist, nprobe=nprobe, rescore_k=100,
+            pq_m=pq_m, refine="int8",
+            reason=(f"int8 matrix over HBM budget: IVF-PQ m={pq_m} "
+                    f"nlist={nlist} nprobe={nprobe} + int8 host refine"),
+        )
     return IndexPlan(
         kind="ivf", dtype="bfloat16", tile_n=_tile_n(n_vectors),
         nlist=nlist, nprobe=nprobe, rescore_k=100,

@@ -1,0 +1,116 @@
+"""IVF-PQ (index/ivfpq.py): residual-quantized cells — compression
+ratio, recall vs the exact oracle, full-probe behavior, tombstones."""
+
+import numpy as np
+import pytest
+
+from codegraph_tpu.core.errors import IndexNotBuilt
+from codegraph_tpu.index.ivfpq import IVFPQIndex
+
+from tests.test_ivf_index import clustered_data, cosine_oracle, recall_at_k
+
+
+def test_ivfpq_full_probe_recall(rng):
+    # nprobe == nlist leaves only PQ quantization error: top-1 self-hits
+    # are exact, tail ranking degrades gracefully (~0.7 on random data
+    # where neighbor margins are at chance level)
+    x = rng.standard_normal((800, 64)).astype(np.float32)
+    q = x[:8] + rng.standard_normal((8, 64)).astype(np.float32) * 0.01
+    idx = IVFPQIndex(64, nlist=16, nprobe=16, m=16, kmeans_iters=5,
+                     pq_iters=8)
+    idx.train(x)
+    idx.add(x)
+    s, i = idx.search(q, 10)
+    _, ref_i = cosine_oracle(q, x, 10)
+    assert recall_at_k(i, ref_i) >= 0.6
+    assert (i[:, 0] == np.arange(8)).all()  # near-duplicate self-hit
+
+
+def test_ivfpq_refine_restores_recall(rng):
+    # within tight clusters PQ residual distortion is on the order of
+    # the neighbor margins; the host rescore of the candidate set
+    # restores fine ranking (FAISS-refine recipe). This synthetic set
+    # has neighbor margins ~1e-4 — below int8 resolution (~4e-3), so
+    # the f32 refine tier is the one that recovers the exact ranking.
+    x = clustered_data(rng, 32, 64, 48)  # 2048 points
+    q = x[rng.choice(len(x), 8, replace=False)] + 0.01
+    _, ref_i = cosine_oracle(q, x, 10)
+
+    plain = IVFPQIndex(48, nlist=32, nprobe=8, m=12, kmeans_iters=8,
+                       pq_iters=8)
+    plain.train(x)
+    plain.add(x)
+    _, i_plain = plain.search(q, 10)
+
+    refined = IVFPQIndex(48, nlist=32, nprobe=8, m=12, kmeans_iters=8,
+                         pq_iters=8, refine="f32", refine_factor=16)
+    refined.train(x)
+    refined.add(x)
+    _, i_ref = refined.search(q, 10)
+
+    r_plain = recall_at_k(i_plain, ref_i)
+    r_ref = recall_at_k(i_ref, ref_i)
+    assert r_ref >= 0.85
+    assert r_ref >= r_plain
+    st = refined.stats()
+    assert st["refine"] == "f32" and st["host_bytes_per_row"] == 192
+
+    # int8 refine: same recipe, 4x less host RAM, margin floor ~4e-3
+    r8 = IVFPQIndex(48, nlist=32, nprobe=8, m=12, kmeans_iters=8,
+                    pq_iters=8, refine="int8", refine_factor=16)
+    r8.train(x)
+    r8.add(x)
+    _, i8 = r8.search(q, 10)
+    assert r8.stats()["host_bytes_per_row"] == 52
+    assert recall_at_k(i8, ref_i) >= r_plain - 0.05
+
+
+def test_ivfpq_compression_and_stats(rng):
+    x = rng.standard_normal((512, 64)).astype(np.float32)
+    idx = IVFPQIndex(64, nlist=8, nprobe=8, m=8, kmeans_iters=4, pq_iters=4)
+    idx.train(x)
+    idx.add(x)
+    st = idx.stats()
+    assert st["m"] == 8 and st["bytes_per_row"] == 16
+    # cells hold uint8 codes, not vectors: 8 bytes/row vs 256
+    assert idx._x.dtype == np.uint8
+    assert idx._x.shape[2] == 8
+
+
+def test_ivfpq_delete_tombstones(rng):
+    x = rng.standard_normal((400, 32)).astype(np.float32)
+    q = x[:4] + 0.001
+    idx = IVFPQIndex(32, nlist=8, nprobe=8, m=8, kmeans_iters=4, pq_iters=6)
+    idx.train(x)
+    rows = idx.add(x)
+    _, i0 = idx.search(q, 1)
+    assert (i0[:, 0] == np.arange(4)).all()
+    idx.delete(rows[:4])
+    _, i1 = idx.search(q, 5)
+    assert not np.isin(np.arange(4), i1).any()
+    assert len(idx) == 396
+
+
+def test_ivfpq_add_before_train_raises(rng):
+    idx = IVFPQIndex(16, nlist=4, m=4)
+    with pytest.raises(IndexNotBuilt):
+        idx.add(rng.standard_normal((8, 16)).astype(np.float32))
+
+
+def test_ivfpq_dim_not_divisible_raises():
+    with pytest.raises(ValueError):
+        IVFPQIndex(65, nlist=4, m=4)
+
+
+def test_ivfpq_nprobe_sweep_monotone(rng):
+    x = clustered_data(rng, 16, 32, 32)
+    q = x[rng.choice(len(x), 8, replace=False)] + 0.01
+    idx = IVFPQIndex(32, nlist=16, m=8, kmeans_iters=5, pq_iters=6)
+    idx.train(x)
+    idx.add(x)
+    _, ref_i = cosine_oracle(q, x, 10)
+    recalls = []
+    for nprobe in (1, 4, 16):
+        _, i = idx.search(q, 10, nprobe=nprobe)
+        recalls.append(recall_at_k(i, ref_i))
+    assert recalls[-1] >= recalls[0] - 1e-9

@@ -34,3 +34,14 @@ def test_apply_plan():
     plan = plan_index(10_000_000, 768)
     apply_plan(cfg, plan)
     assert cfg.index.kind == "ivf" and cfg.index.nlist == plan.nlist
+
+
+def test_plan_ivfpq_for_hbm_overflow():
+    from codegraph_tpu.utils.tuning import plan_index
+
+    # 100M x 768: int8 matrix alone is 76.8GB >> budget -> IVF-PQ
+    plan = plan_index(100_000_000, 768, hbm_budget_bytes=8 << 30)
+    assert plan.kind == "ivfpq"
+    assert plan.pq_m == 96
+    assert plan.refine == "int8"
+    assert plan.nlist > 0 and plan.nprobe > 0
