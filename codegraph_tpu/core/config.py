@@ -43,7 +43,7 @@ class EmbeddingConfig:
 class IndexConfig:
     """Vector index layout + search knobs."""
 
-    kind: str = "flat"  # flat | ivf
+    kind: str = "flat"  # flat | ivf | ivfpq
     metric: str = "cosine"  # cosine | dot
     dtype: str = "float32"  # float32 | bfloat16 | int8
     capacity: int = 0  # 0 = size to corpus, padded
@@ -51,6 +51,9 @@ class IndexConfig:
     nlist: int = 4096
     nprobe: int = 64
     kmeans_iters: int = 10
+    # IVF-PQ (index/ivfpq.py): m-byte residual codes + host refine store
+    pq_m: int = 96
+    pq_refine: str = "int8"  # none | int8 | f32
     # int8 rescore (reference BASELINE config 2: rescore top-100 in f32)
     rescore_k: int = 100
 
@@ -162,7 +165,7 @@ class CodeGraphConfig:
         if self.embedding.dimension <= 0:
             warnings.append("embedding.dimension must be > 0; using 384")
             self.embedding.dimension = 384
-        if self.index.kind not in ("flat", "ivf"):
+        if self.index.kind not in ("flat", "ivf", "ivfpq"):
             warnings.append(f"index.kind {self.index.kind!r} unknown; using flat")
             self.index.kind = "flat"
         if self.index.metric not in ("cosine", "dot"):

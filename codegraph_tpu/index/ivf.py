@@ -200,8 +200,11 @@ class IVFIndex:
 
         top2 = np.asarray(assign_clusters_topk(
             v_pad, self._centroids, mask, tile_n=tile,
-            metric="cosine" if self.metric == "cosine" else "dot", top=2,
+            metric="cosine" if self.metric == "cosine" else "dot",
+            top=min(2, self.nlist),
         ))[:n]
+        if top2.shape[1] == 1:  # nlist == 1: no second choice to spill to
+            top2 = np.repeat(top2, 2, axis=1)
 
         # bounded capacity: never grow past the capacity factor
         target_cap = max(

@@ -167,8 +167,12 @@ class IVFPQIndex(IVFIndex):
             metric="cosine" if self.metric == "cosine" else "dot",
         )[: v.shape[0]]
         residuals = v - jnp.take(self._centroids, assign, axis=0)
+        # tiny corpora: shrink codebooks so ksub <= train rows
+        nbits_eff = self.nbits
+        while (1 << nbits_eff) > v.shape[0] and nbits_eff > 1:
+            nbits_eff -= 1
         self._books = pq_train(
-            residuals, self.m, nbits=self.nbits, n_iters=self.pq_iters,
+            residuals, self.m, nbits=nbits_eff, n_iters=self.pq_iters,
             seed=self.seed,
         ).centroids
 

@@ -64,6 +64,17 @@ class IndexStats:
 def _make_index(cfg: CodeGraphConfig):
     icfg = cfg.index
     dim = cfg.embedding.dimension
+    if icfg.kind == "ivfpq":
+        from codegraph_tpu.index.ivfpq import IVFPQIndex
+
+        m = icfg.pq_m if dim % icfg.pq_m == 0 else max(
+            d for d in range(1, min(icfg.pq_m, dim) + 1) if dim % d == 0
+        )
+        return IVFPQIndex(
+            dim, nlist=icfg.nlist, nprobe=icfg.nprobe, m=m,
+            metric=icfg.metric, kmeans_iters=icfg.kmeans_iters,
+            refine=icfg.pq_refine,
+        )
     if icfg.kind == "ivf":
         return IVFIndex(
             dim, nlist=icfg.nlist, nprobe=icfg.nprobe, metric=icfg.metric,

@@ -69,18 +69,33 @@ def pq_train(
     return PQCodebook(centroids=jnp.stack(books))
 
 
-@functools.partial(jax.jit, static_argnames=())
-def pq_encode(x: jax.Array, centroids: jax.Array) -> jax.Array:
-    """[N, D] -> [N, m] uint8 codes (nearest centroid per subspace by L2)."""
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def pq_encode(
+    x: jax.Array, centroids: jax.Array, tile_n: int = 32_768
+) -> jax.Array:
+    """[N, D] -> [N, m] uint8 codes (nearest centroid per subspace by L2).
+
+    Streams over row tiles: the [tile, m, ksub] distance block is the
+    working set (a flat [N, m, ksub] would be 51GB at 512k x 96 x 256)."""
     N, D = x.shape
     m, ksub, dsub = centroids.shape
-    xs = x.reshape(N, m, dsub)
-    # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over ksub
-    dots = jnp.einsum("nmd,mkd->nmk", xs, centroids,
-                      preferred_element_type=jnp.float32)
     c_sq = jnp.sum(jnp.square(centroids), axis=-1)  # [m, ksub]
-    dist = c_sq[None, :, :] - 2.0 * dots
-    return jnp.argmin(dist, axis=-1).astype(jnp.uint8)
+
+    def encode_tile(xt):
+        xs = xt.reshape(xt.shape[0], m, dsub)
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over ksub
+        dots = jnp.einsum("nmd,mkd->nmk", xs, centroids,
+                          preferred_element_type=jnp.float32)
+        dist = c_sq[None, :, :] - 2.0 * dots
+        return jnp.argmin(dist, axis=-1).astype(jnp.uint8)
+
+    if N <= tile_n:
+        return encode_tile(x)
+    pad = (-N) % tile_n
+    xp = jnp.concatenate([x, jnp.zeros((pad, D), x.dtype)]) if pad else x
+    tiles = xp.reshape(-1, tile_n, D)
+    codes = jax.lax.map(encode_tile, tiles)
+    return codes.reshape(-1, m)[:N]
 
 
 @jax.jit

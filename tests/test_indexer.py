@@ -193,3 +193,20 @@ def test_index_project_int8_config(project):
     indexer.index_project(str(project))
     results = indexer.search.search_text("add two numbers", limit=3)
     assert any(r.name == "add_numbers" for r in results)
+
+
+def test_index_project_ivfpq_config(project):
+    cfg = make_cfg(project)
+    cfg.index.kind = "ivfpq"
+    cfg.index.pq_m = 16
+    cfg.index.pq_refine = "f32"
+    indexer = ProjectIndexer(cfg)
+    from codegraph_tpu.index.ivfpq import IVFPQIndex
+
+    assert isinstance(indexer.index, IVFPQIndex)
+    indexer.index_project(str(project))
+    # tiny corpus: nlist shrank and codebooks clamped below 2^8
+    assert indexer.index.nlist <= len(indexer.index)
+    assert indexer.index._books.shape[1] <= 256
+    results = indexer.search.search_text("add two numbers", limit=3)
+    assert any(r.name == "add_numbers" for r in results)
