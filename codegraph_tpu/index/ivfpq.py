@@ -64,20 +64,42 @@ def ivfpq_search_kernel(
     table = jnp.einsum("bmd,mkd->bmk", q.reshape(B, m, dsub), books,
                        preferred_element_type=jnp.float32)  # [B, m, ksub]
 
+    # per-query cell gathers are the memory hot spot: [tile_b, cap, m]
+    # int32 is ~120MB at tile_b=128, cap=2442, m=96 — tiling B bounds the
+    # working set (a flat B=1024 gather peaked ~1GB/step and could crash
+    # the worker at high nprobe)
+    tile_b = min(B, 128)
+    pad_b = (-B) % tile_b
+
     def step(carry, p):
         top_s, top_i = carry
         cell = probe_ids[:, p]                              # [B]
-        ct = jnp.take(code_lists, cell, axis=0).astype(jnp.int32)
+
+        def score_tile(args):
+            cell_t, table_t = args
+            ct = jnp.take(code_lists, cell_t, axis=0).astype(jnp.int32)
+            adc = jnp.sum(
+                jnp.take_along_axis(
+                    table_t[:, None, :, :],   # [tb, 1, m, ksub]
+                    ct[:, :, :, None],        # [tb, cap, m, 1]
+                    axis=3,
+                )[..., 0],
+                axis=-1,
+            )                                               # [tb, cap]
+            return adc
+
+        if pad_b:
+            cell_p = jnp.concatenate([cell, jnp.zeros((pad_b,), cell.dtype)])
+            table_p = jnp.concatenate(
+                [table, jnp.zeros((pad_b, m, ksub), table.dtype)])
+        else:
+            cell_p, table_p = cell, table
+        adc = jax.lax.map(score_tile, (
+            cell_p.reshape(-1, tile_b),
+            table_p.reshape(-1, tile_b, m, ksub),
+        )).reshape(-1, code_lists.shape[1])[:B]             # [B, cap]
         it = jnp.take(id_lists, cell, axis=0)               # [B, cap]
         bt = jnp.take(bias_lists, cell, axis=0)             # [B, cap]
-        adc = jnp.sum(
-            jnp.take_along_axis(
-                table[:, None, :, :],   # [B, 1, m, ksub]
-                ct[:, :, :, None],      # [B, cap, m, 1]
-                axis=3,
-            )[..., 0],
-            axis=-1,
-        )                                                   # [B, cap]
         s = probe_s[:, p][:, None] + adc + bt
         return merge_topk(top_s, top_i, s, it, k), None
 
