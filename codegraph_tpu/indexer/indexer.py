@@ -337,6 +337,8 @@ class ProjectIndexer:
                 arrays["r"] = np.asarray(r, np.float32)
             save_arrays(directory, arrays, meta)
         elif isinstance(self.index, IVFIndex):
+            from codegraph_tpu.index.ivfpq import IVFPQIndex
+
             cents, x, ids, bias = self.index.arrays()
             if x is None:
                 return
@@ -345,12 +347,26 @@ class ProjectIndexer:
                 "list_cap": self.index.list_cap,
                 "fill": self.index._fill.tolist(),
             })
-            save_arrays(directory, {
+            arrays = {
                 "centroids": np.asarray(cents),
-                "x_lists": np.asarray(x, np.float32),
                 "id_lists": np.asarray(ids),
                 "bias_lists": np.asarray(bias),
-            }, meta)
+            }
+            if isinstance(self.index, IVFPQIndex):
+                # cells hold uint8 residual codes; the codebooks must
+                # persist alongside them (and NOT be cast to f32 cells)
+                meta["kind"] = "ivfpq"
+                meta["m"] = self.index.m
+                arrays["code_lists"] = np.asarray(x)  # uint8
+                arrays["books"] = np.asarray(self.index._books, np.float32)
+                if self.index._raw_chunks:  # host refine store
+                    arrays["refine_rows"] = np.concatenate(
+                        self.index._raw_chunks)
+                    arrays["refine_scales"] = np.concatenate(
+                        self.index._raw_scales)
+            else:
+                arrays["x_lists"] = np.asarray(x, np.float32)
+            save_arrays(directory, arrays, meta)
 
     def load(self, directory: Optional[str] = None) -> None:
         directory = directory or str(self.config.resolved_data_dir())
@@ -370,15 +386,30 @@ class ProjectIndexer:
                     arrays["q"], arrays["s"], arrays.get("r"),
                     arrays["bias"], int(meta["n_rows"]), int(meta["n_live"]),
                 )
-            elif kind == "ivf" and isinstance(self.index, IVFIndex):
+            elif kind in ("ivf", "ivfpq") and isinstance(self.index, IVFIndex):
                 import jax.numpy as jnp
 
                 idx = self.index
                 idx._centroids = jnp.asarray(arrays["centroids"])
-                idx._x = jnp.asarray(arrays["x_lists"], idx.dtype)
+                if kind == "ivfpq":
+                    from codegraph_tpu.index.ivfpq import IVFPQIndex
+
+                    assert isinstance(idx, IVFPQIndex), (
+                        "snapshot is ivfpq but configured index is ivf"
+                    )
+                    idx._x = jnp.asarray(arrays["code_lists"])  # uint8
+                    idx._books = jnp.asarray(arrays["books"])
+                    if "refine_rows" in arrays:
+                        idx._raw_chunks = [np.asarray(arrays["refine_rows"])]
+                        idx._raw_scales = [
+                            np.asarray(arrays["refine_scales"])]
+                else:
+                    idx._x = jnp.asarray(arrays["x_lists"], idx.dtype)
                 idx._ids = jnp.asarray(arrays["id_lists"])
                 idx._bias = jnp.asarray(arrays["bias_lists"])
                 idx.list_cap = int(meta["list_cap"])
+                idx.nlist = int(meta.get("nlist", idx.nlist))
+                idx.nprobe = min(idx.nprobe, idx.nlist)
                 idx.n_rows = int(meta["n_rows"])
                 idx.n_live = int(meta["n_live"])
                 idx._fill = np.asarray(meta["fill"], np.int64)

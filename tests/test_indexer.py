@@ -210,3 +210,29 @@ def test_index_project_ivfpq_config(project):
     assert indexer.index._books.shape[1] <= 256
     results = indexer.search.search_text("add two numbers", limit=3)
     assert any(r.name == "add_numbers" for r in results)
+
+
+def test_save_load_roundtrip_ivfpq(project):
+    def mk():
+        cfg = make_cfg(project)
+        cfg.index.kind = "ivfpq"
+        cfg.index.pq_m = 16
+        cfg.index.pq_refine = "f32"
+        return cfg
+
+    indexer = ProjectIndexer(mk())
+    indexer.index_project(str(project))
+    q = "start the http server"
+    before = [r.node_id for r in indexer.search.search_text(q, limit=3)]
+    directory = indexer.save()
+
+    indexer2 = ProjectIndexer(mk())
+    indexer2.load(directory)
+    # codes stay uint8 and codebooks + refine store survive the reload
+    import numpy as np
+
+    assert np.asarray(indexer2.index._x).dtype == np.uint8
+    assert indexer2.index._books is not None
+    assert indexer2.index._raw_chunks
+    after = [r.node_id for r in indexer2.search.search_text(q, limit=3)]
+    assert before == after
