@@ -115,6 +115,10 @@ def apply_plan(config, plan: IndexPlan) -> None:
         config.index.nprobe = plan.nprobe
     if plan.rescore_k:
         config.index.rescore_k = plan.rescore_k
+    if plan.pq_m:
+        config.index.pq_m = plan.pq_m
+    if plan.refine:
+        config.index.pq_refine = plan.refine
 
 
 __all__ = ["IndexPlan", "plan_index", "apply_plan", "DEFAULT_HBM_BUDGET"]
