@@ -94,6 +94,21 @@ def main() -> None:
                                   "qps": round(qps, 1)}
         print(f"nprobe={nprobe}: recall@1={r1:.3f} qps={qps:,.0f}",
               flush=True)
+
+    # batch-shared path: dedupe probed cells, decode once, MXU scoring
+    for nprobe in (4, 8, 16):
+        s, i = idx.search_batch(qp, 10, nprobe=nprobe)
+        r1 = float(np.mean(i[:, 0] == np.arange(args.queries)))
+        t0 = time.perf_counter()
+        for it in range(args.iters):
+            qd = qp + np.float32(1e-6 * (it + 1))
+            np.asarray(idx.search_batch(qd, 10, nprobe=nprobe)[0])
+        dt = time.perf_counter() - t0
+        qps = args.queries * args.iters / dt
+        out[f"batch_shared_nprobe{nprobe}"] = {
+            "recall@1": round(r1, 4), "qps": round(qps, 1)}
+        print(f"batch-shared nprobe={nprobe}: recall@1={r1:.3f} "
+              f"qps={qps:,.0f}", flush=True)
     print(json.dumps(out, indent=2))
 
 

@@ -111,6 +111,78 @@ def ivfpq_search_kernel(
     return top_s, top_i
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tile_u"))
+def ivfpq_batch_search_kernel(
+    q: jax.Array,           # [B, D] f32
+    probe_ids: jax.Array,   # [B, nprobe] i32 cells each query probes
+    cells_u: jax.Array,     # [U_pad] i32 union of probed cells (pad = nlist)
+    code_lists: jax.Array,  # [nlist, cap, m] uint8
+    id_lists: jax.Array,    # [nlist, cap] i32
+    bias_lists: jax.Array,  # [nlist, cap] f32
+    centroids: jax.Array,   # [nlist, D] f32
+    books: jax.Array,       # [m, ksub, dsub] f32
+    k: int,
+    tile_u: int = 16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batch-shared IVF-PQ search: decode each UNIQUE probed cell once
+    and score it against the whole query batch on the MXU.
+
+    The per-query ADC kernel gathers [B, cap, m] table entries per probe
+    step — B*cap*m scattered lookups that the VPU hates. Here the
+    batch's probed cells are deduplicated (host side); each unique cell
+    is decoded ONCE (codes -> codebook rows -> +centroid, exactly
+    q.(c + decode(r)) == coarse + ADC, so scores are identical), and the
+    scoring is one [B, D] x [D, tile_u*cap] matmul per tile — decode
+    cost amortizes over all B queries and the FLOPs ride the MXU. A
+    membership mask re-imposes each query's own nprobe cells. The win
+    scales with probe overlap: clustered query batches touch few unique
+    cells (this is the batch-IVF query-clustering design).
+    """
+    B, D = q.shape
+    m, ksub, dsub = books.shape
+    nlist, cap = id_lists.shape
+    U = cells_u.shape[0]
+    assert U % tile_u == 0
+    n_tiles = U // tile_u
+
+    # member[b, u]: does query b probe cells_u[u]? (pad value nlist never
+    # matches, so padded columns score NEG_INF for every query)
+    member = jnp.any(
+        probe_ids[:, :, None] == cells_u[None, None, :], axis=1
+    )  # [B, U]
+    mem_tiles = member.T.reshape(n_tiles, tile_u, B)
+    u_tiles = cells_u.reshape(n_tiles, tile_u)
+
+    def step(carry, inp):
+        top_s, top_i = carry
+        cu, mem_t = inp                       # [tu], [tu, B]
+        cu_safe = jnp.minimum(cu, nlist - 1)  # clamp the pad value
+        codes = jnp.take(code_lists, cu_safe, axis=0)  # [tu, cap, m]
+        rec = jnp.take_along_axis(
+            books[None, :, :, :],                       # [1, m, ksub, dsub]
+            codes.reshape(-1, m).astype(jnp.int32)[:, :, None, None],
+            axis=2,
+        )[:, :, 0, :]                                   # [tu*cap, m, dsub]
+        dec = rec.reshape(tile_u, cap, D) + jnp.take(
+            centroids, cu_safe, axis=0)[:, None, :]     # [tu, cap, D]
+        s = jnp.einsum("bd,ucd->buc", q, dec,
+                       preferred_element_type=jnp.float32)
+        bt = jnp.take(bias_lists, cu_safe, axis=0)      # [tu, cap]
+        s = s + bt[None, :, :]
+        s = s + jnp.where(mem_t.T[:, :, None], 0.0, NEG_INF)
+        it = jnp.take(id_lists, cu_safe, axis=0)        # [tu, cap]
+        s = s.reshape(B, tile_u * cap)
+        ids = jnp.broadcast_to(it.reshape(-1)[None, :], (B, tile_u * cap))
+        return merge_topk(top_s, top_i, s, ids, k), None
+
+    init = (
+        jnp.full((B, k), NEG_INF, jnp.float32),
+        jnp.full((B, k), -1, jnp.int32),
+    )
+    (top_s, top_i), _ = jax.lax.scan(step, init, (u_tiles, mem_tiles))
+    return top_s, top_i
+
+
 class IVFPQIndex(IVFIndex):
     """IVF cells storing m-byte residual PQ codes instead of vectors.
 
@@ -272,12 +344,16 @@ class IVFPQIndex(IVFIndex):
         i_np = np.where(dead, -1, i_np)
         if not use_refine:
             return s_np, i_np
-        # exact host rescore of the candidate set (int8 rows * scales)
+        return self._refine_host(np.asarray(q), s_np, i_np, k)
+
+    def _refine_host(
+        self, qnp: np.ndarray, s_np: np.ndarray, i_np: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact host rescore of the candidate set (rows * scales)."""
         if len(self._raw_chunks) > 1:
             self._raw_chunks = [np.concatenate(self._raw_chunks)]
             self._raw_scales = [np.concatenate(self._raw_scales)]
         raw, scales = self._raw_chunks[0], self._raw_scales[0]
-        qnp = np.asarray(q)
         safe = np.maximum(i_np, 0)
         vecs = raw[safe].astype(np.float32) * scales[safe]  # [B, R, D]
         exact = np.einsum("bd,brd->br", qnp, vecs)
@@ -287,6 +363,59 @@ class IVFPQIndex(IVFIndex):
             np.take_along_axis(exact, order, axis=1),
             np.take_along_axis(i_np, order, axis=1),
         )
+
+    def search_batch(
+        self, queries: np.ndarray, k: int, nprobe: Optional[int] = None,
+        tile_u: int = 16,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch-shared search: dedupe the batch's probed cells, decode
+        each unique cell once, score on the MXU (ivfpq_batch_search_kernel).
+        Same scores as search(); orders of magnitude faster for large
+        batches whose queries share cells. U_pad buckets to powers of two
+        to bound recompiles."""
+        if self._x is None or self.n_rows == 0:
+            B = np.asarray(queries).shape[0]
+            return (
+                np.full((B, k), float(NEG_INF), np.float32),
+                np.full((B, k), -1, np.int32),
+            )
+        from codegraph_tpu.ops.similarity import l2_normalize
+
+        q = jnp.asarray(queries).astype(jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, q.shape[1])
+        if self.metric == "cosine":
+            q = l2_normalize(q)
+        np_eff = min(nprobe or self.nprobe, self.nlist)
+
+        c_scores = jax.lax.dot_general(
+            q, self._centroids, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        _, probe_ids = jax.lax.top_k(c_scores, np_eff)
+        uniq = np.unique(np.asarray(probe_ids))
+        u_pad = tile_u
+        while u_pad < uniq.size:
+            u_pad *= 2
+        cells_u = np.full((u_pad,), self.nlist, np.int32)  # pad never matches
+        cells_u[: uniq.size] = uniq
+
+        use_refine = self.refine != "none" and self._raw_chunks
+        k_fetch = max(k, min(k * self.refine_factor,
+                             self.list_cap * np_eff)) if use_refine else k
+        s, i = ivfpq_batch_search_kernel(
+            q, probe_ids, jnp.asarray(cells_u), self._x, self._ids,
+            self._bias, self._centroids, self._books, k_fetch,
+            tile_u=tile_u,
+        )
+        s_np, i_np = np.asarray(s), np.asarray(i)
+        dead = s_np <= float(NEG_INF) / 2
+        i_np = np.where(dead, -1, i_np)
+        if not use_refine:
+            return s_np, i_np
+        return self._refine_host(np.asarray(q), s_np, i_np, k)
 
     # -- state -------------------------------------------------------------
 
@@ -303,4 +432,4 @@ class IVFPQIndex(IVFIndex):
         return st
 
 
-__all__ = ["IVFPQIndex", "ivfpq_search_kernel"]
+__all__ = ["IVFPQIndex", "ivfpq_search_kernel", "ivfpq_batch_search_kernel"]

@@ -114,3 +114,45 @@ def test_ivfpq_nprobe_sweep_monotone(rng):
         _, i = idx.search(q, 10, nprobe=nprobe)
         recalls.append(recall_at_k(i, ref_i))
     assert recalls[-1] >= recalls[0] - 1e-9
+
+
+def test_ivfpq_batch_shared_matches_per_query(rng):
+    # decode-then-dot == coarse + ADC: the batch-shared kernel must
+    # return the same candidates/scores as the per-query gather kernel
+    x = clustered_data(rng, 16, 48, 32)
+    q = x[rng.choice(len(x), 16, replace=False)] + 0.01
+    idx = IVFPQIndex(32, nlist=16, nprobe=4, m=8, kmeans_iters=5,
+                     pq_iters=6)
+    idx.train(x)
+    idx.add(x)
+    s_a, i_a = idx.search(q, 10)
+    s_b, i_b = idx.search_batch(q, 10, tile_u=4)
+    np.testing.assert_allclose(s_b, s_a, atol=1e-4)
+    # ids may swap within score ties; compare as multisets per row
+    for ra, rb in zip(i_a, i_b):
+        assert set(ra) == set(rb)
+
+
+def test_ivfpq_batch_shared_with_refine(rng):
+    x = clustered_data(rng, 16, 48, 32)
+    q = x[rng.choice(len(x), 16, replace=False)] + 0.005
+    idx = IVFPQIndex(32, nlist=16, nprobe=8, m=8, kmeans_iters=5,
+                     pq_iters=6, refine="f32", refine_factor=8)
+    idx.train(x)
+    idx.add(x)
+    s1, i1 = idx.search(q, 10)
+    s2, i2 = idx.search_batch(q, 10, tile_u=4)
+    np.testing.assert_allclose(s2, s1, atol=1e-4)
+    for ra, rb in zip(i1, i2):
+        assert set(ra) == set(rb)
+
+
+def test_ivfpq_batch_shared_tombstones(rng):
+    x = rng.standard_normal((400, 32)).astype(np.float32)
+    q = x[:4] + 0.001
+    idx = IVFPQIndex(32, nlist=8, nprobe=8, m=8, kmeans_iters=4, pq_iters=6)
+    idx.train(x)
+    rows = idx.add(x)
+    idx.delete(rows[:4])
+    _, i = idx.search_batch(q, 5, tile_u=4)
+    assert not np.isin(np.arange(4), i).any()
