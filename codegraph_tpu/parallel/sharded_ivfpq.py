@@ -1,0 +1,207 @@
+"""Sharded IVF-PQ: the capacity tier times the mesh.
+
+Config "3x5" taken to its limit: the [nlist, cap, m] residual-code
+tensor shards over its CELL axis exactly like ShardedIVFIndex (whole
+inverted lists stay chip-local; probes never cross ICI), the small
+codebooks replicate, and each chip runs the coarse + residual-ADC
+scoring over its local cells before the usual all_gather k-way merge.
+At m=96 one v5e holds ~160M rows of codes, so an 8-chip slice holds
+~1.3B rows — where the reference's single-node SurrealDB HNSW
+(schema/codegraph.surql:815-823) stops at RAM.
+
+Optional host refine (int8/f32 rows in host RAM, index/ivfpq.py) applies
+AFTER the cross-shard merge: merged ids are global rows, so the rescore
+is shard-agnostic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import warnings
+
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore", DeprecationWarning)
+    from jax.experimental.shard_map import shard_map
+
+from codegraph_tpu.core.errors import DimensionMismatch, IndexNotBuilt
+from codegraph_tpu.index.ivfpq import IVFPQIndex
+from codegraph_tpu.ops.topk import NEG_INF, merge_topk
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "mesh", "axis"))
+def sharded_ivfpq_search(
+    q: jax.Array,           # [B, D] replicated
+    centroids: jax.Array,   # [nlist, D] sharded over `axis`
+    code_lists: jax.Array,  # [nlist, cap, m] uint8, sharded
+    id_lists: jax.Array,    # [nlist, cap] sharded (GLOBAL row ids)
+    bias_lists: jax.Array,  # [nlist, cap] sharded
+    books: jax.Array,       # [m, ksub, dsub] replicated
+    k: int,
+    nprobe: int,
+    mesh: Mesh,
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    def _per_shard(qs, cents, cl, il, bl, bk):
+        B = qs.shape[0]
+        m, ksub, dsub = bk.shape
+        c_scores = jax.lax.dot_general(
+            qs, cents, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, nlist_local]
+        local_nprobe = min(nprobe, cents.shape[0])
+        probe_s, probe_ids = jax.lax.top_k(c_scores, local_nprobe)
+        table = jnp.einsum("bmd,mkd->bmk", qs.reshape(B, m, dsub), bk,
+                           preferred_element_type=jnp.float32)
+
+        def step(carry, p):
+            top_s, top_i = carry
+            cell = probe_ids[:, p]
+            ct = jnp.take(cl, cell, axis=0).astype(jnp.int32)  # [B, cap, m]
+            it = jnp.take(il, cell, axis=0)
+            bt = jnp.take(bl, cell, axis=0)
+            adc = jnp.sum(
+                jnp.take_along_axis(
+                    table[:, None, :, :], ct[:, :, :, None], axis=3,
+                )[..., 0],
+                axis=-1,
+            )
+            s = probe_s[:, p][:, None] + adc + bt
+            return merge_topk(top_s, top_i, s, it, k), None
+
+        init = (jnp.full((B, k), NEG_INF, jnp.float32),
+                jnp.full((B, k), -1, jnp.int32))
+        (s, i), _ = jax.lax.scan(step, init, jnp.arange(local_nprobe))
+        # merge the per-shard candidate sets over ICI (ids are global)
+        all_s = jax.lax.all_gather(s, axis)
+        all_i = jax.lax.all_gather(i, axis)
+        n_shards = all_s.shape[0]
+        cs = jnp.transpose(all_s, (1, 0, 2)).reshape(B, n_shards * k)
+        ci = jnp.transpose(all_i, (1, 0, 2)).reshape(B, n_shards * k)
+        top_s, pos = jax.lax.top_k(cs, k)
+        return top_s, jnp.take_along_axis(ci, pos, axis=-1)
+
+    return shard_map(
+        _per_shard, mesh=mesh,
+        in_specs=(P(None, None), P(axis, None), P(axis, None, None),
+                  P(axis, None), P(axis, None), P()),
+        out_specs=(P(None, None), P(None, None)),
+        check_rep=False,
+    )(q, centroids, code_lists, id_lists, bias_lists, books)
+
+
+class ShardedIVFPQIndex:
+    """Builds a single-host IVFPQIndex, then shards its cell tensors
+    over the mesh. Probing is fully shard-local; only (score, id)
+    candidate sets cross ICI; host refine applies after the merge."""
+
+    def __init__(
+        self,
+        dim: int,
+        mesh: Mesh,
+        axis: str = "data",
+        nlist: int = 4096,
+        nprobe: int = 64,
+        m: int = 96,
+        metric: str = "cosine",
+        kmeans_iters: int = 10,
+        pq_iters: int = 10,
+        refine: str = "none",
+        refine_factor: int = 4,
+    ):
+        self.mesh = mesh
+        self.axis = axis
+        n_shards = mesh.shape[axis]
+        if nlist % n_shards != 0:
+            nlist = ((nlist // n_shards) + 1) * n_shards
+        self._base = IVFPQIndex(
+            dim, nlist=nlist, nprobe=nprobe, m=m, metric=metric,
+            kmeans_iters=kmeans_iters, pq_iters=pq_iters,
+            refine=refine, refine_factor=refine_factor,
+        )
+        self.nprobe = min(nprobe, nlist)
+        self._placed = False
+        self._centroids = self._x = self._ids = self._bias = None
+        self._books = None
+
+    @property
+    def dim(self) -> int:
+        return self._base.dim
+
+    def train(self, vectors) -> None:
+        self._base.train(vectors)
+
+    def add(self, vectors) -> np.ndarray:
+        rows = self._base.add(vectors)
+        self._placed = False
+        return rows
+
+    def delete(self, rows) -> None:
+        self._base.delete(rows)
+        self._placed = False
+
+    def _place(self) -> None:
+        if self._placed:
+            return
+        cents, x, ids, bias = self._base.arrays()
+        if x is None:
+            raise IndexNotBuilt("nothing added to the sharded IVF-PQ index")
+        sh2 = NamedSharding(self.mesh, P(self.axis, None))
+        sh3 = NamedSharding(self.mesh, P(self.axis, None, None))
+        rep = NamedSharding(self.mesh, P())
+        self._centroids = jax.device_put(cents, sh2)
+        self._x = jax.device_put(x, sh3)
+        self._ids = jax.device_put(ids, sh2)
+        self._bias = jax.device_put(bias, sh2)
+        self._books = jax.device_put(self._base._books, rep)
+        self._placed = True
+
+    def search(
+        self, queries: np.ndarray, k: int, nprobe: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self._base.n_rows == 0:
+            B = np.asarray(queries).shape[0]
+            return (np.full((B, k), float(NEG_INF), np.float32),
+                    np.full((B, k), -1, np.int32))
+        self._place()
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, q.shape[1])
+        if self._base.metric == "cosine":
+            norms = np.linalg.norm(q, axis=1, keepdims=True)
+            q = np.divide(q, norms, out=q.copy(), where=norms > 1e-12)
+        n_shards = self.mesh.shape[self.axis]
+        np_eff = min(nprobe or self.nprobe,
+                     self._base.nlist // n_shards)
+        base = self._base
+        use_refine = base.refine != "none" and base._raw_chunks
+        k_fetch = max(k, min(k * base.refine_factor,
+                             base.list_cap * np_eff)) if use_refine else k
+        s, i = sharded_ivfpq_search(
+            jnp.asarray(q), self._centroids, self._x, self._ids, self._bias,
+            self._books, k_fetch, np_eff, self.mesh, self.axis,
+        )
+        s_np, i_np = np.asarray(s), np.asarray(i)
+        i_np = np.where(s_np <= float(NEG_INF) / 2, -1, i_np)
+        if not use_refine:
+            return s_np, i_np
+        return base._refine_host(q, s_np, i_np, k)
+
+    def stats(self) -> dict:
+        st = self._base.stats()
+        st["shards"] = self.mesh.shape[self.axis]
+        return st
+
+    def __len__(self) -> int:
+        return len(self._base)
+
+
+__all__ = ["ShardedIVFPQIndex", "sharded_ivfpq_search"]

@@ -205,3 +205,47 @@ def test_hybrid_search_over_sharded_index(rng):
     hs = HybridSearch(store, index, provider, bm25)
     results = hs.search_text("processes request type 7", limit=3)
     assert results and results[0].name == "handler_7"
+
+
+def test_sharded_ivfpq_recall_and_refine(rng):
+    import numpy as np
+
+    from codegraph_tpu.index.ivfpq import IVFPQIndex
+    from codegraph_tpu.parallel.mesh import make_mesh
+    from codegraph_tpu.parallel.sharded_ivfpq import ShardedIVFPQIndex
+    from tests.test_ivf_index import clustered_data, recall_at_k
+
+    x = clustered_data(rng, 16, 48, 32)  # 768 rows
+    q = x[rng.choice(len(x), 8, replace=False)] + 0.005
+    mesh = make_mesh((8,), ("data",))
+
+    sharded = ShardedIVFPQIndex(32, mesh, nlist=16, nprobe=4, m=8,
+                                kmeans_iters=5, pq_iters=6)
+    sharded.train(x)
+    sharded.add(x)
+    s_sh, i_sh = sharded.search(q, 10)
+
+    # per-shard probing at nprobe=4 covers >= the single-chip candidates:
+    # recall vs the single-chip full-probe index must not regress
+    single = IVFPQIndex(32, nlist=16, nprobe=16, m=8, kmeans_iters=5,
+                        pq_iters=6)
+    single.train(x)
+    single.add(x)
+    _, i_ref = single.search(q, 10)
+    assert recall_at_k(i_sh, i_ref) >= 0.9
+    assert sharded.stats()["shards"] == 8
+
+    # refine composes across the merge (ids are global rows)
+    refined = ShardedIVFPQIndex(32, mesh, nlist=16, nprobe=4, m=8,
+                                kmeans_iters=5, pq_iters=6,
+                                refine="f32", refine_factor=8)
+    refined.train(x)
+    rows = refined.add(x)
+    s_r, i_r = refined.search(q, 10)
+    assert (i_r[:, 0] == np.array([np.argmax(
+        (x / np.linalg.norm(x, axis=1, keepdims=True)) @ (
+            qq / np.linalg.norm(qq))) for qq in q])).mean() >= 0.8
+
+    refined.delete(rows[:1])
+    _, i_d = refined.search(x[:1] + 0.001, 5)
+    assert 0 not in i_d
