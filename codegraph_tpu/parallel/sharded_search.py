@@ -70,6 +70,51 @@ def sharded_topk(
     )(q, x, bias)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "q_axis", "data_axis", "tile_n")
+)
+def sharded_topk_2d(
+    q: jax.Array,      # [B, D] sharded over `q_axis` (B % q_shards == 0)
+    x: jax.Array,      # [N_pad, D] sharded over `data_axis`
+    bias: jax.Array,   # [N_pad] sharded over `data_axis`
+    k: int,
+    mesh: Mesh,
+    q_axis: str = "q",
+    data_axis: str = "data",
+    tile_n: int = 1024,
+) -> Tuple[jax.Array, jax.Array]:
+    """2-D sharded search: queries split over one mesh axis, corpus rows
+    over the other — the (q_shards x data_shards) grid scales throughput
+    and capacity INDEPENDENTLY. Each device scans its corpus shard for
+    its query shard; the k-way merge all_gathers only along `data_axis`
+    (each query row merges within its own q-shard ring), so ICI traffic
+    per device is data_shards*B_local*k*8 bytes. Returns (scores, ids)
+    sharded over q_axis — callers under jit keep them sharded; np.asarray
+    assembles transparently.
+    """
+    n_data = mesh.shape[data_axis]
+    n_shard_rows = x.shape[0] // n_data
+
+    def _per_device(qs, xs, bs):
+        s, i = streaming_topk(qs, xs, bs, k, tile_n=tile_n)
+        shard = jax.lax.axis_index(data_axis)
+        gi = jnp.where(i >= 0, i + shard * n_shard_rows, -1)
+        all_s = jax.lax.all_gather(s, data_axis)   # [n_data, B_local, k]
+        all_i = jax.lax.all_gather(gi, data_axis)
+        Bl = qs.shape[0]
+        cs = jnp.transpose(all_s, (1, 0, 2)).reshape(Bl, n_data * k)
+        ci = jnp.transpose(all_i, (1, 0, 2)).reshape(Bl, n_data * k)
+        top_s, pos = jax.lax.top_k(cs, k)
+        return top_s, jnp.take_along_axis(ci, pos, axis=-1)
+
+    return shard_map(
+        _per_device, mesh=mesh,
+        in_specs=(P(q_axis, None), P(data_axis, None), P(data_axis)),
+        out_specs=(P(q_axis, None), P(q_axis, None)),
+        check_rep=False,
+    )(q, x, bias)
+
+
 class ShardedFlatIndex:
     """Flat exact index sharded row-wise over a 1-D mesh axis.
 
@@ -350,5 +395,6 @@ __all__ = [
     "ShardedFlatIndex",
     "ShardedInt8Index",
     "sharded_topk",
+    "sharded_topk_2d",
     "sharded_topk_int8",
 ]

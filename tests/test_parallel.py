@@ -249,3 +249,24 @@ def test_sharded_ivfpq_recall_and_refine(rng):
     refined.delete(rows[:1])
     _, i_d = refined.search(x[:1] + 0.001, 5)
     assert 0 not in i_d
+
+
+def test_sharded_topk_2d_matches_oracle(rng):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from codegraph_tpu.ops.topk import exact_topk
+    from codegraph_tpu.parallel.mesh import make_mesh
+    from codegraph_tpu.parallel.sharded_search import sharded_topk_2d
+
+    mesh = make_mesh((2, 4), ("q", "data"))
+    N, D, B, k = 4 * 256, 64, 16, 7
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    bias = np.zeros((N,), np.float32)
+    bias[:32] = -1e30  # tombstones
+    s2, i2 = sharded_topk_2d(jnp.asarray(q), jnp.asarray(x),
+                             jnp.asarray(bias), k, mesh, tile_n=128)
+    se, ie = exact_topk(jnp.asarray(q), jnp.asarray(x), k, jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(se), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ie))
