@@ -29,6 +29,9 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--refine", default="none",
                         help="none | int8 | f32 host rescore store")
+    parser.add_argument("--query-centers", type=int, default=0,
+                        help="queries drawn from N centers (0 = corpus rows)")
+    parser.add_argument("--skip-per-query", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -75,28 +78,43 @@ def main() -> None:
           f"(waste={st['padding_waste']:.3f})", flush=True)
 
     rng = np.random.default_rng(7)
-    qp = queries + 0.02 * rng.standard_normal(queries.shape).astype(np.float32)
+    if args.query_centers:
+        # clustered QUERY batch: all queries near a few centers, so the
+        # probe union is tiny and the batch-shared kernel decodes only
+        # those cells (its design case: users hammering one topic)
+        reps = -(-args.queries // args.query_centers)
+        base = np.tile(np.asarray(centers[: args.query_centers]),
+                       (reps, 1))[: args.queries]
+        qp = (base + args.sigma * rng.standard_normal(
+            (args.queries, D))).astype(np.float32)
+        qp /= np.linalg.norm(qp, axis=1, keepdims=True)
+        queries = qp  # recall proxy meaningless here; self-ids unknown
+    else:
+        qp = queries + 0.02 * rng.standard_normal(
+            queries.shape).astype(np.float32)
     out = {"rows": idx.n_rows, "dim": D, "m": args.m, "nlist": args.nlist,
            "centers": args.centers, "sigma": args.sigma,
            "refine": args.refine,
            "train_s": round(train_s, 1), "build_s": round(build_s, 1),
            "padding_waste": round(st["padding_waste"], 3)}
-    for nprobe in (4, 8, 16):
-        s, i = idx.search(qp, 10, nprobe=nprobe)
-        r1 = float(np.mean(i[:, 0] == np.arange(args.queries)))
-        t0 = time.perf_counter()
-        for it in range(args.iters):
-            qd = qp + np.float32(1e-6 * (it + 1))
-            np.asarray(idx.search(qd, 10, nprobe=nprobe)[0])
-        dt = time.perf_counter() - t0
-        qps = args.queries * args.iters / dt
-        out[f"nprobe{nprobe}"] = {"recall@1": round(r1, 4),
-                                  "qps": round(qps, 1)}
-        print(f"nprobe={nprobe}: recall@1={r1:.3f} qps={qps:,.0f}",
-              flush=True)
+    probes = (4, 8, 16)
+    if not args.skip_per_query:
+        for nprobe in probes:
+            s, i = idx.search(qp, 10, nprobe=nprobe)
+            r1 = float(np.mean(i[:, 0] == np.arange(args.queries)))
+            t0 = time.perf_counter()
+            for it in range(args.iters):
+                qd = qp + np.float32(1e-6 * (it + 1))
+                np.asarray(idx.search(qd, 10, nprobe=nprobe)[0])
+            dt = time.perf_counter() - t0
+            qps = args.queries * args.iters / dt
+            out[f"nprobe{nprobe}"] = {"recall@1": round(r1, 4),
+                                      "qps": round(qps, 1)}
+            print(f"nprobe={nprobe}: recall@1={r1:.3f} qps={qps:,.0f}",
+                  flush=True)
 
     # batch-shared path: dedupe probed cells, decode once, MXU scoring
-    for nprobe in (4, 8, 16):
+    for nprobe in probes:
         s, i = idx.search_batch(qp, 10, nprobe=nprobe)
         r1 = float(np.mean(i[:, 0] == np.arange(args.queries)))
         t0 = time.perf_counter()
