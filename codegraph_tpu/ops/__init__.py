@@ -6,6 +6,7 @@ from codegraph_tpu.ops.topk import (
     streaming_topk,
     streaming_topk_pallas,
     streaming_topk_pallas_qmajor,
+    streaming_topk_pallas_qmajor_xt,
 )
 from codegraph_tpu.ops.quantize import (
     quantize_rows,
@@ -26,6 +27,7 @@ __all__ = [
     "streaming_topk",
     "streaming_topk_pallas",
     "streaming_topk_pallas_qmajor",
+    "streaming_topk_pallas_qmajor_xt",
     "quantize_rows",
     "dequantize_rows",
     "streaming_topk_int8",
