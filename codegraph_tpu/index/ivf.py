@@ -82,6 +82,60 @@ def ivf_search_kernel(
     return top_s, top_i
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tile_u"))
+def ivf_batch_search_kernel(
+    q: jax.Array,           # [B, D] f32
+    probe_ids: jax.Array,   # [B, nprobe] i32
+    cells_u: jax.Array,     # [U_pad] i32 union of probed cells (pad = nlist)
+    x_lists: jax.Array,     # [nlist, cap, D]
+    id_lists: jax.Array,    # [nlist, cap] i32
+    bias_lists: jax.Array,  # [nlist, cap] f32
+    k: int,
+    tile_u: int = 16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batch-shared IVF search: gather each UNIQUE probed cell once and
+    score it against the whole query batch on the MXU (a membership mask
+    re-imposes each query's own nprobe cells). The per-query kernel
+    gathers [B, cap, D] rows per probe step — B redundant copies of any
+    cell shared across the batch; here the gather is per-cell and the
+    scoring is a plain [B, D] x [D, tile_u*cap] matmul. Identical scores
+    to ivf_search_kernel; the win scales with probe overlap (same design
+    as index/ivfpq.py ivfpq_batch_search_kernel, minus the decode)."""
+    B, D = q.shape
+    nlist, cap = id_lists.shape
+    U = cells_u.shape[0]
+    assert U % tile_u == 0
+    n_tiles = U // tile_u
+
+    member = jnp.any(
+        probe_ids[:, :, None] == cells_u[None, None, :], axis=1
+    )  # [B, U]
+    mem_tiles = member.T.reshape(n_tiles, tile_u, B)
+    u_tiles = cells_u.reshape(n_tiles, tile_u)
+
+    def step(carry, inp):
+        top_s, top_i = carry
+        cu, mem_t = inp
+        cu_safe = jnp.minimum(cu, nlist - 1)
+        xt = jnp.take(x_lists, cu_safe, axis=0)         # [tu, cap, D]
+        s = jnp.einsum("bd,ucd->buc", q, xt.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        bt = jnp.take(bias_lists, cu_safe, axis=0)
+        s = s + bt[None, :, :]
+        s = s + jnp.where(mem_t.T[:, :, None], 0.0, NEG_INF)
+        it = jnp.take(id_lists, cu_safe, axis=0)
+        s = s.reshape(B, tile_u * cap)
+        ids = jnp.broadcast_to(it.reshape(-1)[None, :], (B, tile_u * cap))
+        return merge_topk(top_s, top_i, s, ids, k), None
+
+    init = (
+        jnp.full((B, k), NEG_INF, jnp.float32),
+        jnp.full((B, k), -1, jnp.int32),
+    )
+    (top_s, top_i), _ = jax.lax.scan(step, init, (u_tiles, mem_tiles))
+    return top_s, top_i
+
+
 class IVFIndex:
     """k-means-partitioned approximate index over HBM-resident cells.
 
@@ -113,6 +167,8 @@ class IVFIndex:
         self.train_sample = int(train_sample)
         self.seed = int(seed)
 
+        # batches at least this large route to the batch-shared kernel
+        self.batch_share_threshold = 256
         self.list_cap = 0
         self.n_rows = 0  # global rows ever assigned (includes tombstones)
         self.n_live = 0
@@ -278,6 +334,8 @@ class IVFIndex:
             q = q[None, :]
         if q.shape[1] != self.dim:
             raise DimensionMismatch(self.dim, q.shape[1])
+        if q.shape[0] >= self.batch_share_threshold:
+            return self.search_batch(queries, k, nprobe=nprobe)
         if self.metric == "cosine":
             q = l2_normalize(q)
         np_eff = min(nprobe or self.nprobe, self.nlist)
@@ -287,6 +345,46 @@ class IVFIndex:
         s_np, i_np = np.asarray(s), np.asarray(i)
         dead = s_np <= float(NEG_INF) / 2
         i_np = np.where(dead, -1, i_np)
+        return s_np, i_np
+
+    def search_batch(
+        self, queries: np.ndarray, k: int, nprobe: Optional[int] = None,
+        tile_u: int = 16,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch-shared search: dedupe the batch's probed cells and score
+        the union on the MXU (ivf_batch_search_kernel). Same results as
+        search(); faster for large batches with probe overlap."""
+        if self._x is None or self.n_rows == 0:
+            B = np.asarray(queries).shape[0]
+            return (
+                np.full((B, k), float(NEG_INF), np.float32),
+                np.full((B, k), -1, np.int32),
+            )
+        q = jnp.asarray(queries).astype(jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, q.shape[1])
+        if self.metric == "cosine":
+            q = l2_normalize(q)
+        np_eff = min(nprobe or self.nprobe, self.nlist)
+        c_scores = jax.lax.dot_general(
+            q, self._centroids, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        _, probe_ids = jax.lax.top_k(c_scores, np_eff)
+        uniq = np.unique(np.asarray(probe_ids))
+        u_pad = tile_u
+        while u_pad < uniq.size:
+            u_pad *= 2
+        cells_u = np.full((u_pad,), self.nlist, np.int32)  # pad never matches
+        cells_u[: uniq.size] = uniq
+        s, i = ivf_batch_search_kernel(
+            q, probe_ids, jnp.asarray(cells_u), self._x, self._ids,
+            self._bias, k, tile_u=tile_u,
+        )
+        s_np, i_np = np.asarray(s), np.asarray(i)
+        i_np = np.where(s_np <= float(NEG_INF) / 2, -1, i_np)
         return s_np, i_np
 
     # -- state -------------------------------------------------------------
@@ -314,4 +412,4 @@ class IVFIndex:
         return self.n_live
 
 
-__all__ = ["IVFIndex", "ivf_search_kernel"]
+__all__ = ["IVFIndex", "ivf_search_kernel", "ivf_batch_search_kernel"]

@@ -136,3 +136,30 @@ def test_ivf_spill_bounds_padding_waste(rng):
     # full probe still finds everything despite spill
     s, i = idx.search(x[:5], 5)
     np.testing.assert_array_equal(i[:, 0], np.arange(5))
+
+
+def test_ivf_batch_shared_matches_per_query(rng):
+    # gather-unique-cells + MXU scoring must reproduce the per-query
+    # probe kernel exactly (same probe sets, same scores)
+    x = clustered_data(rng, 16, 48, 32)
+    q = x[rng.choice(len(x), 16, replace=False)] + 0.01
+    idx = IVFIndex(32, nlist=16, nprobe=4, kmeans_iters=5)
+    idx.train(x)
+    idx.add(x)
+    s_a, i_a = idx.search(q, 10)
+    s_b, i_b = idx.search_batch(q, 10, tile_u=4)
+    np.testing.assert_allclose(s_b, s_a, atol=1e-4)
+    for ra, rb in zip(i_a, i_b):
+        assert set(ra) == set(rb)
+
+
+def test_ivf_batch_shared_tombstones_and_empty(rng):
+    x = rng.standard_normal((400, 32)).astype(np.float32)
+    idx = IVFIndex(32, nlist=8, nprobe=8, kmeans_iters=4)
+    s, i = idx.search_batch(x[:2], 5)  # before any add
+    assert (i == -1).all()
+    idx.train(x)
+    rows = idx.add(x)
+    idx.delete(rows[:4])
+    _, i = idx.search_batch(x[:4] + 0.001, 5)
+    assert not np.isin(np.arange(4), i).any()
