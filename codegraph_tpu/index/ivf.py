@@ -167,8 +167,13 @@ class IVFIndex:
         self.train_sample = int(train_sample)
         self.seed = int(seed)
 
-        # batches at least this large route to the batch-shared kernel
-        self.batch_share_threshold = 256
+        # search_batch() routing threshold. For RAW-vector cells the
+        # per-query probe is already matmul-shaped, and measured FASTER
+        # than the shared-union kernel on uniform batches (2,715 vs
+        # 1,620 QPS at 500k x 768, B=1024) — so plain IVF never
+        # auto-routes (inf); IVFPQIndex overrides this (decode
+        # amortization measured 3.6-14x there).
+        self.batch_share_threshold = float("inf")
         self.list_cap = 0
         self.n_rows = 0  # global rows ever assigned (includes tombstones)
         self.n_live = 0
