@@ -9,11 +9,14 @@ with dp x tp sharding via pjit + XLA collectives.
 
 from codegraph_tpu.parallel.mesh import make_mesh, default_mesh_shape
 from codegraph_tpu.parallel.pipeline import pp_encode
+from codegraph_tpu.parallel.ring_attention import ring_attention, sp_ring_encode
 from codegraph_tpu.parallel.sharded_ivf import ShardedIVFIndex
+from codegraph_tpu.parallel.sharded_ivfpq import ShardedIVFPQIndex
 from codegraph_tpu.parallel.sharded_search import (
     ShardedFlatIndex,
     ShardedInt8Index,
     sharded_topk,
+    sharded_topk_2d,
     sharded_topk_int8,
 )
 
@@ -23,7 +26,11 @@ __all__ = [
     "ShardedFlatIndex",
     "ShardedInt8Index",
     "ShardedIVFIndex",
+    "ShardedIVFPQIndex",
     "pp_encode",
+    "ring_attention",
+    "sp_ring_encode",
     "sharded_topk",
+    "sharded_topk_2d",
     "sharded_topk_int8",
 ]
