@@ -61,3 +61,17 @@ def test_pq_adc_respects_bias(rng):
     s, i = pq_adc_topk(jnp.asarray(x[:2]), codes, book.centroids,
                        jnp.asarray(bias), 5, tile_n=256)
     assert (np.asarray(i) >= 128).all()
+
+
+def test_pq_encode_tiled_matches_flat(rng):
+    # the streaming row-tiled encoder must agree with the single-tile
+    # path across a non-divisible tile boundary
+    import jax.numpy as jnp
+
+    from codegraph_tpu.ops.pq import pq_encode, pq_train
+
+    x = rng.standard_normal((700, 32)).astype(np.float32)
+    books = pq_train(jnp.asarray(x[:512]), m=8, nbits=6, n_iters=4).centroids
+    flat = pq_encode(jnp.asarray(x), books, tile_n=1024)   # single tile
+    tiled = pq_encode(jnp.asarray(x), books, tile_n=256)   # 3 tiles + pad
+    np.testing.assert_array_equal(np.asarray(flat), np.asarray(tiled))
