@@ -17,6 +17,7 @@ from codegraph_tpu.parallel.sharded_search import (
     ShardedInt8Index,
     sharded_topk,
     sharded_topk_2d,
+    sharded_topk_hier,
     sharded_topk_int8,
 )
 
@@ -32,5 +33,6 @@ __all__ = [
     "sp_ring_encode",
     "sharded_topk",
     "sharded_topk_2d",
+    "sharded_topk_hier",
     "sharded_topk_int8",
 ]

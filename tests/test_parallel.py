@@ -270,3 +270,26 @@ def test_sharded_topk_2d_matches_oracle(rng):
     se, ie = exact_topk(jnp.asarray(q), jnp.asarray(x), k, jnp.asarray(bias))
     np.testing.assert_allclose(np.asarray(s2), np.asarray(se), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(ie))
+
+
+def test_sharded_topk_hier_matches_oracle(rng):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from codegraph_tpu.ops.topk import exact_topk
+    from codegraph_tpu.parallel.mesh import make_mesh
+    from codegraph_tpu.parallel.sharded_search import sharded_topk_hier
+
+    # 2 "hosts" x 4 chips: the hierarchical ICI->DCN merge must equal
+    # the flat oracle exactly
+    mesh = make_mesh((2, 4), ("dcn", "ici"))
+    N, D, B, k = 8 * 128, 64, 8, 7
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    bias = np.zeros((N,), np.float32)
+    bias[100:140] = -1e30
+    sh, ih = sharded_topk_hier(jnp.asarray(q), jnp.asarray(x),
+                               jnp.asarray(bias), k, mesh, tile_n=128)
+    se, ie = exact_topk(jnp.asarray(q), jnp.asarray(x), k, jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(se), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ih), np.asarray(ie))
