@@ -237,6 +237,14 @@ class IVFIndex:
         stores residual codes instead of the vectors themselves)."""
         return v.astype(self.dtype)
 
+    def _scatter_payload(
+        self, cells_j: jax.Array, pos_j: jax.Array, vals: jax.Array
+    ) -> None:
+        """Scatter per-row payloads into cell storage — subclasses with a
+        different storage layout override (IVFPQ stores codes
+        subspace-major [nlist, m, cap] for the lane-gather ADC kernel)."""
+        self._x = _scatter2(self._x, cells_j, pos_j, vals)
+
     def add(self, vectors: np.ndarray) -> np.ndarray:
         """Assign to nearest cell (with capacity-bounded spill) and append.
 
@@ -298,7 +306,7 @@ class IVFIndex:
                 fill[c] += 1
         cells_j = jnp.asarray(assign.astype(np.int32))
         pos_j = jnp.asarray(pos.astype(np.int32))
-        self._x = _scatter2(self._x, cells_j, pos_j, self._store_values(v, assign))
+        self._scatter_payload(cells_j, pos_j, self._store_values(v, assign))
         self._ids = _scatter2(
             self._ids, cells_j, pos_j, jnp.asarray(rows.astype(np.int32))
         )

@@ -15,8 +15,18 @@ Scoring uses the exact dot decomposition
 so the coarse matmul (stage 1, already computed for probing) contributes
 the first term and an asymmetric-distance table lookup over the probed
 cells' codes contributes the second. Both stages keep static shapes:
-cells are the same capacity-bounded [nlist, cap, m] buckets as IVFIndex
-(second-choice spill, ops/kmeans.py assign_clusters_topk).
+cells are the same capacity-bounded buckets as IVFIndex (second-choice
+spill, ops/kmeans.py assign_clusters_topk).
+
+Storage layout is SUBSPACE-MAJOR: codes live as [nlist, m, cap] uint8
+(not [nlist, cap, m]). This is the layout the Pallas per-cell-DMA ADC
+kernel needs: Mosaic's tpu.dynamic_gather indexes along lanes only
+within one 128-lane vreg, so the ADC lookup runs as
+take_along_axis(table[m, 128], codesT[m, 128], axis=1) over 128-row
+column tiles of the cell — the 256-entry table is split into lo/hi
+128-lane halves with a select (two gathers, exact uint8 semantics).
+Probed-cell shapes stay static; the cell block streams HBM->VMEM via
+the pipelined grid DMA (one cell per grid step, double-buffered).
 
 Accuracy knobs: m (bytes/row), nbits (ksub = 2^nbits), nprobe. With
 nprobe == nlist the only error left is PQ quantization of the residual.
@@ -30,26 +40,38 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from codegraph_tpu.core.errors import DimensionMismatch
 from codegraph_tpu.index.ivf import IVFIndex
 from codegraph_tpu.ops.kmeans import assign_clusters
 from codegraph_tpu.ops.pq import pq_encode, pq_train
-from codegraph_tpu.ops.topk import NEG_INF, merge_topk
+from codegraph_tpu.ops.topk import (
+    LANE,
+    NEG_INF,
+    _round_up,
+    _threshold_merge_vids,
+    merge_topk,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def ivfpq_search_kernel(
     q: jax.Array,           # [B, D] f32
     centroids: jax.Array,   # [nlist, D] f32 coarse
-    code_lists: jax.Array,  # [nlist, cap, m] uint8 residual codes
+    code_lists: jax.Array,  # [nlist, m, cap] uint8 residual codes
     id_lists: jax.Array,    # [nlist, cap] i32 (-1 pad)
     bias_lists: jax.Array,  # [nlist, cap] f32 (0 live / NEG_INF dead)
     books: jax.Array,       # [m, ksub, dsub] f32 residual codebooks
     k: int,
     nprobe: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (approx scores [B, k], global row ids [B, k])."""
+    """XLA reference ADC path. Returns (approx scores [B, k], ids [B, k]).
+
+    The oracle for ivfpq_search_pallas (identical scores); also the CPU
+    fallback. Its per-probe [B, m, cap] gathers are the measured QPS
+    bottleneck at 10M rows — the Pallas kernel replaces them on TPU."""
     B, D = q.shape
     m, ksub, dsub = books.shape
 
@@ -64,7 +86,7 @@ def ivfpq_search_kernel(
     table = jnp.einsum("bmd,mkd->bmk", q.reshape(B, m, dsub), books,
                        preferred_element_type=jnp.float32)  # [B, m, ksub]
 
-    # per-query cell gathers are the memory hot spot: [tile_b, cap, m]
+    # per-query cell gathers are the memory hot spot: [tile_b, m, cap]
     # int32 is ~120MB at tile_b=128, cap=2442, m=96 — tiling B bounds the
     # working set (a flat B=1024 gather peaked ~1GB/step and could crash
     # the worker at high nprobe)
@@ -78,13 +100,10 @@ def ivfpq_search_kernel(
         def score_tile(args):
             cell_t, table_t = args
             ct = jnp.take(code_lists, cell_t, axis=0).astype(jnp.int32)
+            # ct [tb, m, cap], table_t [tb, m, ksub]:
+            # adc[b, c] = sum_j table_t[b, j, ct[b, j, c]]
             adc = jnp.sum(
-                jnp.take_along_axis(
-                    table_t[:, None, :, :],   # [tb, 1, m, ksub]
-                    ct[:, :, :, None],        # [tb, cap, m, 1]
-                    axis=3,
-                )[..., 0],
-                axis=-1,
+                jnp.take_along_axis(table_t, ct, axis=2), axis=1
             )                                               # [tb, cap]
             return adc
 
@@ -97,7 +116,7 @@ def ivfpq_search_kernel(
         adc = jax.lax.map(score_tile, (
             cell_p.reshape(-1, tile_b),
             table_p.reshape(-1, tile_b, m, ksub),
-        )).reshape(-1, code_lists.shape[1])[:B]             # [B, cap]
+        )).reshape(-1, code_lists.shape[2])[:B]             # [B, cap]
         it = jnp.take(id_lists, cell, axis=0)               # [B, cap]
         bt = jnp.take(bias_lists, cell, axis=0)             # [B, cap]
         s = probe_s[:, p][:, None] + adc + bt
@@ -111,12 +130,171 @@ def ivfpq_search_kernel(
     return top_s, top_i
 
 
+# ---------------------------------------------------------------------------
+# Pallas per-cell-DMA ADC kernel (the round-2 kernel)
+# ---------------------------------------------------------------------------
+
+
+def _adc_cell_kernel(
+    pid_ref,      # scalar-prefetch: [B*nprobe] i32 probed cell per step
+    ps_ref,       # scalar-prefetch: [B*nprobe] f32 coarse q.c(cell) score
+    tlo_ref,      # (1, m, 128) ADC table, codes 0..127
+    thi_ref,      # (1, m, 128) ADC table, codes 128..255
+    codes_ref,    # (1, m, cap) uint8 cell codes (subspace-major)
+    ids_ref,      # (1, 1, cap) i32 global row ids
+    bias_ref,     # (1, 1, cap) f32 live/dead bias
+    out_s_ref,    # (1, 1, k_pad)
+    out_i_ref,    # (1, 1, k_pad)
+    acc_s,        # VMEM (1, k_pad) scratch — running top-k scores
+    acc_i,        # VMEM (1, k_pad) scratch — running top-k ids
+    *, k: int, k_pad: int, cap: int, nprobe: int,
+):
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
+        acc_i[:] = jnp.full_like(acc_i, -1)
+
+    # coarse term q . c(cell): computed by stage 1's MXU matmul and
+    # prefetched as an SMEM scalar (an in-kernel [1, D] reduce read vreg
+    # pad lanes when D % 128 != 0 — measured wrong on-device)
+    coarse = ps_ref[b * nprobe + p]
+
+    tlo = tlo_ref[0]  # [m, 128]
+    thi = thi_ref[0]
+
+    # ADC over 128-column tiles of the cell: two lane-gathers + select.
+    # tpu.dynamic_gather only indexes lanes within one 128-wide vreg, so
+    # the 256-entry table is split lo/hi; both halves are gathered and
+    # the high bit of the code selects. Unrolled: cap/128 is small.
+    parts = []
+    for t in range(cap // LANE):
+        ct = codes_ref[0, :, t * LANE:(t + 1) * LANE].astype(jnp.int32)
+        lo = jnp.take_along_axis(tlo, jnp.minimum(ct, LANE - 1), axis=1)
+        hi = jnp.take_along_axis(thi, jnp.maximum(ct - LANE, 0), axis=1)
+        val = jnp.where(ct < LANE, lo, hi)              # [m, 128]
+        parts.append(jnp.sum(val, axis=0, keepdims=True))  # [1, 128]
+    s = jnp.concatenate(parts, axis=1) + bias_ref[0] + coarse  # [1, cap]
+
+    new_s, new_i = _threshold_merge_vids(
+        s, ids_ref[0], acc_s[:], acc_i[:], k, k_pad
+    )
+    acc_s[:] = new_s
+    acc_i[:] = new_i
+
+    @pl.when(p == nprobe - 1)
+    def _():
+        out_s_ref[0] = acc_s[:]
+        out_i_ref[0] = acc_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "interpret"))
+def ivfpq_search_pallas(
+    q: jax.Array,           # [B, D] f32
+    centroids: jax.Array,   # [nlist, D] f32
+    code_lists: jax.Array,  # [nlist, m, cap] uint8
+    id_lists: jax.Array,    # [nlist, cap] i32
+    bias_lists: jax.Array,  # [nlist, cap] f32
+    books: jax.Array,       # [m, ksub, dsub] f32
+    k: int,
+    nprobe: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-cell-DMA Pallas ADC search. Scores identical to
+    ivfpq_search_kernel.
+
+    Grid (B, nprobe): the probed cell id is scalar-prefetched, so the
+    pipeline DMAs exactly that cell's [m, cap] code block (plus its
+    [cap] ids/bias and [D] centroid) HBM->VMEM per step, double-buffered
+    against the previous step's ADC — replacing the XLA path's
+    [B, m, cap] batch gathers that made per-query probing gather-bound
+    (round-1 VERDICT item 2). In-kernel the table lookup rides
+    tpu.dynamic_gather (lane-indexed, 128-entry windows) and the running
+    top-k uses the threshold-gated insertion merge from ops/topk.py.
+    """
+    B, D = q.shape
+    m, ksub, dsub = books.shape
+    nlist, cap = id_lists.shape
+    assert code_lists.shape == (nlist, m, cap)
+    assert cap % LANE == 0, f"cap={cap} must be a multiple of {LANE}"
+    assert ksub <= 2 * LANE
+
+    c_scores = jax.lax.dot_general(
+        q, centroids, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    probe_s, probe_ids = jax.lax.top_k(c_scores, nprobe)  # [B, nprobe]
+    pid_flat = probe_ids.reshape(-1).astype(jnp.int32)    # [B*nprobe]
+    ps_flat = probe_s.reshape(-1)                         # [B*nprobe] f32
+
+    table = jnp.einsum("bmd,mkd->bmk", q.reshape(B, m, dsub), books,
+                       preferred_element_type=jnp.float32)  # [B, m, ksub]
+    if ksub < 2 * LANE:
+        table = jnp.pad(table, ((0, 0), (0, 0), (0, 2 * LANE - ksub)))
+    tlo, thi = table[:, :, :LANE], table[:, :, LANE:]
+
+    k_pad = _round_up(max(k, 1), LANE)
+    kernel = functools.partial(
+        _adc_cell_kernel, k=k, k_pad=k_pad, cap=cap, nprobe=nprobe,
+    )
+    # singleton middle axes keep every block's trailing two dims equal to
+    # the array dims (the Mosaic block-shape divisibility rule)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nprobe),
+        in_specs=[
+            pl.BlockSpec((1, m, LANE), lambda b, p, pid, ps: (b, 0, 0)),
+            pl.BlockSpec((1, m, LANE), lambda b, p, pid, ps: (b, 0, 0)),
+            pl.BlockSpec(
+                (1, m, cap),
+                lambda b, p, pid, ps: (pid[b * nprobe + p], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, cap),
+                lambda b, p, pid, ps: (pid[b * nprobe + p], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, cap),
+                lambda b, p, pid, ps: (pid[b * nprobe + p], 0, 0),
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, k_pad), lambda b, p, pid, ps: (b, 0, 0)),
+            pl.BlockSpec((1, 1, k_pad), lambda b, p, pid, ps: (b, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, k_pad), jnp.float32),
+            pltpu.VMEM((1, k_pad), jnp.int32),
+        ],
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, k_pad), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * nprobe * cap * m,
+            bytes_accessed=B * nprobe * (m * cap + 8 * cap + 4 * D),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        pid_flat, ps_flat, tlo, thi,
+        code_lists, id_lists[:, None, :], bias_lists[:, None, :],
+    )
+    return out_s[:, 0, :k], out_i[:, 0, :k]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile_u"))
 def ivfpq_batch_search_kernel(
     q: jax.Array,           # [B, D] f32
     probe_ids: jax.Array,   # [B, nprobe] i32 cells each query probes
     cells_u: jax.Array,     # [U_pad] i32 union of probed cells (pad = nlist)
-    code_lists: jax.Array,  # [nlist, cap, m] uint8
+    code_lists: jax.Array,  # [nlist, m, cap] uint8
     id_lists: jax.Array,    # [nlist, cap] i32
     bias_lists: jax.Array,  # [nlist, cap] f32
     centroids: jax.Array,   # [nlist, D] f32
@@ -127,7 +305,7 @@ def ivfpq_batch_search_kernel(
     """Batch-shared IVF-PQ search: decode each UNIQUE probed cell once
     and score it against the whole query batch on the MXU.
 
-    The per-query ADC kernel gathers [B, cap, m] table entries per probe
+    The per-query ADC kernel gathers [B, m, cap] table entries per probe
     step — B*cap*m scattered lookups that the VPU hates. Here the
     batch's probed cells are deduplicated (host side); each unique cell
     is decoded ONCE (codes -> codebook rows -> +centroid, exactly
@@ -157,7 +335,9 @@ def ivfpq_batch_search_kernel(
         top_s, top_i = carry
         cu, mem_t = inp                       # [tu], [tu, B]
         cu_safe = jnp.minimum(cu, nlist - 1)  # clamp the pad value
-        codes = jnp.take(code_lists, cu_safe, axis=0)  # [tu, cap, m]
+        codes = jnp.swapaxes(
+            jnp.take(code_lists, cu_safe, axis=0), 1, 2
+        )                                     # [tu, cap, m]
         rec = jnp.take_along_axis(
             books[None, :, :, :],                       # [1, m, ksub, dsub]
             codes.reshape(-1, m).astype(jnp.int32)[:, :, None, None],
@@ -183,12 +363,20 @@ def ivfpq_batch_search_kernel(
     return top_s, top_i
 
 
+# donated transposed scatter: buf [nlist, m, cap], vals [n, m]
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter2t(buf, cells, pos, vals):
+    return buf.at[cells, :, pos].set(vals)
+
+
 class IVFPQIndex(IVFIndex):
     """IVF cells storing m-byte residual PQ codes instead of vectors.
 
     Inherits training, capacity-bounded spill assignment, and tombstone
-    bookkeeping from IVFIndex; overrides storage (codes, not vectors)
-    and scoring (coarse + residual ADC).
+    bookkeeping from IVFIndex; overrides storage (subspace-major codes,
+    not vectors) and scoring (coarse + residual ADC). On TPU the
+    per-query path runs the Pallas per-cell-DMA kernel; batches >=
+    batch_share_threshold route to the MXU batch-shared kernel.
     """
 
     def __init__(
@@ -232,6 +420,10 @@ class IVFPQIndex(IVFIndex):
         # batches at least this large route to the batch-shared kernel
         # (decode each unique probed cell once; 3.6-14x measured on TPU)
         self.batch_share_threshold = 256
+        # per-query kernel choice: None = Pallas on TPU / XLA elsewhere;
+        # True/False force it ("interpret" forces Pallas interpret mode,
+        # the hermetic-test path for the kernel itself)
+        self.use_pallas: Optional[object] = None
         self._books: Optional[jax.Array] = None  # [m, ksub, dsub]
         self._raw_chunks: list = []              # host int8 rows (refine)
         self._raw_scales: list = []              # host f32 per-row scales
@@ -278,16 +470,17 @@ class IVFPQIndex(IVFIndex):
         return self._centroids is not None and self._books is not None
 
     def _alloc(self, list_cap: int) -> None:
-        """Cell storage holds uint8 codes [nlist, cap, m]."""
+        """Cell storage holds uint8 codes [nlist, m, cap], subspace-major
+        with cap a multiple of 128 (the Pallas ADC kernel's lane tile)."""
         from codegraph_tpu.core.padding import round_up
 
-        list_cap = max(8, round_up(list_cap, 8))
-        codes = jnp.zeros((self.nlist, list_cap, self.m), jnp.uint8)
+        list_cap = max(LANE, round_up(list_cap, LANE))
+        codes = jnp.zeros((self.nlist, self.m, list_cap), jnp.uint8)
         ids = jnp.full((self.nlist, list_cap), -1, jnp.int32)
         bias = jnp.full((self.nlist, list_cap), NEG_INF, jnp.float32)
         if self._x is not None and self.list_cap > 0:
             old = min(self.list_cap, list_cap)
-            codes = codes.at[:, :old].set(self._x[:, :old])
+            codes = codes.at[:, :, :old].set(self._x[:, :, :old])
             ids = ids.at[:, :old].set(self._ids[:, :old])
             bias = bias.at[:, :old].set(self._bias[:, :old])
         self._x, self._ids, self._bias = codes, ids, bias
@@ -314,7 +507,19 @@ class IVFPQIndex(IVFIndex):
         residuals = v - jnp.take(self._centroids, jnp.asarray(cells), axis=0)
         return pq_encode(residuals, self._books)
 
+    def _scatter_payload(self, cells_j, pos_j, vals) -> None:
+        """vals [n, m] codes scatter into [nlist, m, cap] at (cell, :, pos)."""
+        self._x = _scatter2t(self._x, cells_j, pos_j, vals)
+
     # -- query -------------------------------------------------------------
+
+    def _pallas_mode(self) -> Optional[bool]:
+        """Resolve use_pallas: True / False / "interpret" / None(auto)."""
+        if self.use_pallas == "interpret":
+            return "interpret"
+        if self.use_pallas is None:
+            return jax.default_backend() == "tpu"
+        return bool(self.use_pallas)
 
     def search(
         self, queries: np.ndarray, k: int, nprobe: Optional[int] = None
@@ -340,10 +545,18 @@ class IVFPQIndex(IVFIndex):
         use_refine = self.refine != "none" and self._raw_chunks
         k_fetch = max(k, min(k * self.refine_factor,
                              self.list_cap * np_eff)) if use_refine else k
-        s, i = ivfpq_search_kernel(
-            q, self._centroids, self._x, self._ids, self._bias,
-            self._books, k_fetch, np_eff,
-        )
+        mode = self._pallas_mode()
+        if mode:
+            s, i = ivfpq_search_pallas(
+                q, self._centroids, self._x, self._ids, self._bias,
+                self._books, k_fetch, np_eff,
+                interpret=(mode == "interpret"),
+            )
+        else:
+            s, i = ivfpq_search_kernel(
+                q, self._centroids, self._x, self._ids, self._bias,
+                self._books, k_fetch, np_eff,
+            )
         s_np, i_np = np.asarray(s), np.asarray(i)
         dead = s_np <= float(NEG_INF) / 2
         i_np = np.where(dead, -1, i_np)
@@ -437,4 +650,9 @@ class IVFPQIndex(IVFIndex):
         return st
 
 
-__all__ = ["IVFPQIndex", "ivfpq_search_kernel", "ivfpq_batch_search_kernel"]
+__all__ = [
+    "IVFPQIndex",
+    "ivfpq_search_kernel",
+    "ivfpq_search_pallas",
+    "ivfpq_batch_search_kernel",
+]

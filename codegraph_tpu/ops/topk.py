@@ -157,6 +157,47 @@ def _threshold_merge(s, base, accs, acci, k: int, k_pad: int):
     return new_s, new_i
 
 
+def _threshold_merge_vids(s, ids_row, accs, acci, k: int, k_pad: int):
+    """_threshold_merge variant whose inserted ids come from an explicit
+    per-column id vector instead of base+offset — for kernels scoring
+    gathered cells whose rows carry arbitrary global ids (the IVF-PQ
+    per-cell-DMA ADC kernel). The one-matching-column mask-sum replaces
+    a scalar gather (Mosaic lane-gathers are vector-shaped only)."""
+    Bt, L = s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, L), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, k_pad), 1)
+
+    def cond(state):
+        s_cur, accs, _ = state
+        return jnp.any(jnp.max(s_cur, axis=1) > accs[:, k - 1])
+
+    def body(state):
+        s_cur, accs, acci = state
+        m = jnp.max(s_cur, axis=1)
+        am = jnp.argmax(s_cur, axis=1)
+        do = m > accs[:, k - 1]
+        at_max = col == am[:, None]
+        id_at = jnp.sum(jnp.where(at_max, ids_row, 0), axis=1)
+        s_cur = jnp.where(at_max, NEG_INF, s_cur)
+        ins_s = jnp.where(do, m, NEG_INF)
+        ins_i = jnp.where(do, id_at.astype(jnp.int32), -1)
+        pos = jnp.sum(
+            (accs > ins_s[:, None]).astype(jnp.int32)[:, :k], axis=1
+        )
+        shifted_s = pltpu.roll(accs, 1, 1)
+        shifted_i = pltpu.roll(acci, 1, 1)
+        at = kcol == pos[:, None]
+        before = kcol < pos[:, None]
+        accs = jnp.where(before, accs,
+                         jnp.where(at, ins_s[:, None], shifted_s))
+        acci = jnp.where(before, acci,
+                         jnp.where(at, ins_i[:, None], shifted_i))
+        return s_cur, accs, acci
+
+    _, new_s, new_i = jax.lax.while_loop(cond, body, (s, accs, acci))
+    return new_s, new_i
+
+
 def _flat_topk_kernel(
     q_ref, x_ref, bias_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k: int,
     k_pad: int, tile_n: int

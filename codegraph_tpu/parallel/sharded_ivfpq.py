@@ -1,6 +1,6 @@
 """Sharded IVF-PQ: the capacity tier times the mesh.
 
-Config "3x5" taken to its limit: the [nlist, cap, m] residual-code
+Config "3x5" taken to its limit: the [nlist, m, cap] residual-code
 tensor shards over its CELL axis exactly like ShardedIVFIndex (whole
 inverted lists stay chip-local; probes never cross ICI), the small
 codebooks replicate, and each chip runs the coarse + residual-ADC
@@ -39,7 +39,7 @@ from codegraph_tpu.ops.topk import NEG_INF, merge_topk
 def sharded_ivfpq_search(
     q: jax.Array,           # [B, D] replicated
     centroids: jax.Array,   # [nlist, D] sharded over `axis`
-    code_lists: jax.Array,  # [nlist, cap, m] uint8, sharded
+    code_lists: jax.Array,  # [nlist, m, cap] uint8, sharded
     id_lists: jax.Array,    # [nlist, cap] sharded (GLOBAL row ids)
     bias_lists: jax.Array,  # [nlist, cap] sharded
     books: jax.Array,       # [m, ksub, dsub] replicated
@@ -63,15 +63,11 @@ def sharded_ivfpq_search(
         def step(carry, p):
             top_s, top_i = carry
             cell = probe_ids[:, p]
-            ct = jnp.take(cl, cell, axis=0).astype(jnp.int32)  # [B, cap, m]
+            ct = jnp.take(cl, cell, axis=0).astype(jnp.int32)  # [B, m, cap]
             it = jnp.take(il, cell, axis=0)
             bt = jnp.take(bl, cell, axis=0)
-            adc = jnp.sum(
-                jnp.take_along_axis(
-                    table[:, None, :, :], ct[:, :, :, None], axis=3,
-                )[..., 0],
-                axis=-1,
-            )
+            # adc[b, c] = sum_j table[b, j, ct[b, j, c]]
+            adc = jnp.sum(jnp.take_along_axis(table, ct, axis=2), axis=1)
             s = probe_s[:, p][:, None] + adc + bt
             return merge_topk(top_s, top_i, s, it, k), None
 

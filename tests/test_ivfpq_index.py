@@ -72,9 +72,11 @@ def test_ivfpq_compression_and_stats(rng):
     idx.add(x)
     st = idx.stats()
     assert st["m"] == 8 and st["bytes_per_row"] == 16
-    # cells hold uint8 codes, not vectors: 8 bytes/row vs 256
+    # cells hold uint8 codes, not vectors: 8 bytes/row vs 256,
+    # subspace-major [nlist, m, cap] for the Pallas lane-gather ADC
     assert idx._x.dtype == np.uint8
-    assert idx._x.shape[2] == 8
+    assert idx._x.shape[:2] == (8, 8)
+    assert idx._x.shape[2] == idx.list_cap and idx.list_cap % 128 == 0
 
 
 def test_ivfpq_delete_tombstones(rng):
@@ -156,3 +158,50 @@ def test_ivfpq_batch_shared_tombstones(rng):
     idx.delete(rows[:4])
     _, i = idx.search_batch(q, 5, tile_u=4)
     assert not np.isin(np.arange(4), i).any()
+
+
+def test_ivfpq_pallas_kernel_matches_xla(rng):
+    """The per-cell-DMA Pallas ADC kernel (interpret mode) must produce
+    the same candidates and scores as the XLA reference path."""
+    from codegraph_tpu.index.ivfpq import (
+        ivfpq_search_kernel,
+        ivfpq_search_pallas,
+    )
+
+    x = rng.standard_normal((900, 64)).astype(np.float32)
+    q = rng.standard_normal((6, 64)).astype(np.float32)
+    idx = IVFPQIndex(64, nlist=8, nprobe=4, m=16, kmeans_iters=4,
+                     pq_iters=4)
+    idx.train(x)
+    idx.add(x)
+    idx.delete(np.arange(10))  # tombstones must stay dead in both paths
+    import jax.numpy as jnp
+    from codegraph_tpu.ops.similarity import l2_normalize
+
+    qn = l2_normalize(jnp.asarray(q))
+    s_ref, i_ref = ivfpq_search_kernel(
+        qn, idx._centroids, idx._x, idx._ids, idx._bias, idx._books, 10, 4)
+    s_pl, i_pl = ivfpq_search_pallas(
+        qn, idx._centroids, idx._x, idx._ids, idx._bias, idx._books, 10, 4,
+        interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(s_pl), np.asarray(s_ref), rtol=1e-4, atol=1e-4)
+    assert (np.asarray(i_pl) == np.asarray(i_ref)).all()
+
+
+def test_ivfpq_pallas_routing_flag(rng):
+    """use_pallas='interpret' routes search() through the Pallas kernel
+    end-to-end (including refine) with identical results to the XLA path."""
+    x = rng.standard_normal((600, 32)).astype(np.float32)
+    q = x[:5] + 0.001
+    idx = IVFPQIndex(32, nlist=8, nprobe=8, m=8, kmeans_iters=4, pq_iters=4,
+                     refine="int8")
+    idx.train(x)
+    idx.add(x)
+    idx.use_pallas = False
+    s_x, i_x = idx.search(q, 5)
+    idx.use_pallas = "interpret"
+    s_p, i_p = idx.search(q, 5)
+    assert (i_x == i_p).all()
+    np.testing.assert_allclose(s_x, s_p, rtol=1e-4, atol=1e-4)
+    assert (i_p[:, 0] == np.arange(5)).all()
