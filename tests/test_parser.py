@@ -103,7 +103,12 @@ def test_go_extraction_patterns():
     names = {(n.name, n.node_type) for n in r.nodes}
     assert ("Server", NodeType.STRUCT) in names
     assert ("NewServer", NodeType.FUNCTION) in names
-    assert ("Run", NodeType.FUNCTION) in names
+    # receiver funcs are METHODs, CONTAINS-linked to their struct
+    assert ("Run", NodeType.METHOD) in names
+    by_name = {n.name: n for n in r.nodes}
+    contains = {(e.src, e.dst) for e in r.edges
+                if e.edge_type == EdgeType.CONTAINS}
+    assert (by_name["Server"].id, by_name["Run"].id) in contains
 
 
 def test_all_13_languages_extract_something():
