@@ -114,7 +114,8 @@ def _make_server(cfg: CodeGraphConfig):
 def cmd_start(args, cfg: CodeGraphConfig) -> int:
     server = _make_server(cfg)
     if args.transport == "http":
-        server.serve_http(cfg.server.http_host, cfg.server.http_port)
+        port = args.port or cfg.server.http_port
+        server.serve_http(cfg.server.http_host, port)
     else:
         server.serve_stdio()
     return 0
@@ -243,6 +244,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_search)
 
     sp = sub.add_parser("start", help="start the MCP server")
+    sp.add_argument("--port", type=int, default=0,
+                    help="HTTP port (overrides config)")
     sp.add_argument("transport", nargs="?", default="stdio",
                     choices=["stdio", "http"])
     sp.set_defaults(fn=cmd_start)

@@ -29,6 +29,8 @@ class EmbeddingConfig:
 
     provider: str = "hash"  # hash | encoder | openai | jina | ollama | lmstudio
     model: str = "minilm-l6"
+    # "byte" (default) | path to a trained BPE .json | HF dir / vocab.txt
+    tokenizer: str = "byte"
     dimension: int = 384
     batch_size: int = 256
     max_chunk_tokens: int = 512
@@ -187,6 +189,7 @@ class CodeGraphConfig:
 _ENV_OVERRIDES: Dict[str, str] = {
     "CODEGRAPH_EMBEDDING_PROVIDER": "embedding.provider",
     "CODEGRAPH_EMBEDDING_MODEL": "embedding.model",
+    "CODEGRAPH_EMBEDDING_TOKENIZER": "embedding.tokenizer",
     "CODEGRAPH_EMBEDDING_DIMENSION": "embedding.dimension",
     "CODEGRAPH_EMBEDDING_BATCH_SIZE": "embedding.batch_size",
     "CODEGRAPH_MAX_CHUNK_TOKENS": "embedding.max_chunk_tokens",

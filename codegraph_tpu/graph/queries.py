@@ -28,7 +28,7 @@ MAX_DEPTH = 5  # reference clamps traversal depth <= 5 (graph_tool_schemas.rs)
 
 
 class GraphQueries:
-    """The 7 structural graph tools (semantic search lives in search/)."""
+    """The structural graph tools: find-by-name + the 7 analytics\n    (semantic search lives in search/)."""
 
     def __init__(self, store: GraphStore):
         self.store = store
@@ -52,6 +52,25 @@ class GraphQueries:
             return row
         matches = self.store.find_nodes_by_name(node_id_or_name)
         return matches[0].row if matches else None
+
+    # -- 0. find nodes by name (graph_functions.rs:473) --------------------
+
+    def find_nodes_by_name(
+        self, name: str, limit: int = 20, fuzzy: bool = True
+    ) -> Dict[str, Any]:
+        """Public name lookup: exact matches first, then substring
+        (reference: fn::find_nodes_by_name, graph_functions.rs:473)."""
+        matches = self.store.find_nodes_by_name(name, fuzzy=fuzzy)
+        exact = [n for n in matches if n.name == name]
+        rest = [n for n in matches if n.name != name]
+        ordered = exact + sorted(rest, key=lambda n: (len(n.name), n.name))
+        infos = []
+        for n in ordered[:limit]:
+            info = self._node_info(n.row)
+            if info is not None:
+                info["exact"] = n.name == name
+                infos.append(info)
+        return {"query": name, "count": len(infos), "nodes": infos}
 
     # -- 1. transitive dependencies (graph_functions.rs:191) ---------------
 

@@ -10,11 +10,13 @@ enrichment.rs:534 + lsp.rs:773 symbol enrichment). The reference's tier
 policy applies: Fast skips analyzers, Balanced runs the cheap ones, Full
 runs everything (AnalyzerSettings::for_tier, indexer.rs:977).
 
-The LSP analyzer is re-designed: instead of spawning external language
-servers over JSON-RPC (a process boundary the TPU rebuild doesn't want in
-its build path), enrichment derives the same signal classes — definitions,
-references, container relationships — from the already-extracted graph.
-An external-LSP hook remains for environments that have servers installed.
+The LSP analyzer has two tiers: EnrichmentAnalyzer derives the signal
+classes (definitions, references, containers) graph-side with no process
+boundary, and indexer/lsp.py is a REAL external-LSP client (stdio
+JSON-RPC to rust-analyzer/pyright/tsserver/gopls/clangd/jdtls, 16 files
+in flight, matching lsp.rs:773) used when servers are installed and
+settings.lsp is on — exercised against a scripted fake server in
+tests/test_lsp.py since this environment ships no servers.
 """
 
 from __future__ import annotations
@@ -48,15 +50,20 @@ class AnalyzerSettings:
     build_context: bool = True
     architecture: bool = True
     enrichment: bool = True
+    # external language servers (indexer/lsp.py); off unless requested —
+    # the reference gates LSP on tool validation too (indexer.rs:977)
+    lsp: bool = False
 
     @classmethod
     def for_tier(cls, tier: str) -> "AnalyzerSettings":
+        lsp_on = os.environ.get("CODEGRAPH_LSP", "") in ("1", "true", "on")
         if tier == "fast":
-            return cls(False, False, False, False, False, False)
+            return cls(False, False, False, False, False, False, False)
         if tier == "balanced":
             return cls(modules=True, dataflow=False, docs=True,
-                       build_context=True, architecture=False, enrichment=True)
-        return cls()  # full
+                       build_context=True, architecture=False,
+                       enrichment=True, lsp=False)
+        return cls(lsp=lsp_on)  # full
 
 
 @dataclass
@@ -357,6 +364,7 @@ def run_analyzers(
     nodes: List[CodeNode],
     edges: List[CodeEdge],
     settings: Optional[AnalyzerSettings] = None,
+    files: Optional[Dict[str, tuple]] = None,
 ) -> AnalyzerOutput:
     """Run the configured analyzers in the reference's order
     (indexer.rs:1203-1388: enrichment -> module_linker -> dataflow ->
@@ -365,6 +373,13 @@ def run_analyzers(
     out = AnalyzerOutput()
     if settings.build_context:
         out.merge(BuildContextAnalyzer().run(project, root))
+    if settings.lsp and files:
+        from codegraph_tpu.indexer.lsp import LSPAnalyzer
+
+        enr = LSPAnalyzer().run(root, files, nodes)
+        out.edges.extend(enr.edges)
+        out.counters["lsp_symbols"] = enr.symbols_enriched
+        out.counters["lsp_files"] = enr.files_processed
     if settings.enrichment:
         out.merge(EnrichmentAnalyzer().run(project, nodes, edges))
     if settings.modules:

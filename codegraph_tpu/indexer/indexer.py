@@ -114,6 +114,14 @@ class ProjectIndexer:
 
     # -- full / incremental build -----------------------------------------
 
+
+    def _count_tokens(self):
+        """Chunk budgets use the embedding provider's tokenizer when it
+        has one (subword budgets, prep/chunker.rs:12-70 semantics);
+        falls back to byte counting."""
+        tok = getattr(self.provider, "tokenizer", None)
+        return getattr(tok, "count_tokens", None)
+
     def index_project(
         self, root: Optional[str] = None, force: bool = False
     ) -> IndexStats:
@@ -201,7 +209,8 @@ class ProjectIndexer:
 
         # chunk + embed + index (the TPU hot loop, indexer.rs:1603-1685)
         t0 = time.perf_counter()
-        plan = build_chunk_plan(new_nodes, self.chunker_cfg)
+        plan = build_chunk_plan(new_nodes, self.chunker_cfg,
+                                count_tokens=self._count_tokens())
         stats.chunks = len(plan.chunks)
         stats.stage_seconds["chunk"] = time.perf_counter() - t0
 
@@ -285,7 +294,8 @@ class ProjectIndexer:
             fp.result.edges, all_nodes
         )
         self.store.add_edges([e for e in fp.result.edges if e.resolved])
-        plan = build_chunk_plan(fp.result.nodes, self.chunker_cfg)
+        plan = build_chunk_plan(fp.result.nodes, self.chunker_cfg,
+                                count_tokens=self._count_tokens())
         self._embed_and_index(plan.chunks)
         for node in fp.result.nodes:
             self.bm25.add(node.row, f"{node.name} {node.content}")

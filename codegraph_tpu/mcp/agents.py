@@ -82,7 +82,10 @@ class ReActAgent:
         self.max_turns = max_turns
         self.debug = debug or DebugLogger()
 
-    def run(self, task: str) -> AgentResult:
+    def run(self, task: str, on_text=None) -> AgentResult:
+        """on_text(fragment) streams the LLM's reasoning/answer text
+        incrementally (reference: the rig executor's streaming path,
+        codegraph-mcp-rig/src/agent/executor.rs:19-265)."""
         messages: List[Dict[str, Any]] = [
             {"role": "system", "content": _SYSTEM},
             {"role": "user", "content": task},
@@ -90,7 +93,10 @@ class ReActAgent:
         schemas = list(TOOL_SCHEMAS.values())
         traces: List[ToolTrace] = []
         for turn in range(1, self.max_turns + 1):
-            resp = self.llm.chat_with_tools(messages, schemas)
+            if on_text is not None:
+                resp = self.llm.chat_stream(messages, schemas, on_text=on_text)
+            else:
+                resp = self.llm.chat_with_tools(messages, schemas)
             if resp.text:
                 self.debug.reasoning(self.name, resp.text)
             if not resp.tool_calls:

@@ -55,9 +55,12 @@ def _secret(name: str) -> str:
 
 
 class LLMProvider:
-    """Interface: chat(messages) and chat_with_tools(messages, tools)."""
+    """Interface: chat(messages), chat_with_tools(messages, tools), and
+    chat_stream(..., on_text) for incremental delivery (reference:
+    llm_provider.rs:297-339 generate_chat_stream)."""
 
     name = "base"
+    supports_streaming = False
 
     def __init__(self, cfg: LLMConfig):
         self.cfg = cfg
@@ -75,6 +78,41 @@ class LLMProvider:
         self, messages: Sequence[Dict[str, Any]], tools: Sequence[Dict[str, Any]]
     ) -> ChatResponse:
         raise NotImplementedError
+
+    def chat_stream(
+        self,
+        messages: Sequence[Dict[str, Any]],
+        tools: Sequence[Dict[str, Any]] = (),
+        on_text=None,
+    ) -> ChatResponse:
+        """Streamed chat: `on_text(delta)` fires per text fragment; the
+        accumulated ChatResponse (text + tool calls) returns at the end.
+        Providers without native SSE fall back to one buffered emit."""
+        resp = self.chat_with_tools(messages, tools)
+        if on_text is not None and resp.text:
+            on_text(resp.text)
+        return resp
+
+
+def _iter_sse(resp):
+    """Yield `data:` payload strings from an SSE byte stream."""
+    for raw in resp:
+        line = raw.decode("utf-8", errors="replace").strip()
+        if not line or line.startswith(":"):
+            continue
+        if line.startswith("data:"):
+            data = line[5:].strip()
+            if data and data != "[DONE]":
+                yield data
+
+
+def _stream_post(url: str, body: dict, headers: dict, timeout: float = 300.0):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json",
+                 "Accept": "text/event-stream", **headers},
+    )
+    return urllib.request.urlopen(req, timeout=timeout)
 
 
 def _post_json(url: str, body: dict, headers: dict, timeout: float = 120.0,
@@ -96,14 +134,15 @@ def _post_json(url: str, body: dict, headers: dict, timeout: float = 120.0,
 
 class AnthropicProvider(LLMProvider):
     """Reference: anthropic_provider.rs (551 LoC): /v1/messages with
-    tool_use blocks."""
+    tool_use blocks + SSE streaming (llm_provider.rs:297-339)."""
 
     name = "anthropic"
+    supports_streaming = True
 
     def is_available(self) -> bool:
         return bool(_secret(self.cfg.api_key_env or "ANTHROPIC_API_KEY"))
 
-    def chat_with_tools(self, messages, tools) -> ChatResponse:
+    def _request(self, messages, tools):
         key = _secret(self.cfg.api_key_env or "ANTHROPIC_API_KEY")
         base = self.cfg.base_url or "https://api.anthropic.com"
         system = "\n".join(
@@ -126,10 +165,13 @@ class AnthropicProvider(LLMProvider):
                 }
                 for t in tools
             ]
-        payload = _post_json(
-            base.rstrip("/") + "/v1/messages", body,
-            {"x-api-key": key, "anthropic-version": "2023-06-01"},
-        )
+        url = base.rstrip("/") + "/v1/messages"
+        headers = {"x-api-key": key, "anthropic-version": "2023-06-01"}
+        return url, body, headers
+
+    def chat_with_tools(self, messages, tools) -> ChatResponse:
+        url, body, headers = self._request(messages, tools)
+        payload = _post_json(url, body, headers)
         out = ChatResponse(stop_reason=payload.get("stop_reason", ""))
         for block in payload.get("content", []):
             if block.get("type") == "text":
@@ -142,6 +184,57 @@ class AnthropicProvider(LLMProvider):
         out.usage = payload.get("usage", {})
         return out
 
+    def chat_stream(self, messages, tools=(), on_text=None) -> ChatResponse:
+        """Anthropic SSE: content_block_start (tool_use) /
+        content_block_delta (text_delta, input_json_delta) /
+        message_delta (stop_reason)."""
+        url, body, headers = self._request(messages, tools)
+        body["stream"] = True
+        out = ChatResponse()
+        blocks: Dict[int, Dict[str, Any]] = {}
+        try:
+            with _stream_post(url, body, headers) as resp:
+                for data in _iter_sse(resp):
+                    try:
+                        ev = json.loads(data)
+                    except ValueError:
+                        continue
+                    etype = ev.get("type", "")
+                    if etype == "content_block_start":
+                        blk = ev.get("content_block", {})
+                        if blk.get("type") == "tool_use":
+                            blocks[ev.get("index", 0)] = {
+                                "name": blk.get("name", ""),
+                                "id": blk.get("id", ""), "json": "",
+                            }
+                    elif etype == "content_block_delta":
+                        delta = ev.get("delta", {})
+                        if delta.get("type") == "text_delta":
+                            frag = delta.get("text", "")
+                            out.text += frag
+                            if on_text is not None and frag:
+                                on_text(frag)
+                        elif delta.get("type") == "input_json_delta":
+                            idx = ev.get("index", 0)
+                            if idx in blocks:
+                                blocks[idx]["json"] += delta.get(
+                                    "partial_json", "")
+                    elif etype == "message_delta":
+                        out.stop_reason = ev.get("delta", {}).get(
+                            "stop_reason", "") or out.stop_reason
+                        out.usage.update(ev.get("usage", {}) or {})
+        except (urllib.error.URLError, OSError) as exc:
+            raise ProviderUnavailable(f"LLM stream failed: {exc}")
+        for idx in sorted(blocks):
+            blk = blocks[idx]
+            try:
+                args = json.loads(blk["json"] or "{}")
+            except ValueError:
+                args = {}
+            out.tool_calls.append(
+                ToolCall(name=blk["name"], arguments=args, id=blk["id"]))
+        return out
+
 
 class OpenAICompatibleProvider(LLMProvider):
     """OpenAI chat-completions dialect; also serves xAI / LM Studio /
@@ -149,6 +242,7 @@ class OpenAICompatibleProvider(LLMProvider):
     openai_llm_provider.rs:692)."""
 
     name = "openai_compatible"
+    supports_streaming = True
 
     def _base(self) -> str:
         return (self.cfg.base_url or "https://api.openai.com/v1").rstrip("/")
@@ -158,7 +252,7 @@ class OpenAICompatibleProvider(LLMProvider):
             return bool(_secret(self.cfg.api_key_env))
         return bool(self.cfg.base_url)
 
-    def chat_with_tools(self, messages, tools) -> ChatResponse:
+    def _request(self, messages, tools):
         headers = {}
         key = _secret(self.cfg.api_key_env or "OPENAI_API_KEY")
         if key:
@@ -173,7 +267,11 @@ class OpenAICompatibleProvider(LLMProvider):
             body["tools"] = [
                 {"type": "function", "function": t} for t in tools
             ]
-        payload = _post_json(self._base() + "/chat/completions", body, headers)
+        return self._base() + "/chat/completions", body, headers
+
+    def chat_with_tools(self, messages, tools) -> ChatResponse:
+        url, body, headers = self._request(messages, tools)
+        payload = _post_json(url, body, headers)
         choice = (payload.get("choices") or [{}])[0]
         msg = choice.get("message", {})
         out = ChatResponse(
@@ -191,6 +289,53 @@ class OpenAICompatibleProvider(LLMProvider):
                 ToolCall(name=fn.get("name", ""), arguments=args,
                          id=tc.get("id", ""))
             )
+        return out
+
+    def chat_stream(self, messages, tools=(), on_text=None) -> ChatResponse:
+        """OpenAI SSE: `data:` chunks carrying choices[0].delta
+        {content | tool_calls[i].function.arguments fragments}."""
+        url, body, headers = self._request(messages, tools)
+        body["stream"] = True
+        out = ChatResponse()
+        calls: Dict[int, Dict[str, str]] = {}
+        try:
+            with _stream_post(url, body, headers) as resp:
+                for data in _iter_sse(resp):
+                    try:
+                        chunk = json.loads(data)
+                    except ValueError:
+                        continue
+                    choice = (chunk.get("choices") or [{}])[0]
+                    delta = choice.get("delta", {})
+                    frag = delta.get("content")
+                    if frag:
+                        out.text += frag
+                        if on_text is not None:
+                            on_text(frag)
+                    for tc in delta.get("tool_calls") or []:
+                        idx = tc.get("index", 0)
+                        slot = calls.setdefault(
+                            idx, {"name": "", "id": "", "args": ""})
+                        fn = tc.get("function", {})
+                        if fn.get("name"):
+                            slot["name"] = fn["name"]
+                        if tc.get("id"):
+                            slot["id"] = tc["id"]
+                        slot["args"] += fn.get("arguments", "") or ""
+                    if choice.get("finish_reason"):
+                        out.stop_reason = choice["finish_reason"]
+                    if chunk.get("usage"):
+                        out.usage.update(chunk["usage"])
+        except (urllib.error.URLError, OSError) as exc:
+            raise ProviderUnavailable(f"LLM stream failed: {exc}")
+        for idx in sorted(calls):
+            slot = calls[idx]
+            try:
+                args = json.loads(slot["args"] or "{}")
+            except ValueError:
+                args = {}
+            out.tool_calls.append(
+                ToolCall(name=slot["name"], arguments=args, id=slot["id"]))
         return out
 
 

@@ -138,12 +138,14 @@ class MCPServer:
             })
         return out
 
-    def call_tool(self, name: str, arguments: Dict[str, Any]) -> Dict[str, Any]:
+    def call_tool(self, name: str, arguments: Dict[str, Any],
+                  on_text=None) -> Dict[str, Any]:
         if name in AGENTIC_TOOLS:
-            return self._agentic(name, arguments)
+            return self._agentic(name, arguments, on_text=on_text)
         return self.tools.execute(name, arguments)
 
-    def _agentic(self, name: str, arguments: Dict[str, Any]) -> Dict[str, Any]:
+    def _agentic(self, name: str, arguments: Dict[str, Any],
+                 on_text=None) -> Dict[str, Any]:
         from codegraph_tpu.mcp.prompts import (
             FOCUS_TO_ANALYSIS,
             AnalysisType,
@@ -169,7 +171,10 @@ class MCPServer:
         if self.llm.is_available():
             try:
                 agent = create_agent(self.architecture, self.llm, self.tools)
-                result = agent.run(task)
+                try:
+                    result = agent.run(task, on_text=on_text)
+                except TypeError:  # agent without streaming support
+                    result = agent.run(task)
                 return result.structured()
             except ProviderUnavailable as exc:
                 logger.warning("LLM unavailable, falling back: %s", exc)
@@ -320,13 +325,31 @@ class MCPServer:
                     self._notify_progress(
                         notify, token, 40, "gathering graph evidence"
                     )
-                result = self.call_tool(name, args)
+                on_text = None
+                if notify is not None:
+                    # stream LLM text fragments as logging notifications
+                    # (delivered live on SSE transports)
+                    def on_text(frag):
+                        notify({
+                            "jsonrpc": "2.0",
+                            "method": "notifications/message",
+                            "params": {"level": "info",
+                                       "logger": "codegraph.agent",
+                                       "data": frag},
+                        })
+                result = self.call_tool(name, args, on_text=on_text)
                 self._notify_progress(notify, token, 100, "done")
+                text = json.dumps(result, default=str, indent=2)
+                # 52k-token MCP output cap (context_aware_limits.rs:8);
+                # ~4 chars/token heuristic, truncation is explicit
+                from codegraph_tpu.mcp.tiers import MCP_OUTPUT_TOKEN_CAP
+
+                cap_chars = MCP_OUTPUT_TOKEN_CAP * 4
+                if len(text) > cap_chars:
+                    text = (text[:cap_chars]
+                            + f"\n... [truncated at {MCP_OUTPUT_TOKEN_CAP} tokens]")
                 return ok({
-                    "content": [{
-                        "type": "text",
-                        "text": json.dumps(result, default=str, indent=2),
-                    }],
+                    "content": [{"type": "text", "text": text}],
                     "isError": "error" in result,
                 })
             if mid is None:
@@ -359,17 +382,50 @@ class MCPServer:
                 stdout.write(json.dumps(reply) + "\n")
                 stdout.flush()
 
-    # -- HTTP transport (reference: http_server.rs, port 3003) -------------
+    # -- streamable-HTTP transport (reference: http_server.rs:1-79, the
+    # axum streamable-HTTP MCP endpoint at /mcp with session ids) ----------
 
-    def serve_http(self, host: str = "127.0.0.1", port: int = 3003) -> None:
+    def make_http_server(self, host: str = "127.0.0.1", port: int = 3003,
+                         auth_token: Optional[str] = None):
+        """Build (not run) the streamable-HTTP server.
+
+        MCP streamable-HTTP semantics:
+        * POST /mcp — JSON-RPC. `initialize` mints a session and returns
+          it in the `Mcp-Session-Id` response header; every subsequent
+          request must echo that header (404 when unknown).
+        * Clients that `Accept: text/event-stream` get an SSE response:
+          notifications (progress + streamed LLM text) flush live as
+          `data:` events, followed by the final JSON-RPC response.
+        * DELETE /mcp — explicit session termination.
+        * GET /mcp — 405 (no server-initiated stream; allowed by spec).
+        * Optional bearer auth: `auth_token` or CODEGRAPH_HTTP_TOKEN.
+        """
+        import os
+        import uuid
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         server = self
+        token = auth_token or os.environ.get("CODEGRAPH_HTTP_TOKEN", "")
+        sessions: Dict[str, Dict[str, Any]] = {}
 
         class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def _authed(self) -> bool:
+                if not token:
+                    return True
+                return self.headers.get(
+                    "Authorization", "") == f"Bearer {token}"
+
+            def _session(self) -> Optional[str]:
+                return self.headers.get("Mcp-Session-Id")
+
             def do_POST(self):
                 if self.path.rstrip("/") not in ("/mcp", ""):
                     self.send_error(404)
+                    return
+                if not self._authed():
+                    self.send_error(401)
                     return
                 length = int(self.headers.get("Content-Length", 0))
                 try:
@@ -377,19 +433,79 @@ class MCPServer:
                 except ValueError:
                     self.send_error(400)
                     return
-                reply = server.handle_message(msg)
+                is_init = msg.get("method") == "initialize"
+                sid = self._session()
+                if is_init:
+                    sid = uuid.uuid4().hex
+                    sessions[sid] = {"created": True}
+                elif sid is not None and sid not in sessions:
+                    self.send_error(404, "unknown Mcp-Session-Id")
+                    return
+                accept = self.headers.get("Accept", "")
+                if "text/event-stream" in accept and not is_init:
+                    self._respond_sse(msg, sid)
+                else:
+                    reply = server.handle_message(msg)
+                    self._respond_json(reply, sid)
+
+            def _respond_json(self, reply, sid):
                 body = json.dumps(reply or {}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
+                if sid:
+                    self.send_header("Mcp-Session-Id", sid)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _respond_sse(self, msg, sid):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                if sid:
+                    self.send_header("Mcp-Session-Id", sid)
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def emit(obj):
+                    data = f"event: message\ndata: {json.dumps(obj)}\n\n"
+                    raw = data.encode()
+                    self.wfile.write(f"{len(raw):x}\r\n".encode())
+                    self.wfile.write(raw + b"\r\n")
+                    self.wfile.flush()
+
+                reply = server.handle_message(msg, notify=emit)
+                if reply is not None:
+                    emit(reply)
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
+
+            def do_DELETE(self):
+                if self.path.rstrip("/") not in ("/mcp", ""):
+                    self.send_error(404)
+                    return
+                sid = self._session()
+                if sid and sid in sessions:
+                    del sessions[sid]
+                    self.send_response(204)
+                    self.end_headers()
+                else:
+                    self.send_error(404)
+
+            def do_GET(self):
+                self.send_error(405)
 
             def log_message(self, *args):
                 pass
 
         httpd = ThreadingHTTPServer((host, port), Handler)
-        logger.info("MCP HTTP server on %s:%d/mcp", host, port)
+        httpd._mcp_sessions = sessions  # test introspection
+        return httpd
+
+    def serve_http(self, host: str = "127.0.0.1", port: int = 3003,
+                   auth_token: Optional[str] = None) -> None:
+        httpd = self.make_http_server(host, port, auth_token)
+        logger.info("MCP streamable-HTTP server on %s:%d/mcp", host, port)
         httpd.serve_forever()
 
 

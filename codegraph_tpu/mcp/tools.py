@@ -109,6 +109,19 @@ TOOL_SCHEMAS: Dict[str, Dict[str, Any]] = {
             "required": ["node"],
         },
     },
+    "find_nodes_by_name": {
+        "name": "find_nodes_by_name",
+        "description": "Look up graph nodes by exact or fuzzy symbol "
+                       "name (reference: graph_functions.rs:473).",
+        "parameters": {
+            "type": "object",
+            "properties": {
+                "name": {"type": "string"},
+                "limit": {"type": "integer", "default": 20},
+            },
+            "required": ["name"],
+        },
+    },
     "find_complexity_hotspots": {
         "name": "find_complexity_hotspots",
         "description": "Highest complexity x connectivity nodes.",
@@ -184,6 +197,8 @@ class GraphToolExecutor:
             )
         if tool == "find_complexity_hotspots":
             return q.complexity_hotspots(int(p.get("limit", 10)))
+        if tool == "find_nodes_by_name":
+            return q.find_nodes_by_name(p["name"], int(p.get("limit", 20)))
         return {"error": f"unknown tool {tool!r}"}
 
     def stats(self) -> Dict[str, Any]:

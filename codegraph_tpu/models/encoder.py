@@ -46,6 +46,9 @@ class EncoderConfig:
     n_experts: int = 0           # >0 switches the MLP to a dense-dispatch MoE
     remat: bool = False          # rematerialize layer activations (training
                                  # memory = O(1) layers instead of O(depth))
+    norm_style: str = "pre"      # pre (native) | post (BERT-family imports)
+    attn_bias: bool = False      # qkv/output projection biases (BERT has them)
+    act: str = "gelu_tanh"       # gelu_tanh (native) | gelu_exact (BERT erf)
     dtype: Any = jnp.bfloat16
     eps: float = 1e-6
 
@@ -86,6 +89,9 @@ def init_encoder_params(key: jax.Array, cfg: EncoderConfig) -> Params:
         "ln2_scale": jnp.ones((L, H), jnp.float32),
         "ln2_bias": jnp.zeros((L, H), jnp.float32),
     }
+    if cfg.attn_bias:
+        layers["b_qkv"] = jnp.zeros((L, 3 * H), jnp.float32)
+        layers["b_o"] = jnp.zeros((L, H), jnp.float32)
     if cfg.n_experts > 0:
         E = cfg.n_experts
         layers.update({
@@ -132,6 +138,9 @@ def encoder_param_shardings(cfg: EncoderConfig) -> Params:
         "ln2_scale": P(None, None),
         "ln2_bias": P(None, None),
     }
+    if cfg.attn_bias:
+        layers["b_qkv"] = P(None, "tp")
+        layers["b_o"] = P(None, None)
     if cfg.n_experts > 0:
         layers.update({
             "gate": P(None, None, None),
@@ -167,13 +176,16 @@ def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> 
 
 
 def _attention(
-    x: jax.Array, wqkv: jax.Array, wo: jax.Array, attn_bias: jax.Array, cfg: EncoderConfig
+    x: jax.Array, wqkv: jax.Array, wo: jax.Array, attn_bias: jax.Array,
+    cfg: EncoderConfig, b_qkv=None, b_o=None
 ) -> jax.Array:
     """Bidirectional multi-head attention. x: [B, L, H]."""
     B, L, H = x.shape
     nh, hd = cfg.n_heads, cfg.head_dim
     qkv = jnp.einsum("blh,hk->blk", x, wqkv.astype(x.dtype),
                      preferred_element_type=jnp.float32)
+    if b_qkv is not None:
+        qkv = qkv + b_qkv
     qkv = qkv.astype(x.dtype).reshape(B, L, 3, nh, hd)
     q, k_, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, L, nh, hd]
     logits = jnp.einsum("bqnd,bknd->bnqk", q, k_,
@@ -185,13 +197,16 @@ def _attention(
     ctx = ctx.astype(x.dtype).reshape(B, L, H)
     out = jnp.einsum("blh,hk->blk", ctx, wo.astype(x.dtype),
                      preferred_element_type=jnp.float32)
+    if b_o is not None:
+        out = out + b_o
     return out.astype(x.dtype)
 
 
-def _mlp(x: jax.Array, w_up, b_up, w_down, b_down) -> jax.Array:
+def _mlp(x: jax.Array, w_up, b_up, w_down, b_down, approx: bool = True) -> jax.Array:
     h = jnp.einsum("blh,hf->blf", x, w_up.astype(x.dtype),
                    preferred_element_type=jnp.float32)
-    h = jax.nn.gelu(h.astype(jnp.float32) + b_up).astype(x.dtype)
+    h = jax.nn.gelu(h.astype(jnp.float32) + b_up,
+                    approximate=approx).astype(x.dtype)
     out = jnp.einsum("blf,fh->blh", h, w_down.astype(x.dtype),
                      preferred_element_type=jnp.float32)
     return (out + b_down).astype(x.dtype)
@@ -257,17 +272,38 @@ def encode(
     attn_bias = jnp.where(mask[:, None, None, :], 0.0, -1e30).astype(jnp.float32)
     moe = cfg.n_experts > 0
 
+    approx = cfg.act != "gelu_exact"
+
     def layer(x, lp):
+        b_qkv = lp.get("b_qkv")
+        b_o = lp.get("b_o")
+        if cfg.norm_style == "post":
+            # BERT-family residual order: LN AFTER each residual add
+            h = cstr(x, full_spec)
+            x = x + _attention(h, lp["wqkv"], lp["wo"], attn_bias, cfg,
+                               b_qkv=b_qkv, b_o=b_o)
+            x = cstr(_layer_norm(x, lp["ln1_scale"], lp["ln1_bias"],
+                                 cfg.eps), seq_spec)
+            if moe:
+                y = _moe_mlp(x, lp["gate"], lp["w_up_e"], lp["b_up_e"],
+                             lp["w_down_e"], lp["b_down_e"])
+            else:
+                y = _mlp(x, lp["w_up"], lp["b_up"], lp["w_down"],
+                         lp["b_down"], approx=approx)
+            x = _layer_norm(x + y, lp["ln2_scale"], lp["ln2_bias"], cfg.eps)
+            return cstr(x, seq_spec), None
         h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], cfg.eps)
         h = cstr(h, full_spec)  # gather sequence for attention
-        x = cstr(x + _attention(h, lp["wqkv"], lp["wo"], attn_bias, cfg),
+        x = cstr(x + _attention(h, lp["wqkv"], lp["wo"], attn_bias, cfg,
+                                b_qkv=b_qkv, b_o=b_o),
                  seq_spec)      # scatter back to sequence-parallel
         h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.eps)
         if moe:
             x = x + _moe_mlp(h, lp["gate"], lp["w_up_e"], lp["b_up_e"],
                              lp["w_down_e"], lp["b_down_e"])
         else:
-            x = x + _mlp(h, lp["w_up"], lp["b_up"], lp["w_down"], lp["b_down"])
+            x = x + _mlp(h, lp["w_up"], lp["b_up"], lp["w_down"],
+                         lp["b_down"], approx=approx)
         return cstr(x, seq_spec), None
 
     if cfg.remat:

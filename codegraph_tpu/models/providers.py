@@ -112,6 +112,7 @@ class EncoderProvider(EmbeddingProvider):
         checkpoint: Optional[str] = None,
         seed: int = 0,
         bucketing: bool = True,
+        tokenizer=None,
     ):
         super().__init__(dimension, batch_size)
         import jax
@@ -123,9 +124,22 @@ class EncoderProvider(EmbeddingProvider):
         )
         from codegraph_tpu.models.tokenizer import VOCAB_SIZE
 
-        if checkpoint and os.path.exists(checkpoint):
+        if checkpoint and os.path.isdir(checkpoint):
+            # HF-format model directory (config.json + safetensors/bin):
+            # user-supplied BERT/MiniLM weights, run natively with
+            # norm_style="post" (models/hf_import.py)
+            from codegraph_tpu.models.bpe import load_hf_tokenizer
+            from codegraph_tpu.models.hf_import import load_hf_encoder
+
+            self.params, self.cfg = load_hf_encoder(checkpoint)
+            self.dimension = self.cfg.hidden
+            max_len = self.cfg.max_len
+            if tokenizer is None:
+                tokenizer = load_hf_tokenizer(checkpoint, max_len=max_len)
+        elif checkpoint and os.path.exists(checkpoint):
             # architecture is implied by the checkpoint's array shapes
-            self.params = load_encoder_checkpoint(checkpoint)
+            # (+ optional __cfg__ metadata for norm/bias/act variants)
+            self.params, meta = load_encoder_checkpoint_ex(checkpoint)
             tok_emb = self.params["tok_emb"]
             wqkv = self.params["layers"]["wqkv"]
             w_up = self.params["layers"]["w_up"]
@@ -135,20 +149,39 @@ class EncoderProvider(EmbeddingProvider):
             n_layers = int(wqkv.shape[0])
             mlp_ratio = int(w_up.shape[2] // hidden)
             n_heads = next(h for h in (12, 8, 6, 4, 2, 1) if hidden % h == 0)
+            extra = {k: meta[k] for k in
+                     ("norm_style", "attn_bias", "act", "pooling", "eps")
+                     if meta and k in meta}
+            if tokenizer is None and meta and meta.get("tokenizer"):
+                # the checkpoint names its training tokenizer; resolve
+                # next to the checkpoint file
+                from codegraph_tpu.models.bpe import make_tokenizer
+
+                tok_path = os.path.join(
+                    os.path.dirname(os.path.abspath(checkpoint)),
+                    meta["tokenizer"],
+                )
+                if os.path.exists(tok_path):
+                    tokenizer = make_tokenizer(tok_path, max_len=max_len)
+            if "b_qkv" in self.params["layers"]:
+                extra.setdefault("attn_bias", True)
             self.cfg = EncoderConfig(
                 vocab_size=int(tok_emb.shape[0]), hidden=hidden,
-                n_layers=n_layers, n_heads=n_heads, mlp_ratio=mlp_ratio,
-                max_len=max_len,
+                n_layers=n_layers, n_heads=int(meta.get("n_heads", n_heads))
+                if meta else n_heads, mlp_ratio=mlp_ratio,
+                max_len=max_len, **extra,
             )
             self.dimension = dimension
         else:
             n_heads = next(h for h in (12, 8, 6, 4, 2, 1) if dimension % h == 0)
+            vocab = tokenizer.vocab_size if tokenizer is not None else VOCAB_SIZE
             self.cfg = EncoderConfig(
-                vocab_size=VOCAB_SIZE, hidden=dimension, n_heads=n_heads,
+                vocab_size=vocab, hidden=dimension, n_heads=n_heads,
                 max_len=max_len,
             )
             self.params = init_encoder_params(jax.random.PRNGKey(seed), self.cfg)
-        self.tokenizer = ByteTokenizer(max_len=max_len)
+        self.tokenizer = tokenizer if tokenizer is not None else \
+            ByteTokenizer(max_len=max_len)
         self._encode = encode_jit
         self.buckets = (
             [b for b in (64, 128, 256, 512, 1024, 2048) if b < max_len]
@@ -184,26 +217,52 @@ class EncoderProvider(EmbeddingProvider):
         return out
 
 
-def save_encoder_checkpoint(path: str, params) -> None:
+def save_encoder_checkpoint(path: str, params, cfg=None,
+                            tokenizer_file: Optional[str] = None) -> None:
+    """Save params (+ optional EncoderConfig variant metadata and the
+    tokenizer file the model was trained with) as .npz. tokenizer_file
+    is stored as a basename resolved next to the checkpoint at load."""
     import jax
 
     flat = {
         "/".join(str(k) for k in key_path): np.asarray(leaf)
         for key_path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
     }
+    if cfg is not None or tokenizer_file:
+        meta = {}
+        if cfg is not None:
+            meta = {"norm_style": cfg.norm_style, "attn_bias": cfg.attn_bias,
+                    "act": cfg.act, "pooling": cfg.pooling, "eps": cfg.eps,
+                    "n_heads": cfg.n_heads}
+        if tokenizer_file:
+            meta["tokenizer"] = os.path.basename(tokenizer_file)
+        flat["__cfg__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
     np.savez(path, **flat)
 
 
-def load_encoder_checkpoint(path: str):
+def load_encoder_checkpoint_ex(path: str):
+    """-> (params, meta dict | None). meta carries EncoderConfig variant
+    fields (norm_style/attn_bias/act/pooling/eps/n_heads) when the
+    checkpoint was saved with a cfg."""
     data = np.load(path)
     params: Dict = {}
+    meta = None
     for flat_key in data.files:
+        if flat_key == "__cfg__":
+            meta = json.loads(bytes(data[flat_key]).decode())
+            continue
         parts = [p.strip(".[]'\"") for p in flat_key.split("/")]
         node = params
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = data[flat_key]
-    return params
+    return params, meta
+
+
+def load_encoder_checkpoint(path: str):
+    return load_encoder_checkpoint_ex(path)[0]
 
 
 class _HTTPProvider(EmbeddingProvider):
@@ -343,9 +402,51 @@ class LMStudioProvider(_HTTPProvider):
         return np.asarray([r["embedding"] for r in rows], np.float32)
 
 
+class EnsembleProvider(EmbeddingProvider):
+    """Dense + lexical ensemble: concat(sqrt(w)*encoder, sqrt(1-w)*hash).
+
+    Cosine over the concatenation equals w*cos_enc + (1-w)*cos_hash, so
+    this is score-level mixing packaged as a single index-able vector.
+    Measured cross-repo (reference Rust doc->code, 512 pairs,
+    .bench/crossrepo_eval.json): recall@1 0.461 / recall@10 0.840 at
+    w=0.3 vs 0.375/0.773 hash-only and 0.230/0.480 encoder-only — the
+    learned-dense and lexical-hash signals are complementary, the same
+    reason the reference mixes 0.9 vector + 0.1 BM25 at the search
+    layer (schema/codegraph.surql:470).
+    """
+
+    name = "ensemble"
+
+    def __init__(self, dimension: int = 768, batch_size: int = 256,
+                 max_len: int = 512, checkpoint: Optional[str] = None,
+                 w_enc: float = 0.3, tokenizer=None):
+        self.encoder = EncoderProvider(
+            dimension=dimension // 2, batch_size=batch_size,
+            max_len=max_len, checkpoint=checkpoint, tokenizer=tokenizer,
+        )
+        self.hash_dim = dimension - self.encoder.dimension
+        super().__init__(self.encoder.dimension + self.hash_dim, batch_size)
+        self.w_enc = float(w_enc)
+        self.tokenizer = self.encoder.tokenizer
+
+    def _embed(self, texts: Sequence[str]) -> np.ndarray:
+        e = self.encoder.embed_texts(list(texts))
+        h = hash_embed_texts(list(texts), self.hash_dim)
+
+        def norm(x):
+            return x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+
+        return np.concatenate(
+            [np.sqrt(self.w_enc) * norm(e),
+             np.sqrt(1.0 - self.w_enc) * norm(h)], axis=1,
+        ).astype(np.float32)
+
+
 _PROVIDERS = {
     "hash": HashProvider,
     "encoder": EncoderProvider,
+    "ensemble": EnsembleProvider,
     "openai": OpenAIProvider,
     "jina": JinaProvider,
     "ollama": OllamaProvider,
@@ -359,7 +460,11 @@ def _default_checkpoint() -> Optional[str]:
     the TPU-trained 4L/384 (held-out desc->code recall@1 0.91)."""
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    for name in ("encoder_seed_384.npz", "encoder_seed.npz"):
+    # preference order: BPE-vocab model (held-out r@1 0.867, trained on
+    # 15k site-packages pairs, benchmarks/train_bpe_encoder.py) over the
+    # byte-level round-1 seeds
+    for name in ("encoder_bpe_384.npz", "encoder_seed_384.npz",
+                 "encoder_seed.npz"):
         path = os.path.join(here, "checkpoints", name)
         if os.path.exists(path):
             return path
@@ -370,19 +475,30 @@ def make_provider(name: str, ecfg: EmbeddingConfig) -> EmbeddingProvider:
     cls = _PROVIDERS.get(name)
     if cls is None:
         raise ProviderUnavailable(f"unknown provider {name!r}")
-    if cls is EncoderProvider:
-        # embedding.model may point at an .npz checkpoint; otherwise use
-        # the shipped seed checkpoint when present
+    if cls in (EncoderProvider, EnsembleProvider):
+        # embedding.model may point at an .npz checkpoint or an HF model
+        # directory (config.json + safetensors/bin, hf_import.py);
+        # otherwise use the shipped seed checkpoint when present
+        from codegraph_tpu.models.hf_import import is_hf_model_dir
+
         ckpt = None
-        if ecfg.model and ecfg.model.endswith(".npz"):
+        if ecfg.model and (ecfg.model.endswith(".npz")
+                           or is_hf_model_dir(ecfg.model)):
             ckpt = ecfg.model
         elif ecfg.model in ("", "minilm-l6", "seed"):
             ckpt = _default_checkpoint()
-        return EncoderProvider(
+        tok = None
+        tok_spec = getattr(ecfg, "tokenizer", "byte")
+        if tok_spec and tok_spec != "byte":
+            from codegraph_tpu.models.bpe import make_tokenizer
+
+            tok = make_tokenizer(tok_spec, max_len=ecfg.max_chunk_tokens)
+        return cls(
             dimension=ecfg.dimension,
             batch_size=ecfg.batch_size,
             max_len=ecfg.max_chunk_tokens,
             checkpoint=ckpt,
+            tokenizer=tok,
         )
     return cls(dimension=ecfg.dimension, batch_size=ecfg.batch_size)
 

@@ -22,6 +22,7 @@ class GeneratedResponse:
     sources: List[dict] = field(default_factory=list)
     used_llm: bool = False
     valid: bool = True
+    validation: dict = field(default_factory=dict)  # per-check detail
 
 
 _TEMPLATES = {
@@ -67,17 +68,29 @@ class ResponseGenerator:
                 used_llm = True
             except Exception as exc:
                 logger.warning("LLM generation failed: %s", exc)
-        valid = self._validate(answer, results)
-        return GeneratedResponse(answer=answer, sources=sources,
-                                 used_llm=used_llm, valid=valid)
+        checks = self._validate(answer, results)
+        return GeneratedResponse(
+            answer=answer, sources=sources, used_llm=used_llm,
+            valid=all(checks.values()), validation=checks,
+        )
 
     @staticmethod
-    def _validate(answer: str, results: List[SearchResult]) -> bool:
-        """Grounding check (response_generator.rs:146): the answer must
-        mention at least one retrieved source."""
-        return any(
+    def _validate(answer: str, results: List[SearchResult]) -> dict:
+        """Response validation (response_generator.rs:146): grounding
+        (the answer mentions retrieved sources), citation coverage, and
+        basic well-formedness. Returned per-check so callers can decide
+        what to do with partially-valid answers."""
+        grounded = any(
             r.name in answer or r.file_path in answer for r in results
         )
+        cited = sum(
+            1 for r in results if r.name in answer or r.file_path in answer
+        )
+        return {
+            "grounded": grounded,
+            "citation_coverage": cited / max(1, min(len(results), 8)) >= 0.25,
+            "nonempty": len(answer.strip()) >= 20,
+        }
 
 
 __all__ = ["ResponseGenerator", "GeneratedResponse"]

@@ -164,3 +164,14 @@ def test_adjacency_boost_kernel(diamond_store):
     assert boost[0, 0] > 0 and boost[0, 1] > 0  # a<->b edge counted both ways
     assert boost[0, 2] == 0.0  # e isolated
     assert boost[0, 3] == 0.0  # padding
+
+
+def test_find_nodes_by_name_public_query(diamond_store):
+    """graph_functions.rs:473 parity: exact-first ordered name lookup."""
+    q = GraphQueries(diamond_store)
+    out = q.find_nodes_by_name("a")
+    assert out["count"] >= 1
+    assert out["nodes"][0]["name"] == "a"
+    assert out["nodes"][0]["exact"] is True
+    # miss
+    assert q.find_nodes_by_name("zzz_does_not_exist")["count"] == 0

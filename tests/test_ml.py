@@ -70,3 +70,66 @@ def test_code_features():
     assert f["references"] == 4
     assert f["control_density"] > 0
     assert 0 < f["vocab_richness"] <= 1
+
+
+def test_pipeline_retrain_trigger(rng):
+    """Drift -> retrain loop (ml/pipeline.rs:22-768 retrain triggers):
+    consecutive drifted batches + min samples + cooldown fire the
+    retrain callback; success resets the baseline to the new regime."""
+    from codegraph_tpu.ml.pipeline import MLPipeline, RetrainPolicy
+
+    ref = rng.standard_normal((2000, 32)).astype(np.float32)
+    calls = []
+    clock = [0.0]
+
+    def retrain(samples):
+        calls.append(len(samples))
+        return True
+
+    pipe = MLPipeline(
+        ref, retrain_fn=retrain,
+        policy=RetrainPolicy(consecutive_drifted=3, cooldown_s=10.0,
+                             min_samples=500),
+        clock=lambda: clock[0],
+    )
+    # in-distribution batches: no streak, no retrain
+    for _ in range(3):
+        r = pipe.observe(rng.standard_normal((256, 32)).astype(np.float32))
+        assert not r.drifted
+    assert pipe.stats()["retrains"] == 0
+    # shifted regime: 3 consecutive drifted batches trigger one retrain
+    for _ in range(3):
+        r = pipe.observe(
+            (rng.standard_normal((256, 32)) + 4.0).astype(np.float32))
+        assert r.drifted
+    assert calls == [768]
+    assert pipe.stats()["retrains"] == 1
+    assert pipe.events[0].succeeded
+    # baseline refreshed: the shifted regime is now normal
+    r = pipe.observe((rng.standard_normal((256, 32)) + 4.0).astype(np.float32))
+    assert not r.drifted
+    # cooldown: immediate new drift can't retrain again
+    for _ in range(4):
+        pipe.observe((rng.standard_normal((256, 32)) - 6.0).astype(np.float32))
+    assert pipe.stats()["retrains"] == 1
+    clock[0] = 100.0
+    pipe.observe((rng.standard_normal((256, 32)) - 6.0).astype(np.float32))
+    assert pipe.stats()["retrains"] == 2
+
+
+def test_pipeline_failed_retrain_keeps_baseline(rng):
+    from codegraph_tpu.ml.pipeline import MLPipeline, RetrainPolicy
+
+    ref = rng.standard_normal((1000, 16)).astype(np.float32)
+    pipe = MLPipeline(
+        ref, retrain_fn=lambda s: False,
+        policy=RetrainPolicy(consecutive_drifted=2, cooldown_s=0.0,
+                             min_samples=100),
+    )
+    for _ in range(2):
+        pipe.observe((rng.standard_normal((128, 16)) + 5.0).astype(np.float32))
+    assert pipe.stats()["retrains"] == 1
+    assert not pipe.events[0].succeeded
+    # baseline unchanged: the shifted regime still reads as drifted
+    r = pipe.observe((rng.standard_normal((128, 16)) + 5.0).astype(np.float32))
+    assert r.drifted
