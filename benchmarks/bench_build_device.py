@@ -1,0 +1,166 @@
+"""TPU bench: device-resident IVF-PQ build (VERDICT item 6) + IVF
+recall/QPS curves across corpus sizes (item 9).
+
+Round-1 baseline: the 10M x 768 IVF-PQ build took 2,936 s
+(BENCH_SWEEP_TPU.json ivfpq_10M) because every 512k-row chunk
+round-tripped device -> numpy -> add() -> device over the dev tunnel
+(~200 s per chunk in transfers). The build path now keeps vectors
+device-resident (only [n, 2] assignments visit the host), so the same
+build is re-measured with device chunks, plus one host-path chunk for
+the per-chunk contrast.
+
+Run ON TPU: python benchmarks/bench_build_device.py
+Writes .bench/build_device.json
+"""
+
+import gc
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+RESULTS = {}
+
+
+def gen_chunk(seed, n, d):
+    x = jax.random.normal(jax.random.PRNGKey(seed), (n, d), jnp.float32)
+    return jax.block_until_ready(x)
+
+
+def bench_ivfpq_build_10m():
+    from codegraph_tpu.index.ivfpq import IVFPQIndex
+
+    D, n_chunk, n_chunks = 768, 524_288, 20  # 10.49M rows
+    idx = IVFPQIndex(768, nlist=4096, nprobe=16, m=96, kmeans_iters=6,
+                     pq_iters=4, capacity_factor=2.0)
+    t0 = time.perf_counter()
+    train = gen_chunk(0, 262_144, D)
+    idx.train(train)
+    idx.reserve(n_chunk * (n_chunks + 1))  # presize: one cell alloc
+    t_train = time.perf_counter() - t0
+    print(f"train: {t_train:.1f}s", flush=True)
+
+    per_chunk = []
+    t_build0 = time.perf_counter()
+    for c in range(n_chunks):
+        tc = time.perf_counter()
+        x = gen_chunk(c + 1, n_chunk, D)
+        t_gen = time.perf_counter() - tc
+        tc = time.perf_counter()
+        idx.add(x)  # device-resident: no vector round-trip
+        dt = time.perf_counter() - tc
+        per_chunk.append(round(dt, 2))
+        print(f"chunk {c}: gen {t_gen:.1f}s add {dt:.1f}s", flush=True)
+    t_build = time.perf_counter() - t_build0
+
+    # contrast: ONE chunk through the round-1 host path
+    x = gen_chunk(99, n_chunk, D)
+    xh = np.asarray(x)  # device -> host
+    tc = time.perf_counter()
+    idx.add(xh)         # host -> device again inside add
+    t_host_chunk = time.perf_counter() - tc
+
+    st = idx.stats()
+    RESULTS["ivfpq_build_10m_device"] = {
+        "rows": st["rows"], "train_s": round(t_train, 1),
+        "build_s": round(t_build, 1),
+        "per_chunk_s": per_chunk,
+        "host_path_chunk_s": round(t_host_chunk, 1),
+        "round1_total_s": 2936.0,
+        "speedup_vs_round1": round(2936.0 / (t_train + t_build), 1),
+        "padding_waste": round(st["padding_waste"], 3),
+    }
+    print(json.dumps(RESULTS["ivfpq_build_10m_device"]), flush=True)
+
+    # quick QPS sanity on the built index via the Pallas path
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((64, D)).astype(np.float32)
+    idx.search(q, 10)  # warm
+    tc = time.perf_counter()
+    idx.search(rng.standard_normal((64, D)).astype(np.float32), 10)
+    dt = time.perf_counter() - tc
+    RESULTS["ivfpq_10m_qps_after_build"] = round(64 / dt, 1)
+    print("qps:", RESULTS["ivfpq_10m_qps_after_build"], flush=True)
+    del idx, x, xh, train
+    gc.collect()
+
+
+def bench_ivf_curves():
+    """IVF (raw bf16 cells) recall/QPS at 1M/2M/4M vs the flat scan —
+    substantiates where IVF beats the exact scan (VERDICT item 9)."""
+    from codegraph_tpu.index.flat import FlatIndex
+    from codegraph_tpu.index.ivf import IVFIndex
+
+    D = 768
+    B = 256
+    rng = np.random.default_rng(5)
+    out = {}
+    for n_m, label in ((1, "1M"), (2, "2M"), (4, "4M")):
+        N = n_m * 1_048_576
+        nlist = 2048 if n_m < 4 else 4096
+        idx = IVFIndex(D, nlist=nlist, nprobe=16, metric="cosine",
+                       dtype="bfloat16", kmeans_iters=6,
+                       capacity_factor=1.5)
+        n_chunk = 524_288
+        t0 = time.perf_counter()
+        idx.train(gen_chunk(100, 262_144, D))
+        for c in range(N // n_chunk):
+            idx.add(gen_chunk(200 + c, n_chunk, D))
+        t_build = time.perf_counter() - t0
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        # exact ground truth: full probe scans every cell
+        _, exact_i = idx.search(q, 10, nprobe=nlist)
+        entry = {"rows": idx.n_rows, "build_s": round(t_build, 1),
+                 "curve": {}}
+        for nprobe in (4, 16, 64):
+            idx.search(q, 10, nprobe=nprobe)  # warm
+            q2 = rng.standard_normal((B, D)).astype(np.float32)
+            _, base_i = idx.search(q2, 10, nprobe=nlist)
+            tc = time.perf_counter()
+            _, got_i = idx.search(q2, 10, nprobe=nprobe)
+            dt = time.perf_counter() - tc
+            rec = float(np.mean([
+                len(set(a) & set(b)) / 10.0 for a, b in zip(got_i, base_i)
+            ]))
+            entry["curve"][f"nprobe{nprobe}"] = {
+                "qps": round(B / dt, 1), "recall@10": round(rec, 3)}
+            print(label, f"nprobe={nprobe}:", entry["curve"][f"nprobe{nprobe}"],
+                  flush=True)
+        del idx
+        gc.collect()
+        # flat exact scan on the same data volume (bf16)
+        flat = FlatIndex(D, dtype="bfloat16", metric="cosine")
+        for c in range(N // n_chunk):
+            flat.add(gen_chunk(200 + c, n_chunk, D))
+        flat.search(q, 10)  # warm
+        q3 = rng.standard_normal((B, D)).astype(np.float32)
+        tc = time.perf_counter()
+        flat.search(q3, 10)
+        dt = time.perf_counter() - tc
+        entry["flat_qps"] = round(B / dt, 1)
+        print(label, "flat:", entry["flat_qps"], flush=True)
+        del flat
+        gc.collect()
+        out[label] = entry
+    RESULTS["ivf_curves"] = out
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    bench_ivfpq_build_10m()
+    bench_ivf_curves()
+    os.makedirs(".bench", exist_ok=True)
+    with open(".bench/build_device.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    print(json.dumps(RESULTS, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -537,7 +537,13 @@ class IVFPQIndex(IVFIndex):
             q = q[None, :]
         if q.shape[1] != self.dim:
             raise DimensionMismatch(self.dim, q.shape[1])
-        if q.shape[0] >= self.batch_share_threshold:
+        mode = self._pallas_mode()
+        # batch-shared routing only where the per-cell-DMA kernel isn't
+        # available (CPU/XLA): measured on TPU at 10M x 768, the Pallas
+        # path does 2.5k QPS on UNIFORM B=256 batches vs 313 QPS for the
+        # batch-shared kernel (whose win case — concentrated traffic —
+        # it matches), so on TPU it owns every batch size
+        if q.shape[0] >= self.batch_share_threshold and not mode:
             return self.search_batch(queries, k, nprobe=nprobe)
         if self.metric == "cosine":
             q = l2_normalize(q)
@@ -545,7 +551,6 @@ class IVFPQIndex(IVFIndex):
         use_refine = self.refine != "none" and self._raw_chunks
         k_fetch = max(k, min(k * self.refine_factor,
                              self.list_cap * np_eff)) if use_refine else k
-        mode = self._pallas_mode()
         if mode:
             s, i = ivfpq_search_pallas(
                 q, self._centroids, self._x, self._ids, self._bias,

@@ -248,7 +248,10 @@ class ProjectIndexer:
             return
         rows = self.store.upsert_chunks(list(chunks))
         texts = [c.text for c in chunks]
-        embs = self.provider.embed_texts(texts)
+        # device-resident ingest: embeddings stay on-chip end-to-end
+        # (encode -> normalize -> quantize/PQ-encode -> cell scatter);
+        # only the small assignment vectors visit the host
+        embs = self.provider.embed_texts_device(texts)
         if isinstance(self.index, IVFIndex) and not self._ivf_trained:
             n_train = max(self.index.nlist, min(len(embs), self.index.train_sample))
             if len(embs) < self.index.nlist:

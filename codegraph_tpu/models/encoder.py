@@ -43,7 +43,13 @@ class EncoderConfig:
     mlp_ratio: int = 4
     max_len: int = 512
     pooling: str = "mean"        # mean | cls | max (local_provider.rs:43-50)
-    n_experts: int = 0           # >0 switches the MLP to a dense-dispatch MoE
+    n_experts: int = 0           # >0 switches the MLP to a mixture of experts
+    moe_top_k: int = 0           # 0: dense dispatch (every expert, every
+                                 # token — the sharding-correctness oracle);
+                                 # >0: GShard-style top-k routed dispatch
+                                 # with capacity-bounded expert buffers
+    moe_capacity: float = 2.0    # routed only: expert buffer slots per
+                                 # group = ceil(moe_capacity * k * L / E)
     remat: bool = False          # rematerialize layer activations (training
                                  # memory = O(1) layers instead of O(depth))
     norm_style: str = "pre"      # pre (native) | post (BERT-family imports)
@@ -230,6 +236,62 @@ def _moe_mlp(x: jax.Array, gate, w_up_e, b_up_e, w_down_e, b_down_e) -> jax.Arra
     return out.astype(x.dtype)
 
 
+def _moe_mlp_routed(
+    x: jax.Array, gate, w_up_e, b_up_e, w_down_e, b_down_e,
+    top_k: int, capacity_factor: float, cstr=None, ep_spec=None,
+) -> jax.Array:
+    """GShard-style top-k routed MoE for the GSPMD (jit + sharding
+    constraint) encoder path.
+
+    Group = batch row: each sequence routes its L tokens independently
+    into per-expert buffers of C = ceil(capacity_factor * k * L / E)
+    slots; tokens past capacity drop their expert contribution (Switch
+    semantics). Dispatch and combine are one-hot einsums, so when the
+    expert buffers are constrained to shard over "ep" while tokens shard
+    over dp/sp, XLA lowers the [E, B*C, H] buffer movement to
+    all-to-alls over ICI — the GSPMD formulation of expert parallelism,
+    usable inside the encoder's lax.scan (shard_map is not; the
+    standalone shard_map EP layer lives in parallel/moe.py and is the
+    exact-match oracle in tests/test_moe.py at capacity -> inf)."""
+    import math
+
+    B, L, H = x.shape
+    E = gate.shape[-1]
+    xf = x.astype(jnp.float32)
+    scores = jnp.einsum("blh,he->ble", xf, gate)
+    top_s, top_e = jax.lax.top_k(scores, top_k)            # [B, L, k]
+    w = jax.nn.softmax(top_s, axis=-1)
+    C = max(1, math.ceil(capacity_factor * top_k * L / E))
+    # slot within each expert's buffer: arrival order over (L, k) per row
+    oe = jax.nn.one_hot(top_e, E, dtype=jnp.int32)         # [B, L, k, E]
+    oe_flat = oe.reshape(B, L * top_k, E)
+    pos_all = jnp.cumsum(oe_flat, axis=1) - 1              # [B, L*k, E]
+    pos = jnp.sum(pos_all * oe_flat, axis=-1).reshape(B, L, top_k)
+    keep = pos < C
+    oc = jax.nn.one_hot(jnp.where(keep, pos, 0), C, dtype=jnp.float32)
+    wk = jnp.where(keep, w, 0.0)                           # [B, L, k]
+    combine = jnp.einsum("blke,blkc,blk->blec",
+                         oe.astype(jnp.float32), oc, wk)   # [B, L, E, C]
+    # dropped slots have weight exactly 0 (softmax outputs never are), so
+    # the boolean of combine doubles as the dispatch mask
+    dispatch = (combine > 0).astype(jnp.float32)
+    buf = jnp.einsum("blec,blh->bech", dispatch, xf)
+    buf = buf.transpose(1, 0, 2, 3).reshape(E, B * C, H).astype(x.dtype)
+    if cstr is not None and ep_spec is not None:
+        buf = cstr(buf, ep_spec)
+    h = jnp.einsum("ech,ehf->ecf", buf, w_up_e.astype(buf.dtype),
+                   preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h + b_up_e[:, None, :]).astype(buf.dtype)
+    y = jnp.einsum("ecf,efh->ech", h, w_down_e.astype(buf.dtype),
+                   preferred_element_type=jnp.float32)
+    y = y + b_down_e[:, None, :]
+    if cstr is not None and ep_spec is not None:
+        y = cstr(y, ep_spec)
+    y = y.reshape(E, B, C, H).transpose(1, 0, 2, 3)        # [B, E, C, H]
+    out = jnp.einsum("blec,bech->blh", combine, y)
+    return out.astype(x.dtype)
+
+
 def encode(
     params: Params,
     token_ids: jax.Array,
@@ -239,6 +301,7 @@ def encode(
     mesh=None,
     dp_axis: Optional[str] = None,
     sp_axis: Optional[str] = None,
+    ep_axis: Optional[str] = None,
 ) -> jax.Array:
     """Forward pass: [B, L] int32 tokens + [B, L] bool mask -> [B, H] f32.
 
@@ -271,6 +334,18 @@ def encode(
 
     attn_bias = jnp.where(mask[:, None, None, :], 0.0, -1e30).astype(jnp.float32)
     moe = cfg.n_experts > 0
+    ep_spec = P(ep_axis, None, None) if ep_axis else None
+
+    def _moe(h, lp):
+        if cfg.moe_top_k > 0:
+            return _moe_mlp_routed(
+                h, lp["gate"], lp["w_up_e"], lp["b_up_e"],
+                lp["w_down_e"], lp["b_down_e"],
+                cfg.moe_top_k, cfg.moe_capacity,
+                cstr=cstr if mesh is not None else None, ep_spec=ep_spec,
+            )
+        return _moe_mlp(h, lp["gate"], lp["w_up_e"], lp["b_up_e"],
+                        lp["w_down_e"], lp["b_down_e"])
 
     approx = cfg.act != "gelu_exact"
 
@@ -285,8 +360,7 @@ def encode(
             x = cstr(_layer_norm(x, lp["ln1_scale"], lp["ln1_bias"],
                                  cfg.eps), seq_spec)
             if moe:
-                y = _moe_mlp(x, lp["gate"], lp["w_up_e"], lp["b_up_e"],
-                             lp["w_down_e"], lp["b_down_e"])
+                y = _moe(x, lp)
             else:
                 y = _mlp(x, lp["w_up"], lp["b_up"], lp["w_down"],
                          lp["b_down"], approx=approx)
@@ -299,8 +373,7 @@ def encode(
                  seq_spec)      # scatter back to sequence-parallel
         h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.eps)
         if moe:
-            x = x + _moe_mlp(h, lp["gate"], lp["w_up_e"], lp["b_up_e"],
-                             lp["w_down_e"], lp["b_down_e"])
+            x = x + _moe(h, lp)
         else:
             x = x + _mlp(h, lp["w_up"], lp["b_up"], lp["w_down"],
                          lp["b_down"], approx=approx)

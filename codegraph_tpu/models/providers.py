@@ -78,6 +78,16 @@ class EmbeddingProvider:
     def embed_text(self, text: str) -> np.ndarray:
         return self.embed_texts([text])[0]
 
+    def embed_texts_device(self, texts: Sequence[str]):
+        """Device-resident embed: returns a jax.Array that never visits
+        host memory (the TPU-native answer to the reference's
+        zero-copy staging pools, codegraph-zerocopy/src/buffer.rs:26-445).
+        Base implementation wraps the host path; EncoderProvider keeps
+        the whole encode on-chip."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.embed_texts(texts))
+
 
 class HashProvider(EmbeddingProvider):
     """Deterministic feature-hash embeddings — always available."""
@@ -214,6 +224,39 @@ class EncoderProvider(EmbeddingProvider):
                 self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg
             )
             out[idxs] = np.asarray(emb)[: len(batch)]
+        return out
+
+    def embed_texts_device(self, texts: Sequence[str]):
+        """On-chip encode with NO host round-trip of the embeddings.
+
+        Dispatches every bucketed encode asynchronously and scatters the
+        results into a device output array — while the device runs batch
+        i, the host tokenizes batch i+1 (jax async dispatch IS the
+        double-buffered feed). Feeding a device-resident index build
+        (IVFIndex.add and friends accept jax arrays) this removes the
+        ingest transfers measured at ~200 s per 512k x 768 chunk over
+        the dev tunnel in round 1."""
+        import jax.numpy as jnp
+
+        if not texts:
+            return jnp.zeros((0, self.dimension), jnp.float32)
+        groups: Dict[int, List[int]] = {}
+        for idx, t in enumerate(texts):
+            groups.setdefault(self._bucket_for(t), []).append(idx)
+        out = jnp.zeros((len(texts), self.dimension), jnp.float32)
+        for bucket, idxs in groups.items():
+            for start in range(0, len(idxs), self.batch_size):
+                sel = idxs[start:start + self.batch_size]
+                batch = [texts[i] for i in sel]
+                padded = batch + [""] * (self.batch_size - len(batch))
+                ids, mask = self.tokenizer.encode_batch(padded,
+                                                        max_len=bucket)
+                emb = self._encode(
+                    self.params, jnp.asarray(ids), jnp.asarray(mask),
+                    self.cfg,
+                )
+                out = out.at[jnp.asarray(np.asarray(sel, np.int32))].set(
+                    emb[: len(batch)].astype(jnp.float32))
         return out
 
 

@@ -45,13 +45,13 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
 
 def info_nce_loss(
     params, batch: Dict[str, jax.Array], cfg: EncoderConfig, temperature: float,
-    mesh=None, dp_axis=None, sp_axis=None,
+    mesh=None, dp_axis=None, sp_axis=None, ep_axis=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Symmetric InfoNCE over in-batch negatives.
 
     batch: anchor_ids/anchor_mask/positive_ids/positive_mask, all [B, L].
     """
-    kw = dict(mesh=mesh, dp_axis=dp_axis, sp_axis=sp_axis)
+    kw = dict(mesh=mesh, dp_axis=dp_axis, sp_axis=sp_axis, ep_axis=ep_axis)
     za = encode(params, batch["anchor_ids"], batch["anchor_mask"], cfg, **kw)
     zp = encode(params, batch["positive_ids"], batch["positive_mask"], cfg, **kw)
     logits = (za @ zp.T) / temperature  # [B, B]; XLA all-gathers under dp
@@ -65,11 +65,11 @@ def info_nce_loss(
 
 def train_step(
     params, opt_state, batch, cfg: EncoderConfig, tcfg: TrainConfig, optimizer,
-    mesh=None, dp_axis=None, sp_axis=None,
+    mesh=None, dp_axis=None, sp_axis=None, ep_axis=None,
 ):
     (loss, metrics), grads = jax.value_and_grad(
         lambda p: info_nce_loss(p, batch, cfg, tcfg.temperature,
-                                mesh, dp_axis, sp_axis),
+                                mesh, dp_axis, sp_axis, ep_axis),
         has_aux=True,
     )(params)
     updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -84,6 +84,7 @@ def make_sharded_train_step(
     tcfg: TrainConfig,
     dp_axis: str = "dp",
     sp_axis: Optional[str] = None,
+    ep_axis: Optional[str] = None,
 ):
     """Compile the training step over a (dp, tp[, sp|ep]) mesh.
 
@@ -119,7 +120,8 @@ def make_sharded_train_step(
 
     step = jax.jit(
         partial(train_step, cfg=cfg, tcfg=tcfg, optimizer=optimizer,
-                mesh=mesh, dp_axis=dp_axis, sp_axis=sp_axis),
+                mesh=mesh, dp_axis=dp_axis, sp_axis=sp_axis,
+                ep_axis=ep_axis),
         donate_argnums=(0, 1),
     )
 

@@ -36,7 +36,7 @@ def standalone():
 
 @pytest.fixture
 def client(tmp_path):
-    c = LSPClient(FAKE, str(tmp_path), timeout=15.0)
+    c = LSPClient(FAKE, str(tmp_path), timeout=60.0)
     yield c
     c.shutdown()
 
@@ -90,7 +90,7 @@ def test_analyzer_enrichment_end_to_end(tmp_path):
     standalone = make_node("standalone", NodeType.FUNCTION, 5)
 
     def factory(lang, root):
-        c = LSPClient(FAKE, root, timeout=15.0)
+        c = LSPClient(FAKE, root, timeout=60.0)
         c.initialize()
         return c
 

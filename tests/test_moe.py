@@ -83,3 +83,92 @@ def test_sharded_moe_gradients_flow(setup):
         arr = np.asarray(g[name])
         assert np.isfinite(arr).all()
         assert np.abs(arr).max() > 0, name
+
+
+# ---- in-encoder GSPMD routed MoE (models/encoder.py _moe_mlp_routed) ----
+
+def _enc_layer_params(key, H, F, E):
+    """Single-layer expert params in the encoder's per-layer shapes."""
+    p = init_moe_params(key, H, F, E)
+    return p
+
+
+def test_encoder_routed_matches_dense_oracle(rng):
+    """GShard-style grouped dispatch == dense top-k oracle per batch row
+    at capacity -> inf."""
+    from codegraph_tpu.models.encoder import _moe_mlp_routed
+
+    H, F, E, B, L = 32, 64, 8, 3, 16
+    params = _enc_layer_params(jax.random.PRNGKey(1), H, F, E)
+    x = jnp.asarray(rng.standard_normal((B, L, H)).astype(np.float32))
+    got = _moe_mlp_routed(
+        x, params["gate"], params["w_up_e"], params["b_up_e"],
+        params["w_down_e"], params["b_down_e"],
+        top_k=2, capacity_factor=float(E),  # C = k*L: nothing drops
+    )
+    for b in range(B):
+        want = topk_moe_dense(x[b], params, k=2)
+        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_routed_capacity_drops(rng):
+    from codegraph_tpu.models.encoder import _moe_mlp_routed
+
+    H, F, E, B, L = 32, 64, 8, 2, 32
+    params = _enc_layer_params(jax.random.PRNGKey(2), H, F, E)
+    x = jnp.asarray(rng.standard_normal((B, L, H)).astype(np.float32))
+    args = (x, params["gate"], params["w_up_e"], params["b_up_e"],
+            params["w_down_e"], params["b_down_e"])
+    tight = _moe_mlp_routed(*args, top_k=2, capacity_factor=0.25)
+    loose = _moe_mlp_routed(*args, top_k=2, capacity_factor=float(E))
+    assert np.isfinite(np.asarray(tight)).all()
+    assert not np.allclose(np.asarray(tight), np.asarray(loose))
+    # tokens that lost BOTH experts to capacity output exactly zero
+    tn = np.linalg.norm(np.asarray(tight).reshape(-1, H), axis=1)
+    assert (tn == 0.0).any()
+
+
+def test_encoder_routed_end_to_end_sharded(rng):
+    """Full encoder with moe_top_k on a dp x ep mesh == unsharded run;
+    exercises the GSPMD all-to-all lowering inside lax.scan."""
+    from codegraph_tpu.models.encoder import (
+        EncoderConfig, encode, init_encoder_params,
+    )
+
+    cfg = EncoderConfig(vocab_size=64, hidden=32, n_layers=2, n_heads=4,
+                        max_len=32, n_experts=8, moe_top_k=2,
+                        moe_capacity=8.0, dtype=jnp.float32)
+    params = init_encoder_params(jax.random.PRNGKey(3), cfg)
+    B, L = 4, 16
+    ids = jnp.asarray(rng.integers(0, 64, (B, L)), jnp.int32)
+    mask = jnp.ones((B, L), bool)
+
+    ref = encode(params, ids, mask, cfg)
+    mesh = make_mesh((2, 4), ("dp", "ep"))
+    with mesh:
+        got = jax.jit(
+            lambda p, i, m: encode(p, i, m, cfg, mesh=mesh,
+                                   dp_axis="dp", ep_axis="ep")
+        )(params, ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_encoder_routed_gradients_flow(rng):
+    from codegraph_tpu.models.encoder import (
+        EncoderConfig, encode, init_encoder_params,
+    )
+
+    cfg = EncoderConfig(vocab_size=64, hidden=32, n_layers=1, n_heads=4,
+                        max_len=16, n_experts=4, moe_top_k=2,
+                        moe_capacity=4.0, dtype=jnp.float32)
+    params = init_encoder_params(jax.random.PRNGKey(4), cfg)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), bool)
+
+    g = jax.grad(lambda p: jnp.sum(encode(p, ids, mask, cfg)))(params)
+    for name in ("gate", "w_up_e", "w_down_e"):
+        arr = np.asarray(g["layers"][name])
+        assert np.isfinite(arr).all()
+        assert np.abs(arr).max() > 0, name
