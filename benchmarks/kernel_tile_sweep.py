@@ -36,22 +36,28 @@ def main():
     rng = np.random.default_rng(0)
     bias = jnp.zeros((N,), jnp.float32)
 
-    for tile_b in (64, 128, 256):
-        for tile_n in (1024, 2048):
+    # pre-stage ALL query batches device-side: a per-iteration 6 MB
+    # host->device transfer over the dev tunnel costs ~100-150 ms and
+    # pollutes single-shot timings 2-3x (first sweep measured 9.6k QPS
+    # where bench.py's pre-staged loop measures 27.6k)
+    REPS = 3
+    qs = l2_normalize(jax.random.normal(
+        jax.random.PRNGKey(7), (REPS + 1, B, D), jnp.float32)
+    ).astype(jnp.bfloat16)
+    np.asarray(qs[0, 0])  # force staging to finish (host fetch = sync)
+
+    for tile_b in (64, 128, 256, 512):
+        for tile_n in (1024, 2048, 4096):
             name = f"tb{tile_b}_tn{tile_n}"
             try:
-                q = l2_normalize(jnp.asarray(rng.standard_normal(
-                    (B, D)).astype(np.float32))).astype(jnp.bfloat16)
                 s, i = streaming_topk_pallas_qmajor(
-                    q, x, bias, K, tile_n=tile_n, tile_b=tile_b)
+                    qs[REPS], x, bias, K, tile_n=tile_n, tile_b=tile_b)
                 np.asarray(s)  # compile + run
                 ts = []
-                for _ in range(3):
-                    q2 = l2_normalize(jnp.asarray(rng.standard_normal(
-                        (B, D)).astype(np.float32))).astype(jnp.bfloat16)
+                for r in range(REPS):
                     t0 = time.perf_counter()
                     s, i = streaming_topk_pallas_qmajor(
-                        q2, x, bias, K, tile_n=tile_n, tile_b=tile_b)
+                        qs[r], x, bias, K, tile_n=tile_n, tile_b=tile_b)
                     np.asarray(s)
                     ts.append(time.perf_counter() - t0)
                 dt = min(ts)

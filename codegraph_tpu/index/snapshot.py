@@ -104,4 +104,51 @@ def load_arrays(
     return out, manifest.get("meta", {})
 
 
-__all__ = ["save_arrays", "load_arrays", "MANIFEST"]
+def publish_flat_shm(index, path: str):
+    """Publish a FlatIndex's state into a shared-memory segment
+    (core/shm.py) so other processes on this host can serve it without
+    their own copy — the cross-process serving path the reference builds
+    on codegraph-zerocopy/src/shared_memory.rs. Returns the open
+    SharedArrayStore (close it to detach; the file persists)."""
+    from codegraph_tpu.core.shm import SharedArrayStore
+
+    x, bias = index.arrays()
+    if x is None:
+        raise SnapshotError("cannot publish an empty index")
+    meta = {
+        "dim": index.dim, "metric": index.metric,
+        "dtype": str(index.dtype), "tile_n": index.tile_n,
+        "n_rows": index.n_rows, "n_live": index.n_live,
+    }
+    arrays = {
+        "x": np.asarray(x), "bias": np.asarray(bias),
+        "_meta": np.frombuffer(json.dumps(meta).encode(), np.uint8),
+    }
+    return SharedArrayStore.create(path, arrays)
+
+
+def attach_flat_shm(path: str):
+    """Attach to a published FlatIndex segment. Returns (index, store):
+    the index's host-side state is a zero-copy view of the shared pages
+    (device upload streams straight from them); keep `store` open for
+    the index's lifetime."""
+    from codegraph_tpu.core.shm import SharedArrayStore
+    from codegraph_tpu.index.flat import FlatIndex
+
+    store = SharedArrayStore.open(path)
+    arrs = store.arrays(copy=False)
+    meta = json.loads(bytes(arrs["_meta"]).decode())
+    idx = FlatIndex(meta["dim"], metric=meta["metric"],
+                    dtype=meta["dtype"], tile_n=meta["tile_n"])
+    idx.load_arrays(arrs["x"], arrs["bias"], meta["n_rows"],
+                    meta["n_live"])
+    return idx, store
+
+
+__all__ = [
+    "save_arrays",
+    "load_arrays",
+    "publish_flat_shm",
+    "attach_flat_shm",
+    "MANIFEST",
+]

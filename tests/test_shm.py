@@ -1,0 +1,175 @@
+"""Shared-memory segments (core/shm.py): seqlock write/read, named-array
+zero-copy views, manager lifecycle, TRUE cross-process attach, and the
+FlatIndex publish/attach serving path (index/snapshot.py).
+
+Reference parity: codegraph-zerocopy/src/shared_memory.rs (segment
+create/open :52/:100, generation seqlock :140-342, manager :362-478)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from codegraph_tpu.core.shm import (
+    SharedArrayStore,
+    SharedMemoryManager,
+    SharedSegment,
+    ShmError,
+)
+
+
+def test_segment_roundtrip_and_generation(tmp_path):
+    p = str(tmp_path / "seg.shm")
+    with SharedSegment.create(p, 1024) as seg:
+        assert seg.generation == 0
+        seg.write(b"hello shared world")
+        assert seg.generation == 2  # odd mid-write, even after
+        assert seg.read() == b"hello shared world"
+        seg.write(b"second")
+        assert seg.generation == 4
+        assert seg.is_updated_since(2)
+        st = seg.stats()
+        assert st.payload_len == 6 and st.capacity == 1024
+
+
+def test_segment_capacity_and_readonly(tmp_path):
+    p = str(tmp_path / "seg.shm")
+    with SharedSegment.create(p, 16) as seg:
+        with pytest.raises(ShmError):
+            seg.write(b"x" * 17)
+        seg.write(b"ok")
+    with SharedSegment.open(p) as ro:
+        assert ro.read() == b"ok"
+        with pytest.raises(ShmError):
+            ro.write(b"nope")
+
+
+def test_open_missing_and_bad_magic(tmp_path):
+    with pytest.raises(ShmError):
+        SharedSegment.open(str(tmp_path / "absent.shm"))
+    bad = tmp_path / "bad.shm"
+    bad.write_bytes(b"\0" * 64)
+    with pytest.raises(ShmError):
+        SharedSegment.open(str(bad))
+
+
+def test_array_store_zero_copy_views(tmp_path):
+    p = str(tmp_path / "arrays.shm")
+    arrays = {
+        "x": np.arange(24, dtype=np.float32).reshape(4, 6),
+        "ids": np.array([7, 8, 9], dtype=np.int64),
+        "blob": np.frombuffer(b"meta", np.uint8),
+    }
+    with SharedArrayStore.create(p, arrays) as store:
+        got = store.arrays(copy=False)
+        for k in arrays:
+            np.testing.assert_array_equal(got[k], arrays[k])
+        # zero-copy: the view's buffer is the mmap, not fresh pages
+        assert not got["x"].flags.owndata
+        # every array is 64-byte aligned for vectorized readers
+        for k in ("x", "ids"):
+            assert got[k].ctypes.data % 64 == 0
+    # snapshot copies survive after close
+    with SharedArrayStore.open(p) as store:
+        snap = store.arrays(copy=True)
+    np.testing.assert_array_equal(snap["x"], arrays["x"])
+
+
+def test_array_store_bf16(tmp_path):
+    ml_dtypes = pytest.importorskip("ml_dtypes")
+    p = str(tmp_path / "bf16.shm")
+    x = np.arange(8, dtype=np.float32).astype(ml_dtypes.bfloat16)
+    with SharedArrayStore.create(p, {"x": x}) as store:
+        got = store.arrays()["x"]
+        assert got.dtype == x.dtype
+        np.testing.assert_array_equal(
+            got.astype(np.float32), x.astype(np.float32))
+
+
+def test_array_store_republish_bumps_generation(tmp_path):
+    p = str(tmp_path / "re.shm")
+    a0 = {"v": np.zeros(8, np.float32)}
+    with SharedArrayStore.create(p, a0, slack=1.0) as store:
+        g0 = store.generation
+        store.publish({"v": np.ones(16, np.float32)})
+        assert store.generation > g0
+        np.testing.assert_array_equal(
+            store.arrays()["v"], np.ones(16, np.float32))
+
+
+def test_manager_lifecycle(tmp_path):
+    mgr = SharedMemoryManager(str(tmp_path / "segs"))
+    with mgr.get_or_create("alpha", 256) as seg:
+        seg.write(b"a")
+    with mgr.get_or_create("beta", 256) as seg:
+        seg.write(b"b")
+    assert mgr.list_segments() == ["alpha", "beta"]
+    stats = mgr.all_stats()
+    assert {s.name for s in stats} == {"alpha.shm", "beta.shm"}
+    # reattach keeps content
+    with mgr.get_or_create("alpha", 256) as seg:
+        assert seg.read() == b"a"
+    mgr.remove("alpha")
+    assert mgr.list_segments() == ["beta"]
+    with pytest.raises(ShmError):
+        mgr.open("../evil")
+    assert mgr.cleanup_unused(max_age_s=0.0) == 1
+    assert mgr.list_segments() == []
+
+
+def test_cross_process_attach(tmp_path):
+    """The point of shm: a DIFFERENT process maps the same segment and
+    reads the arrays without any serialization."""
+    p = str(tmp_path / "xproc.shm")
+    arrays = {"x": np.arange(100, dtype=np.float32).reshape(10, 10),
+              "ids": np.arange(10, dtype=np.int64) * 3}
+    store = SharedArrayStore.create(p, arrays)
+    code = (
+        "import sys, json, numpy as np\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from codegraph_tpu.core.shm import SharedArrayStore\n"
+        f"store = SharedArrayStore.open({p!r})\n"
+        "a = store.arrays(copy=False)\n"
+        "print(json.dumps({'sum_x': float(a['x'].sum()),"
+        " 'ids': a['ids'].tolist(), 'gen': store.generation}))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["sum_x"] == float(np.arange(100, dtype=np.float32).sum())
+    assert res["ids"] == (np.arange(10) * 3).tolist()
+    assert res["gen"] == 2
+    store.close()
+
+
+def test_flat_index_publish_attach(tmp_path):
+    """Serve one resident FlatIndex copy to an attaching reader: search
+    results identical through the shared segment."""
+    from codegraph_tpu.index.flat import FlatIndex
+    from codegraph_tpu.index.snapshot import (
+        attach_flat_shm,
+        publish_flat_shm,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((200, 32)).astype(np.float32)
+    idx = FlatIndex(32, metric="cosine")
+    idx.add(x)
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    s_ref, i_ref = idx.search(q, 7)
+
+    p = str(tmp_path / "flat.shm")
+    pub = publish_flat_shm(idx, p)
+    attached, store = attach_flat_shm(p)
+    try:
+        s2, i2 = attached.search(q, 7)
+        np.testing.assert_array_equal(i2, i_ref)
+        np.testing.assert_allclose(s2, s_ref, rtol=1e-6, atol=1e-6)
+        assert len(attached) == len(idx)
+    finally:
+        store.close()
+        pub.close()
