@@ -323,6 +323,13 @@ class ProjectIndexer:
         os.makedirs(directory, exist_ok=True)
         self.store.save(directory)
         self._save_index(directory)
+        # zero-deserialize serving copy of the graph (mmap columnar,
+        # graph/archive.py): read-only consumers (MCP server analytics)
+        # open this in O(1) instead of parsing the jsonl snapshot
+        from codegraph_tpu.graph.archive import write_graph_archive
+
+        write_graph_archive(self.store,
+                            os.path.join(directory, "graph_archive"))
         return directory
 
     def _save_index(self, directory: str) -> None:
