@@ -60,12 +60,16 @@ def bench_ivfpq_build_10m():
         print(f"chunk {c}: gen {t_gen:.1f}s add {dt:.1f}s", flush=True)
     t_build = time.perf_counter() - t_build0
 
-    # contrast: ONE chunk through the round-1 host path
-    x = gen_chunk(99, n_chunk, D)
-    xh = np.asarray(x)  # device -> host
+    # contrast: a 1/8 chunk through the round-1 host path, scaled —
+    # a full 512k x 768 f32 chunk is 1.6 GB each way over the dev
+    # tunnel and alone blows the bench budget (which is itself the
+    # point being measured)
+    n_small = n_chunk // 8
+    x = gen_chunk(99, n_small, D)
     tc = time.perf_counter()
+    xh = np.asarray(x)  # device -> host
     idx.add(xh)         # host -> device again inside add
-    t_host_chunk = time.perf_counter() - tc
+    t_host_chunk = (time.perf_counter() - tc) * 8.0
 
     st = idx.stats()
     RESULTS["ivfpq_build_10m_device"] = {
@@ -153,11 +157,24 @@ def bench_ivf_curves():
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["build", "curves"], default=None,
+                    help="run one part (results merge into the json)")
+    args = ap.parse_args()
+
     print("devices:", jax.devices(), flush=True)
-    bench_ivfpq_build_10m()
-    bench_ivf_curves()
+    out_path = ".bench/build_device.json"
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            RESULTS.update(json.load(f))
+    if args.only in (None, "build"):
+        bench_ivfpq_build_10m()
+    if args.only in (None, "curves"):
+        bench_ivf_curves()
     os.makedirs(".bench", exist_ok=True)
-    with open(".bench/build_device.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(RESULTS, f, indent=1)
     print(json.dumps(RESULTS, indent=1))
 

@@ -159,6 +159,16 @@ def cmd_check(args, cfg: CodeGraphConfig) -> int:
                     problems.append("store has chunks but no index snapshot")
                 else:
                     load_arrays(str(data_dir))  # verifies digests
+            arch_dir = data_dir / "graph_archive"
+            if arch_dir.exists():
+                from codegraph_tpu.graph.archive import ArchivedGraphStore
+
+                arch = ArchivedGraphStore.open(str(arch_dir))  # digests
+                if len(arch.nodes) != s["nodes"]:
+                    problems.append(
+                        f"graph archive node count {len(arch.nodes)} != "
+                        f"store {s['nodes']} (stale archive)"
+                    )
         except Exception as exc:
             problems.append(f"snapshot load failed: {exc}")
     print(json.dumps({"ok": not problems, "problems": problems}, indent=2))

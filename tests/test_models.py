@@ -335,3 +335,32 @@ def test_seed_checkpoint_loads_if_present():
     assert p.dimension in (256, 384)  # seed checkpoint architecture
     e = p.embed_texts(["def parse_file(path): ..."])
     assert e.shape == (1, p.dimension)
+
+
+def test_embed_texts_device_matches_host_path():
+    """The device-resident ingest path (embed_texts_device) must produce
+    the same embeddings as the host path, across buckets and partial
+    batches, and must return a jax array (no host round-trip)."""
+    import jax
+
+    from codegraph_tpu.models.providers import EncoderProvider, HashProvider
+
+    p = EncoderProvider(dimension=32, batch_size=4, max_len=64)
+    # mixed lengths to hit two buckets + a partial final batch
+    texts = (["short"] * 3
+             + ["long " * 30] * 5
+             + ["mid " * 8] * 2)
+    host = p.embed_texts(texts)
+    dev = p.embed_texts_device(texts)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-5, atol=1e-5)
+
+    # base-class wrapper: HashProvider device path == host path
+    h = HashProvider(dimension=16)
+    hd = h.embed_texts_device(["a", "b"])
+    assert isinstance(hd, jax.Array)
+    np.testing.assert_allclose(np.asarray(hd), h.embed_texts(["a", "b"]),
+                               rtol=1e-6, atol=1e-6)
+
+    # empty input
+    assert p.embed_texts_device([]).shape == (0, 32)
