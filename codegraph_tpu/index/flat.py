@@ -92,6 +92,13 @@ class FlatIndex:
         self._x, self._bias = x, bias
         self.capacity = new_cap
 
+    def reserve(self, n_rows: int) -> None:
+        """Pre-size capacity for an expected corpus: one allocation
+        instead of 1.5x geometric growth — a growth step transiently
+        holds old+new matrices (13 GB at 4M x 768 bf16), so chunked
+        builds near the HBM budget should presize."""
+        self._ensure_capacity(int(n_rows))
+
     def add(self, vectors: np.ndarray) -> np.ndarray:
         """Append vectors; returns their row ids."""
         v = self._prepare(vectors)

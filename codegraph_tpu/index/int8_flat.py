@@ -76,6 +76,11 @@ class Int8FlatIndex:
             v = l2_normalize(v)
         return v
 
+    def reserve(self, n_rows: int) -> None:
+        """Pre-size capacity (one allocation; growth steps transiently
+        hold old+new matrices — see FlatIndex.reserve)."""
+        self._ensure_capacity(int(n_rows))
+
     def _ensure_capacity(self, needed: int) -> None:
         if needed <= self.capacity:
             return

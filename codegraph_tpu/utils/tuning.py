@@ -37,64 +37,82 @@ DEFAULT_HBM_BUDGET = 8 << 30
 _DTYPE_BYTES = {"float32": 4, "bfloat16": 2, "int8": 1}
 
 
+IVF_CAPACITY_FACTOR = 1.5  # padded cell storage overhead vs flat
+
+
 def plan_index(
     n_vectors: int,
     dim: int,
     hbm_budget_bytes: int = DEFAULT_HBM_BUDGET,
     target_recall: float = 0.95,
+    batch_hint: int = 256,
 ) -> IndexPlan:
     """Choose the index configuration for a corpus.
 
-    Policy:
+    Policy (round-2 measured, .bench/build_device.json +
+    BENCH_SWEEP_TPU.json):
     * small corpora (< 200k rows): exact flat f32 — scan cost is trivial
       and recall is perfect.
-    * medium: flat bf16 (half the HBM traffic, ~1e-3 score noise).
-    * matrix won't fit in budget at bf16: int8 + f32-rescore (config 2).
-    * >= 2M rows: IVF (config 3) — nlist ~ 4*sqrt(N) rounded to a power
-      of two, nprobe scaled by target recall.
-    * int8 matrix over budget (~100M x 768): IVF-PQ — m-byte residual
-      codes in HBM + int8 host refine store.
+    * bf16 fits the budget: flat bf16 exact scan. Raw-vector IVF is
+      DOMINATED by the exact scan at serving batch sizes — measured at
+      1M/2M/4M x 768, flat bf16 does 2.6-3.2k QPS at B=256 (exact)
+      vs IVF nprobe=4's 1.2-2.4k QPS at recall 0.89-0.96: both are
+      dispatch-bound and IVF adds gather overhead while saving FLOPs
+      nobody is waiting on. Exception: large offline batches
+      (batch_hint >= 1024) amortize dispatch, scan FLOPs dominate, and
+      cell probing pays — then IVF bf16 (if its padded cells fit).
+    * bf16 over budget, int8 fits: flat int8 + rescore (config 2 —
+      6,044 QPS exact at ~10M x 768 on one chip, round 1).
+    * int8 over budget (~100M x 768): IVF-PQ capacity tier — m-byte
+      residual codes + per-cell-DMA Pallas ADC (2.6k QPS at 10M) +
+      int8 host refine.
     """
     f32_bytes = n_vectors * dim * 4
     bf16_bytes = n_vectors * dim * 2
     int8_bytes = n_vectors * dim
+    ivf_bf16_bytes = int(bf16_bytes * IVF_CAPACITY_FACTOR)
+
+    nlist = 1 << max(8, min(16, round(math.log2(4 * math.sqrt(n_vectors)))))
+    # nprobe fraction rises with target recall; 1.5% at 0.95 is a sane
+    # starting point for clustered data, sweep refines it
+    frac = 0.01 + 0.08 * max(0.0, target_recall - 0.9)
+    nprobe = max(8, min(nlist, int(nlist * frac)))
 
     if n_vectors < 200_000 and f32_bytes <= hbm_budget_bytes:
         return IndexPlan(
             kind="flat", dtype="float32", tile_n=_tile_n(n_vectors),
             reason="small corpus: exact f32 scan",
         )
-    if n_vectors < 2_000_000 and bf16_bytes <= hbm_budget_bytes:
+    if bf16_bytes <= hbm_budget_bytes:
+        if (batch_hint >= 1024 and n_vectors >= 2_000_000
+                and ivf_bf16_bytes <= hbm_budget_bytes):
+            return IndexPlan(
+                kind="ivf", dtype="bfloat16", tile_n=_tile_n(n_vectors),
+                nlist=nlist, nprobe=nprobe, rescore_k=100,
+                reason=(f"large offline batches (B>={batch_hint}): "
+                        f"IVF nlist={nlist} nprobe={nprobe} amortizes "
+                        "dispatch, cell probing cuts scan FLOPs"),
+            )
         return IndexPlan(
             kind="flat", dtype="bfloat16", tile_n=_tile_n(n_vectors),
-            reason="medium corpus: bf16 halves HBM traffic",
+            reason=("bf16 exact scan: measured faster than raw IVF at "
+                    "serving batch sizes (and exact)"),
         )
-    if n_vectors < 2_000_000:
+    if int8_bytes <= hbm_budget_bytes:
         return IndexPlan(
             kind="flat", dtype="int8", tile_n=_tile_n(n_vectors),
             rescore_k=100,
-            reason="bf16 over HBM budget: int8 scan + f32 rescore",
+            reason="bf16 over HBM budget: int8 scan + rescore (config 2)",
         )
-    nlist = 1 << max(8, min(16, round(math.log2(4 * math.sqrt(n_vectors)))))
-    # nprobe fraction rises with target recall; 1.5% at 0.95 is a sane
-    # starting point for clustered data, sweep refines it
-    frac = 0.01 + 0.08 * max(0.0, target_recall - 0.9)
-    nprobe = max(8, min(nlist, int(nlist * frac)))
-    if int8_bytes > hbm_budget_bytes:
-        # even 1 byte/dim won't fit: compress rows to m-byte residual PQ
-        # codes (index/ivfpq.py) and keep an int8 refine store in host RAM
-        pq_m = max(8, dim // 8)
-        return IndexPlan(
-            kind="ivfpq", dtype="int8", tile_n=_tile_n(n_vectors),
-            nlist=nlist, nprobe=nprobe, rescore_k=100,
-            pq_m=pq_m, refine="int8",
-            reason=(f"int8 matrix over HBM budget: IVF-PQ m={pq_m} "
-                    f"nlist={nlist} nprobe={nprobe} + int8 host refine"),
-        )
+    # even 1 byte/dim won't fit: compress rows to m-byte residual PQ
+    # codes (index/ivfpq.py) and keep an int8 refine store in host RAM
+    pq_m = max(8, dim // 8)
     return IndexPlan(
-        kind="ivf", dtype="bfloat16", tile_n=_tile_n(n_vectors),
+        kind="ivfpq", dtype="int8", tile_n=_tile_n(n_vectors),
         nlist=nlist, nprobe=nprobe, rescore_k=100,
-        reason=f"large corpus: IVF nlist={nlist} nprobe={nprobe}",
+        pq_m=pq_m, refine="int8",
+        reason=(f"int8 matrix over HBM budget: IVF-PQ m={pq_m} "
+                f"nlist={nlist} nprobe={nprobe} + int8 host refine"),
     )
 
 

@@ -103,3 +103,19 @@ def test_flat_index_bfloat16_storage(rng):
     s, i = idx.search(q, k)
     # bf16 quantization noise, but self-hit must survive
     assert i[0, 0] == 0 and i[1, 0] == 1
+
+
+def test_reserve_presizes_capacity():
+    from codegraph_tpu.index.flat import FlatIndex
+
+    idx = FlatIndex(16, metric="cosine", tile_n=64)
+    idx.reserve(200)
+    cap = idx.capacity
+    assert cap >= 200
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        idx.add(rng.standard_normal((50, 16)).astype(np.float32))
+    assert idx.capacity == cap  # no growth happened
+    assert len(idx) == 200
+    s, i = idx.search(np.asarray(idx.get_vectors(np.arange(3))), 1)
+    np.testing.assert_array_equal(i[:, 0], np.arange(3))
