@@ -131,10 +131,12 @@ def encoder_param_shardings(cfg: EncoderConfig) -> Params:
     tp: column-parallel wqkv/w_up (split output features = heads),
     row-parallel wo/w_down (split input features); XLA places the psum
     after wo/w_down. ep (MoE configs): the expert dimension of the
-    per-expert MLP weights shards over "ep" — each device computes its
-    expert slice for all tokens and XLA reduces the gate-weighted sum
-    over ep (dense-dispatch expert parallelism). Embeddings/norms
-    replicated.
+    per-expert MLP weights shards over "ep". With dense dispatch
+    (moe_top_k=0) each device computes its expert slice for all tokens
+    and XLA reduces the gate-weighted sum over ep; with the routed path
+    (moe_top_k>0) the same specs co-shard experts with the ep-constrained
+    dispatch buffers of _moe_mlp_routed, and XLA lowers the buffer
+    movement to all-to-alls. Embeddings/norms replicated.
     """
     layers: Dict[str, Any] = {
         "ln1_scale": P(None, None),
