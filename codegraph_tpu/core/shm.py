@@ -75,6 +75,10 @@ class SharedSegment:
         total = HEADER_SIZE + capacity
         fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
         try:
+            # never SHRINK an existing file: readers holding mmaps of a
+            # larger previous generation would SIGBUS past the new end
+            total = max(total, os.fstat(fd).st_size)
+            capacity = total - HEADER_SIZE
             os.ftruncate(fd, total)
             mm = mmap.mmap(fd, total)
         except Exception:

@@ -104,13 +104,20 @@ def load_arrays(
     return out, manifest.get("meta", {})
 
 
-def publish_flat_shm(index, path: str):
+def publish_flat_shm(index, path: str, slack: float = 0.5):
     """Publish a FlatIndex's state into a shared-memory segment
     (core/shm.py) so other processes on this host can serve it without
     their own copy — the cross-process serving path the reference builds
     on codegraph-zerocopy/src/shared_memory.rs. Returns the open
-    SharedArrayStore (close it to detach; the file persists)."""
-    from codegraph_tpu.core.shm import SharedArrayStore
+    SharedArrayStore (close it to detach; the file persists).
+
+    Republish-friendly: when the segment already exists and has
+    capacity, the new payload goes through the seqlock publish on the
+    SAME segment — the generation stays monotonic, which is what
+    hot-reload readers (search/service.py ShmServedIndex) watch.
+    A fresh segment is created with `slack` growth headroom so routine
+    incremental growth republishes in place."""
+    from codegraph_tpu.core.shm import ShmError, SharedArrayStore
 
     x, bias = index.arrays()
     if x is None:
@@ -124,19 +131,32 @@ def publish_flat_shm(index, path: str):
         "x": np.asarray(x), "bias": np.asarray(bias),
         "_meta": np.frombuffer(json.dumps(meta).encode(), np.uint8),
     }
-    return SharedArrayStore.create(path, arrays)
+    if os.path.exists(path):
+        try:
+            store = SharedArrayStore.open(path, writable=True)
+            try:
+                store.publish(arrays)
+                return store
+            except ShmError:    # outgrew capacity: recreate
+                store.close()
+        except ShmError:
+            pass                # corrupt/foreign file: recreate
+    return SharedArrayStore.create(path, arrays, slack=slack)
 
 
-def attach_flat_shm(path: str):
-    """Attach to a published FlatIndex segment. Returns (index, store):
-    the index's host-side state is a zero-copy view of the shared pages
-    (device upload streams straight from them); keep `store` open for
-    the index's lifetime."""
+def attach_flat_shm(path: str, copy: bool = False):
+    """Attach to a published FlatIndex segment. Returns (index, store).
+
+    copy=False: the index's host-side state is a zero-copy view of the
+    shared pages (device upload streams straight from them); keep
+    `store` open for the index's lifetime and do not republish under
+    it. copy=True: a stable seqlock-read snapshot — safe against
+    concurrent republishes (what hot-reload servers use)."""
     from codegraph_tpu.core.shm import SharedArrayStore
     from codegraph_tpu.index.flat import FlatIndex
 
     store = SharedArrayStore.open(path)
-    arrs = store.arrays(copy=False)
+    arrs = store.arrays(copy=copy)
     meta = json.loads(bytes(arrs["_meta"]).decode())
     idx = FlatIndex(meta["dim"], metric=meta["metric"],
                     dtype=meta["dtype"], tile_n=meta["tile_n"])

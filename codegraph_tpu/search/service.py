@@ -105,4 +105,92 @@ class QueryService:
             self._flush(leftover)
 
 
-__all__ = ["QueryService", "ServiceStats"]
+class ShmServedIndex:
+    """Hot-reloadable index over a shared-memory segment.
+
+    The production serving loop: a daemon re-indexes and republishes
+    the index into the segment (index/snapshot.py publish_flat_shm,
+    seqlock + monotonic generation); every server process wraps the
+    segment in a ShmServedIndex, which polls the generation at most
+    every `check_every` seconds and atomically swaps in the new arrays
+    before the next search. The reference gets the same freshness from
+    re-querying SurrealDB on every call (surrealdb_storage.rs) — here a
+    reload is one seqlock snapshot read + device upload, and searches
+    between reloads touch nothing but HBM.
+
+    Recreated segments (a republish that outgrew capacity makes a new
+    file) are detected by inode change, so generation comparisons never
+    cross file lifetimes. Thread-safe; compose with QueryService for
+    batch collection.
+    """
+
+    def __init__(self, path: str, check_every: float = 1.0):
+        import os
+
+        self._os = os
+        self.path = path
+        self.check_every = float(check_every)
+        self._lock = threading.Lock()
+        self._idx = None
+        self._store = None
+        self._ident: Optional[Tuple[int, int]] = None  # (inode, generation)
+        self._last_check = 0.0
+        self.reloads = 0
+        self._reload()
+
+    def _identity(self) -> Optional[Tuple[int, int]]:
+        try:
+            st = self._os.stat(self.path)
+        except OSError:
+            return None
+        if self._store is not None and self._ident is not None \
+                and st.st_ino == self._ident[0]:
+            return (st.st_ino, self._store.segment.generation)
+        return (st.st_ino, -1)  # new file: force reload to learn gen
+
+    def _reload(self) -> None:
+        from codegraph_tpu.index.snapshot import attach_flat_shm
+
+        idx, store = attach_flat_shm(self.path, copy=True)
+        old = self._store
+        self._idx, self._store = idx, store
+        self._ident = (self._os.stat(self.path).st_ino,
+                       store.segment.generation)
+        self.reloads += 1
+        if old is not None:
+            old.close()
+
+    def maybe_reload(self) -> bool:
+        """Check the segment generation (rate-limited); reload on change.
+        Returns True when a reload happened."""
+        now = time.monotonic()
+        with self._lock:
+            if self._idx is not None and \
+                    now - self._last_check < self.check_every:
+                return False
+            self._last_check = now
+            ident = self._identity()
+            if ident is not None and ident != self._ident:
+                self._reload()
+                return True
+        return False
+
+    def search(self, queries: np.ndarray, k: int = 10, **kw):
+        self.maybe_reload()
+        return self._idx.search(queries, k, **kw)
+
+    @property
+    def generation(self) -> int:
+        return self._ident[1] if self._ident else -1
+
+    def __len__(self) -> int:
+        return len(self._idx) if self._idx is not None else 0
+
+    def close(self) -> None:
+        with self._lock:
+            if self._store is not None:
+                self._store.close()
+                self._store = None
+
+
+__all__ = ["QueryService", "ServiceStats", "ShmServedIndex"]

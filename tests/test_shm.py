@@ -173,3 +173,93 @@ def test_flat_index_publish_attach(tmp_path):
     finally:
         store.close()
         pub.close()
+
+
+# ---- hot-reload serving loop (search/service.py ShmServedIndex) --------
+
+def _flat(rows, dim=24, seed=0):
+    from codegraph_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(seed)
+    idx = FlatIndex(dim, metric="cosine")
+    idx.add(rng.standard_normal((rows, dim)).astype(np.float32))
+    return idx
+
+
+def test_publish_republish_monotonic_generation(tmp_path):
+    from codegraph_tpu.index.snapshot import publish_flat_shm
+
+    p = str(tmp_path / "serve.shm")
+    s1 = publish_flat_shm(_flat(50), p)
+    g1 = s1.generation
+    s1.close()
+    s2 = publish_flat_shm(_flat(60, seed=1), p)  # fits slack: same segment
+    assert s2.generation > g1
+    s2.close()
+
+
+def test_shm_served_index_hot_reload(tmp_path):
+    from codegraph_tpu.index.snapshot import publish_flat_shm
+    from codegraph_tpu.search.service import ShmServedIndex
+
+    p = str(tmp_path / "serve.shm")
+    idx1 = _flat(40, seed=2)
+    pub = publish_flat_shm(idx1, p)
+    served = ShmServedIndex(p, check_every=0.0)
+    q = np.asarray(idx1.get_vectors(np.arange(3)))
+    _, served_rows = served.search(q, 1)
+    np.testing.assert_array_equal(served_rows[:, 0], np.arange(3))
+    assert len(served) == 40
+    g0 = served.generation
+
+    # daemon republishes a grown index in place
+    idx2 = _flat(55, seed=3)
+    pub2 = publish_flat_shm(idx2, p)
+    assert served.maybe_reload()          # generation bump detected
+    assert served.generation > g0
+    assert len(served) == 55
+    q2 = np.asarray(idx2.get_vectors(np.arange(4)))
+    _, rows2 = served.search(q2, 1)
+    np.testing.assert_array_equal(rows2[:, 0], np.arange(4))
+    pub.close()
+    pub2.close()
+    served.close()
+
+
+def test_shm_served_index_recreated_segment(tmp_path):
+    """A republish that outgrows capacity creates a fresh file (new
+    inode, generation restarts) — the reader must still reload."""
+    import os
+
+    from codegraph_tpu.index.snapshot import publish_flat_shm
+    from codegraph_tpu.search.service import ShmServedIndex
+
+    p = str(tmp_path / "serve.shm")
+    pub = publish_flat_shm(_flat(30, seed=4), p, slack=0.0)
+    served = ShmServedIndex(p, check_every=0.0)
+    assert len(served) == 30
+    pub.close()
+    os.unlink(p)  # simulate outgrown-capacity recreation
+    pub2 = publish_flat_shm(_flat(500, seed=5), p)
+    assert served.maybe_reload()
+    assert len(served) == 500
+    pub2.close()
+    served.close()
+
+
+def test_query_service_over_shm_served(tmp_path):
+    from codegraph_tpu.index.snapshot import publish_flat_shm
+    from codegraph_tpu.search.service import QueryService, ShmServedIndex
+
+    p = str(tmp_path / "serve.shm")
+    idx = _flat(64, seed=6)
+    pub = publish_flat_shm(idx, p)
+    served = ShmServedIndex(p, check_every=0.0)
+    svc = QueryService(served, k=1, max_batch=8, max_wait_ms=10.0)
+    futs = [svc.submit(np.asarray(idx.get_vectors(np.array([i])))[0])
+            for i in range(8)]
+    got = [f.result(timeout=30)[1][0] for f in futs]
+    assert got == list(range(8))
+    svc.close()
+    pub.close()
+    served.close()
