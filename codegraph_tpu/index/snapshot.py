@@ -104,12 +104,14 @@ def load_arrays(
     return out, manifest.get("meta", {})
 
 
-def publish_flat_shm(index, path: str, slack: float = 0.5):
-    """Publish a FlatIndex's state into a shared-memory segment
+def publish_index_shm(index, path: str, slack: float = 0.5):
+    """Publish an index's state into a shared-memory segment
     (core/shm.py) so other processes on this host can serve it without
     their own copy — the cross-process serving path the reference builds
-    on codegraph-zerocopy/src/shared_memory.rs. Returns the open
-    SharedArrayStore (close it to detach; the file persists).
+    on codegraph-zerocopy/src/shared_memory.rs. Supports the two exact
+    serving tiers: FlatIndex (f32/bf16) and Int8FlatIndex (+rescore
+    matrix). Returns the open SharedArrayStore (close it to detach; the
+    file persists).
 
     Republish-friendly: when the segment already exists and has
     capacity, the new payload goes through the seqlock publish on the
@@ -118,19 +120,34 @@ def publish_flat_shm(index, path: str, slack: float = 0.5):
     A fresh segment is created with `slack` growth headroom so routine
     incremental growth republishes in place."""
     from codegraph_tpu.core.shm import ShmError, SharedArrayStore
+    from codegraph_tpu.index.int8_flat import Int8FlatIndex
 
-    x, bias = index.arrays()
-    if x is None:
-        raise SnapshotError("cannot publish an empty index")
-    meta = {
-        "dim": index.dim, "metric": index.metric,
-        "dtype": str(index.dtype), "tile_n": index.tile_n,
-        "n_rows": index.n_rows, "n_live": index.n_live,
-    }
-    arrays = {
-        "x": np.asarray(x), "bias": np.asarray(bias),
-        "_meta": np.frombuffer(json.dumps(meta).encode(), np.uint8),
-    }
+    if isinstance(index, Int8FlatIndex):
+        q, s, r, bias = index.arrays()
+        if q is None:
+            raise SnapshotError("cannot publish an empty index")
+        meta = {
+            "kind": "int8", "dim": index.dim, "metric": index.metric,
+            "rescore_dtype": (str(index.rescore_dtype)
+                              if index.rescore_dtype else None),
+            "rescore_k": index.rescore_k, "tile_n": index.tile_n,
+            "n_rows": index.n_rows, "n_live": index.n_live,
+        }
+        arrays = {"q": np.asarray(q), "s": np.asarray(s),
+                  "bias": np.asarray(bias)}
+        if r is not None:
+            arrays["r"] = np.asarray(r)
+    else:
+        x, bias = index.arrays()
+        if x is None:
+            raise SnapshotError("cannot publish an empty index")
+        meta = {
+            "kind": "flat", "dim": index.dim, "metric": index.metric,
+            "dtype": str(index.dtype), "tile_n": index.tile_n,
+            "n_rows": index.n_rows, "n_live": index.n_live,
+        }
+        arrays = {"x": np.asarray(x), "bias": np.asarray(bias)}
+    arrays["_meta"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
     if os.path.exists(path):
         try:
             store = SharedArrayStore.open(path, writable=True)
@@ -144,8 +161,9 @@ def publish_flat_shm(index, path: str, slack: float = 0.5):
     return SharedArrayStore.create(path, arrays, slack=slack)
 
 
-def attach_flat_shm(path: str, copy: bool = False):
-    """Attach to a published FlatIndex segment. Returns (index, store).
+def attach_index_shm(path: str, copy: bool = False):
+    """Attach to a published index segment. Returns (index, store);
+    the index type comes from the segment's metadata.
 
     copy=False: the index's host-side state is a zero-copy view of the
     shared pages (device upload streams straight from them); keep
@@ -154,20 +172,36 @@ def attach_flat_shm(path: str, copy: bool = False):
     concurrent republishes (what hot-reload servers use)."""
     from codegraph_tpu.core.shm import SharedArrayStore
     from codegraph_tpu.index.flat import FlatIndex
+    from codegraph_tpu.index.int8_flat import Int8FlatIndex
 
     store = SharedArrayStore.open(path)
     arrs = store.arrays(copy=copy)
     meta = json.loads(bytes(arrs["_meta"]).decode())
-    idx = FlatIndex(meta["dim"], metric=meta["metric"],
-                    dtype=meta["dtype"], tile_n=meta["tile_n"])
-    idx.load_arrays(arrs["x"], arrs["bias"], meta["n_rows"],
-                    meta["n_live"])
+    if meta.get("kind", "flat") == "int8":
+        idx = Int8FlatIndex(meta["dim"], metric=meta["metric"],
+                            rescore_dtype=meta["rescore_dtype"],
+                            rescore_k=meta["rescore_k"],
+                            tile_n=meta["tile_n"])
+        idx.load_arrays(arrs["q"], arrs["s"], arrs.get("r"),
+                        arrs["bias"], meta["n_rows"], meta["n_live"])
+    else:
+        idx = FlatIndex(meta["dim"], metric=meta["metric"],
+                        dtype=meta["dtype"], tile_n=meta["tile_n"])
+        idx.load_arrays(arrs["x"], arrs["bias"], meta["n_rows"],
+                        meta["n_live"])
     return idx, store
+
+
+# original flat-only names, kept as aliases
+publish_flat_shm = publish_index_shm
+attach_flat_shm = attach_index_shm
 
 
 __all__ = [
     "save_arrays",
     "load_arrays",
+    "publish_index_shm",
+    "attach_index_shm",
     "publish_flat_shm",
     "attach_flat_shm",
     "MANIFEST",

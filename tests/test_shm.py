@@ -263,3 +263,36 @@ def test_query_service_over_shm_served(tmp_path):
     svc.close()
     pub.close()
     served.close()
+
+
+def test_int8_index_publish_attach_hot_reload(tmp_path):
+    """The 10M-tier int8 index serves over shm too: quantized codes,
+    scales, and the rescore matrix round-trip; results identical."""
+    from codegraph_tpu.index.int8_flat import Int8FlatIndex
+    from codegraph_tpu.index.snapshot import publish_index_shm
+    from codegraph_tpu.search.service import ShmServedIndex
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((120, 32)).astype(np.float32)
+    idx = Int8FlatIndex(32, metric="cosine", rescore_dtype="float32",
+                        rescore_k=16)
+    idx.add(x)
+    q = x[:5] + 0.01
+    s_ref, i_ref = idx.search(q, 5)
+
+    p = str(tmp_path / "int8.shm")
+    pub = publish_index_shm(idx, p)
+    served = ShmServedIndex(p, check_every=0.0)
+    s2, i2 = served.search(q, 5)
+    np.testing.assert_array_equal(i2, i_ref)
+    np.testing.assert_allclose(s2, s_ref, rtol=1e-5, atol=1e-5)
+    assert len(served) == 120
+
+    # republish with more rows; reader hot-swaps
+    idx.add(rng.standard_normal((40, 32)).astype(np.float32))
+    pub2 = publish_index_shm(idx, p)
+    assert served.maybe_reload()
+    assert len(served) == 160
+    pub.close()
+    pub2.close()
+    served.close()
