@@ -77,14 +77,30 @@ class SharedSegment:
         try:
             # never SHRINK an existing file: readers holding mmaps of a
             # larger previous generation would SIGBUS past the new end
-            total = max(total, os.fstat(fd).st_size)
+            old_size = os.fstat(fd).st_size
+            total = max(total, old_size)
             capacity = total - HEADER_SIZE
+            # recreating IN PLACE (capacity growth on the same path):
+            # carry the old generation forward, else hot-reload readers
+            # comparing (inode, generation) would see the same pair after
+            # the first publish and keep serving the stale snapshot
+            gen = 0
+            if old_size >= _HEADER.size:
+                try:
+                    buf = os.pread(fd, _HEADER.size, 0)
+                    magic, old_gen, _, _ = _HEADER.unpack(buf)
+                    if magic == _MAGIC:
+                        gen = old_gen
+                except OSError:
+                    pass
             os.ftruncate(fd, total)
             mm = mmap.mmap(fd, total)
         except Exception:
             os.close(fd)
             raise
-        mm[:_HEADER.size] = _HEADER.pack(_MAGIC, 0, 0, capacity)
+        # mark odd (write in progress) until the first write() publishes;
+        # attached readers spin rather than observe a torn reset
+        mm[:_HEADER.size] = _HEADER.pack(_MAGIC, gen | 1, 0, capacity)
         return cls(path, mm, fd, writable=True)
 
     @classmethod
@@ -163,9 +179,12 @@ class SharedSegment:
         magic, gen, _, cap = self._read_header()
         if len(data) > cap:
             raise ShmError(f"payload {len(data)} > capacity {cap}")
-        self._mm[:_HEADER.size] = _HEADER.pack(magic, gen + 1, len(data), cap)
+        # `gen | 1` handles both a normal even start and the odd
+        # "in-progress" generation a fresh create() leaves behind
+        g_odd = gen | 1
+        self._mm[:_HEADER.size] = _HEADER.pack(magic, g_odd, len(data), cap)
         self._mm[HEADER_SIZE:HEADER_SIZE + len(data)] = data
-        self._mm[:_HEADER.size] = _HEADER.pack(magic, gen + 2, len(data), cap)
+        self._mm[:_HEADER.size] = _HEADER.pack(magic, g_odd + 1, len(data), cap)
         self._mm.flush(0, HEADER_SIZE)
 
     def read(self, max_retries: int = 1000) -> bytes:

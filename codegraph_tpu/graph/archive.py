@@ -232,28 +232,36 @@ class ArchivedGraphStore:
 
     def find_nodes_by_name(self, name: str, fuzzy: bool = True
                            ) -> List[CodeNode]:
-        """Vectorized pool scan: find every occurrence of `name` in the
-        name pool, map byte offset -> row via the offset table, keep
-        exact matches (occurrence spans a whole entry) or, when fuzzy,
-        substring matches."""
+        """Pool scan with GraphStore semantics (store.py:167): exact
+        case-sensitive matches first; only when none exist and fuzzy,
+        case-insensitive substring matches. Occurrences map byte
+        offset -> row via the offset table."""
         a = self.a
-        needle = name.encode("utf-8")
-        if not needle or a["name_pool"].size == 0:
+        if not name or a["name_pool"].size == 0:
             return []
-        hay = a["name_pool"].tobytes()
         off = a["name_off"]
-        rows: List[int] = []
-        seen = set()
-        pos = hay.find(needle)
-        while pos != -1:
-            row = int(np.searchsorted(off, pos, side="right")) - 1
-            end = pos + len(needle)
-            if row not in seen and end <= off[row + 1] and a["alive"][row]:
-                exact = (off[row] == pos and off[row + 1] == end)
-                if exact or fuzzy:
-                    seen.add(row)
-                    rows.append(row)
-            pos = hay.find(needle, pos + 1)
+
+        def scan(hay: bytes, needle: bytes, exact_only: bool) -> List[int]:
+            rows: List[int] = []
+            seen = set()
+            pos = hay.find(needle)
+            while pos != -1:
+                row = int(np.searchsorted(off, pos, side="right")) - 1
+                end = pos + len(needle)
+                if row not in seen and end <= off[row + 1] \
+                        and a["alive"][row]:
+                    if not exact_only or (off[row] == pos
+                                          and off[row + 1] == end):
+                        seen.add(row)
+                        rows.append(row)
+                pos = hay.find(needle, pos + 1)
+            return rows
+
+        hay = a["name_pool"].tobytes()
+        rows = scan(hay, name.encode("utf-8"), exact_only=True)
+        if not rows and fuzzy:
+            rows = scan(hay.lower(), name.lower().encode("utf-8"),
+                        exact_only=False)
         out = [self.node_by_row(r) for r in sorted(rows)]
         return [n for n in out if n is not None]
 

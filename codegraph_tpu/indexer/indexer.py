@@ -183,10 +183,23 @@ class ProjectIndexer:
                 run_analyzers,
             )
 
+            settings = AnalyzerSettings.for_tier(self.config.indexing.tier)
+            lsp_files = None
+            if settings.lsp:
+                # the external-LSP analyzer needs path -> (language,
+                # text) for didOpen; read only when the tier enables it
+                lsp_files = {}
+                for fp in to_ingest:
+                    try:
+                        with open(fp.path, encoding="utf-8",
+                                  errors="replace") as f:
+                            lsp_files[fp.path] = (fp.language, f.read())
+                    except OSError:
+                        continue
             aout = run_analyzers(
                 project=os.path.abspath(root), root=root,
                 nodes=new_nodes, edges=new_edges,
-                settings=AnalyzerSettings.for_tier(self.config.indexing.tier),
+                settings=settings, files=lsp_files,
             )
             new_nodes.extend(aout.nodes)
             new_edges.extend(aout.edges)
@@ -377,6 +390,11 @@ class ProjectIndexer:
                 # persist alongside them (and NOT be cast to f32 cells)
                 meta["kind"] = "ivfpq"
                 meta["m"] = self.index.m
+                # codes are [nlist, m, cap] since the per-cell-DMA
+                # Pallas ADC kernel (subspace-major); loads validate
+                # this so pre-kernel [nlist, cap, m] snapshots fail
+                # loudly instead of loading transposed
+                meta["code_layout"] = "subspace_major"
                 arrays["code_lists"] = np.asarray(x)  # uint8
                 arrays["books"] = np.asarray(self.index._books, np.float32)
                 if self.index._raw_chunks:  # host refine store
@@ -417,7 +435,17 @@ class ProjectIndexer:
                     assert isinstance(idx, IVFPQIndex), (
                         "snapshot is ivfpq but configured index is ivf"
                     )
-                    idx._x = jnp.asarray(arrays["code_lists"])  # uint8
+                    from codegraph_tpu.core.errors import SnapshotError
+
+                    codes = arrays["code_lists"]
+                    if (meta.get("code_layout") != "subspace_major"
+                            or codes.shape[1] != int(meta.get("m", -1))):
+                        raise SnapshotError(
+                            "ivfpq snapshot uses the old [nlist, cap, m] "
+                            "code layout (pre per-cell-DMA kernel); "
+                            "re-index with --force to rebuild it"
+                        )
+                    idx._x = jnp.asarray(codes)  # uint8
                     idx._books = jnp.asarray(arrays["books"])
                     if "refine_rows" in arrays:
                         idx._raw_chunks = [np.asarray(arrays["refine_rows"])]

@@ -137,8 +137,12 @@ class LSPClient:
     # -- protocol ----------------------------------------------------------
 
     def request(self, method: str, params: Dict[str, Any]) -> Any:
-        self._id += 1
-        rid = self._id
+        # id allocation under the lock: LSPAnalyzer shares one client
+        # across a 16-thread pool, and an unlocked read-modify-write can
+        # hand two threads the same JSON-RPC id (colliding responses)
+        with self._lock:
+            self._id += 1
+            rid = self._id
         self._write({"jsonrpc": "2.0", "id": rid, "method": method,
                      "params": params})
         deadline = time.monotonic() + self.timeout

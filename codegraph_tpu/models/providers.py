@@ -467,7 +467,15 @@ class EnsembleProvider(EmbeddingProvider):
             dimension=dimension // 2, batch_size=batch_size,
             max_len=max_len, checkpoint=checkpoint, tokenizer=tokenizer,
         )
+        # a checkpoint dictates the encoder's width (EncoderProvider
+        # self-corrects from the array shapes), which can leave
+        # dimension - enc_dim degenerate (0 would silently drop the
+        # lexical half; negative crashes hash_embed_texts) — keep the
+        # halves balanced and let the total dimension self-correct, as
+        # EncoderProvider itself does
         self.hash_dim = dimension - self.encoder.dimension
+        if self.hash_dim < 16:
+            self.hash_dim = self.encoder.dimension
         super().__init__(self.encoder.dimension + self.hash_dim, batch_size)
         self.w_enc = float(w_enc)
         self.tokenizer = self.encoder.tokenizer

@@ -121,7 +121,6 @@ def topk_moe_dispatch(
     pos, keep = _dispatch_indices(top_e, k, E, C)
 
     # pack: dispatch[e, c] = x[t] where (t, j) routed to (e, c)
-    dispatch = jnp.zeros((E, C, H), x.dtype)
     t_idx = jnp.broadcast_to(
         jnp.arange(T)[:, None], (T, k)).reshape(-1)
     e_idx = top_e.reshape(-1)

@@ -1474,6 +1474,7 @@ class RubyScanner:
         i = 0
         n = len(toks)
         prev_line = -1
+        loop_do_line = -1  # line of a pushed while/until/for opener
         while i < n:
             t = toks[i]
             line_start = t.line != prev_line
@@ -1498,9 +1499,17 @@ class RubyScanner:
             if w in _RUBY_OPENERS_LINE_START:
                 if line_start:
                     stack.append(None)
+                    if w in ("while", "until", "for"):
+                        loop_do_line = t.line
                 i += 1
                 continue
             if w == "do":
+                # `while/until/for ... do` is the same scope the opener
+                # already pushed (one `end` closes it) — a second push
+                # here would desync end-matching for the whole file
+                if t.line == loop_do_line:
+                    i += 1
+                    continue
                 # block opener: end of line or |args|
                 nxt = toks[i + 1] if i + 1 < n else None
                 if nxt is None or nxt.line > t.line or nxt.text == "|":

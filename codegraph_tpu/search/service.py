@@ -171,7 +171,14 @@ class ShmServedIndex:
             self._last_check = now
             ident = self._identity()
             if ident is not None and ident != self._ident:
-                self._reload()
+                from codegraph_tpu.core.shm import ShmError
+
+                try:
+                    self._reload()
+                except ShmError:
+                    # mid-recreate (publisher rebuilding the segment):
+                    # keep serving the current snapshot, retry next poll
+                    return False
                 return True
         return False
 

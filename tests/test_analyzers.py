@@ -153,3 +153,37 @@ def test_indexer_runs_analyzers(tmp_path):
     stats = indexer.index_project(str(tmp_path))
     assert stats.analyzer_counters.get("doc_nodes") == 1
     assert any(n.node_type == NodeType.DOC for n in indexer.store.nodes.values())
+
+
+def test_pipeline_reaches_lsp_analyzer(tmp_path, monkeypatch):
+    """index_project must hand the parsed files to the LSP analyzer when
+    CODEGRAPH_LSP=1 + tier=full — round-2 regression: run_analyzers
+    gated on `files` but the pipeline never passed them."""
+    from codegraph_tpu.core.config import CodeGraphConfig
+    from codegraph_tpu.indexer.indexer import ProjectIndexer
+    import codegraph_tpu.indexer.lsp as lspmod
+
+    (tmp_path / "m.py").write_text("def f():\n    return 1\n")
+    seen = {}
+
+    class StubAnalyzer:
+        def run(self, root, files, nodes):
+            seen["files"] = dict(files)
+            from codegraph_tpu.indexer.lsp import LSPEnrichment
+
+            return LSPEnrichment()
+
+    monkeypatch.setattr(lspmod, "LSPAnalyzer", StubAnalyzer)
+    monkeypatch.setenv("CODEGRAPH_LSP", "1")
+    cfg = CodeGraphConfig()
+    cfg.project_root = str(tmp_path)
+    cfg.indexing.tier = "full"
+    cfg.embedding.provider = "hash"
+    cfg.embedding.dimension = 32
+    idx = ProjectIndexer(cfg)
+    idx.index_project(str(tmp_path))
+    assert seen, "LSP analyzer was never invoked"
+    paths = list(seen["files"])
+    assert any(p.endswith("m.py") for p in paths)
+    lang, text = seen["files"][paths[0]]
+    assert "def f" in text

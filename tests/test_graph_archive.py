@@ -105,6 +105,12 @@ def test_archive_find_by_name(tmp_path, store):
     assert [n.name for n in exact] == ["beta"]
     fuzzy = arch.find_nodes_by_name("gamma", fuzzy=True)
     assert [n.name for n in fuzzy] == ["gamma_helper"]
+    # GraphStore semantics: case-insensitive substring when no exact hit
+    ci = arch.find_nodes_by_name("GAMMA", fuzzy=True)
+    assert [n.name for n in ci] == ["gamma_helper"]
+    # exact matches suppress substring hits (store.py:167)
+    assert [n.name for n in store.find_nodes_by_name("beta")] == \
+        [n.name for n in arch.find_nodes_by_name("beta")]
     assert arch.find_nodes_by_name("doomed", fuzzy=True) == []
     # substring that crosses entry boundaries must not match
     assert arch.find_nodes_by_name("alphabeta", fuzzy=True) == []

@@ -364,3 +364,28 @@ def test_embed_texts_device_matches_host_path():
 
     # empty input
     assert p.embed_texts_device([]).shape == (0, 32)
+
+
+def test_ensemble_checkpoint_dimension_self_corrects(tmp_path):
+    """A checkpoint whose hidden width >= the requested ensemble
+    dimension must not zero out (or go negative on) the lexical half —
+    the halves stay balanced and the total self-corrects."""
+    from codegraph_tpu.models.providers import (
+        EncoderProvider,
+        EnsembleProvider,
+        save_encoder_checkpoint,
+    )
+
+    donor = EncoderProvider(dimension=32, batch_size=4, max_len=16)
+    ckpt = str(tmp_path / "enc32.npz")
+    save_encoder_checkpoint(ckpt, donor.params)
+
+    p = EnsembleProvider(dimension=32, checkpoint=ckpt, batch_size=4,
+                        max_len=16)
+    assert p.encoder.dimension == 32
+    assert p.hash_dim == 32          # not 0
+    assert p.dimension == 64
+    e = p.embed_texts(["def foo(): pass", "bar"])
+    assert e.shape == (2, 64)
+    # both halves carry signal
+    assert np.abs(e[:, :32]).max() > 0 and np.abs(e[:, 32:]).max() > 0

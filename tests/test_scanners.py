@@ -687,3 +687,28 @@ fn with_raw<'a>(s: &'a str) -> &'a str {
     assert "fake_raw" not in names(r)
     assert "with_raw" in names(r, NodeType.FUNCTION)
     assert ("with_raw", "trim") in calls(r)
+
+
+def test_ruby_while_do_single_scope():
+    """`while x do` must count as ONE scope (round-2 regression: the
+    opener keyword and the trailing `do` each pushed, desyncing every
+    later `end` in the file)."""
+    src = (
+        "class C\n"
+        "  def m\n"
+        "    while x do\n"
+        "      y\n"
+        "    end\n"
+        "  end\n"
+        "end\n"
+        "def top\n"
+        "  1\n"
+        "end\n"
+    )
+    r = extract_file("p", "a.rb", src, Language.RUBY)
+    assert ("C", NodeType.CLASS) in {(n.name, n.node_type) for n in r.nodes}
+    c = next(n for n in r.nodes if n.name == "C")
+    assert c.location.end_line == 7  # closed by its own end, not EOF
+    top = next(n for n in r.nodes if n.name == "top")
+    # top is NOT a method of C
+    assert ("C", "top") not in contains_pairs(r)

@@ -24,9 +24,9 @@ from codegraph_tpu.core.shm import (
 def test_segment_roundtrip_and_generation(tmp_path):
     p = str(tmp_path / "seg.shm")
     with SharedSegment.create(p, 1024) as seg:
-        assert seg.generation == 0
+        assert seg.generation == 1  # odd: in-progress until first publish
         seg.write(b"hello shared world")
-        assert seg.generation == 2  # odd mid-write, even after
+        assert seg.generation == 2  # even: published
         assert seg.read() == b"hello shared world"
         seg.write(b"second")
         assert seg.generation == 4
@@ -227,10 +227,9 @@ def test_shm_served_index_hot_reload(tmp_path):
 
 
 def test_shm_served_index_recreated_segment(tmp_path):
-    """A republish that outgrows capacity creates a fresh file (new
-    inode, generation restarts) — the reader must still reload."""
-    import os
-
+    """A republish that outgrows capacity recreates the segment IN
+    PLACE (same inode!) — the generation must carry forward so the
+    reader still detects the change and reloads."""
     from codegraph_tpu.index.snapshot import publish_flat_shm
     from codegraph_tpu.search.service import ShmServedIndex
 
@@ -238,11 +237,33 @@ def test_shm_served_index_recreated_segment(tmp_path):
     pub = publish_flat_shm(_flat(30, seed=4), p, slack=0.0)
     served = ShmServedIndex(p, check_every=0.0)
     assert len(served) == 30
+    g0 = served.generation
     pub.close()
-    os.unlink(p)  # simulate outgrown-capacity recreation
+    # 500 rows cannot fit the slack-free 30-row segment: recreate path
     pub2 = publish_flat_shm(_flat(500, seed=5), p)
+    assert pub2.generation > g0  # monotonic across recreation
     assert served.maybe_reload()
     assert len(served) == 500
+    pub2.close()
+    served.close()
+
+
+def test_shm_served_index_recreated_new_inode(tmp_path):
+    """External cleanup + republish (fresh inode, generation restarts)
+    is detected by the inode check."""
+    import os
+
+    from codegraph_tpu.index.snapshot import publish_flat_shm
+    from codegraph_tpu.search.service import ShmServedIndex
+
+    p = str(tmp_path / "serve.shm")
+    pub = publish_flat_shm(_flat(30, seed=4), p)
+    served = ShmServedIndex(p, check_every=0.0)
+    pub.close()
+    os.unlink(p)
+    pub2 = publish_flat_shm(_flat(80, seed=5), p)
+    assert served.maybe_reload()
+    assert len(served) == 80
     pub2.close()
     served.close()
 
