@@ -232,12 +232,18 @@ class IVFIndex:
         self._x, self._ids, self._bias = x, ids, bias
         self.list_cap = list_cap
 
+    def _target_cap(self, n_rows: int) -> int:
+        """Cell capacity demanded by n_rows total — ONE formula shared by
+        reserve() and add(): if they drift, presizing stops matching
+        demand and chunked builds fall back to per-chunk reallocation."""
+        return max(
+            8, int(np.ceil(self.capacity_factor * n_rows / self.nlist))
+        )
+
     def reserve(self, n_rows: int) -> None:
         """Pre-size cell capacity for an expected corpus size — one
         allocation instead of geometric growth during a chunked build."""
-        target_cap = max(
-            8, int(np.ceil(self.capacity_factor * n_rows / self.nlist))
-        )
+        target_cap = self._target_cap(n_rows)
         if target_cap > self.list_cap:
             self._alloc(target_cap)
 
@@ -284,15 +290,14 @@ class IVFIndex:
         if top2.shape[1] == 1:  # nlist == 1: no second choice to spill to
             top2 = np.repeat(top2, 2, axis=1)
 
-        # bounded capacity: never grow past the capacity factor.
         # Growth is geometric (1.5x): _alloc copies the whole cell
         # tensor, so per-chunk linear growth made ingest O(total^2)
         # (measured as per-chunk add time climbing 15 -> 53 s over a
-        # 10M build); amortized growth keeps it flat. reserve() presizes
-        # when the corpus size is known.
-        target_cap = max(
-            8, int(np.ceil(self.capacity_factor * (self.n_rows + n) / self.nlist))
-        )
+        # 10M build); amortized growth keeps it flat but can overshoot
+        # the capacity-factor bound by up to 1.5x — builds near the HBM
+        # budget should reserve() upfront, which allocates exactly once
+        # at the capacity-factor bound.
+        target_cap = self._target_cap(self.n_rows + n)
         if target_cap > self.list_cap:
             grown = max(target_cap, int(self.list_cap * 1.5))
             self._alloc(grown)

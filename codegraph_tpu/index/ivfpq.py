@@ -44,13 +44,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from codegraph_tpu.core.errors import DimensionMismatch
+# LANE/round_up come from the repo's single alignment utility — the
+# private twins in ops.topk exist for that module's internals only
+from codegraph_tpu.core.padding import LANE, round_up
 from codegraph_tpu.index.ivf import IVFIndex
 from codegraph_tpu.ops.kmeans import assign_clusters
 from codegraph_tpu.ops.pq import pq_encode, pq_train
 from codegraph_tpu.ops.topk import (
-    LANE,
     NEG_INF,
-    _round_up,
     _threshold_merge_vids,
     merge_topk,
 )
@@ -235,7 +236,7 @@ def ivfpq_search_pallas(
         table = jnp.pad(table, ((0, 0), (0, 0), (0, 2 * LANE - ksub)))
     tlo, thi = table[:, :, :LANE], table[:, :, LANE:]
 
-    k_pad = _round_up(max(k, 1), LANE)
+    k_pad = round_up(max(k, 1), LANE)
     kernel = functools.partial(
         _adc_cell_kernel, k=k, k_pad=k_pad, cap=cap, nprobe=nprobe,
     )
@@ -374,9 +375,12 @@ class IVFPQIndex(IVFIndex):
 
     Inherits training, capacity-bounded spill assignment, and tombstone
     bookkeeping from IVFIndex; overrides storage (subspace-major codes,
-    not vectors) and scoring (coarse + residual ADC). On TPU the
-    per-query path runs the Pallas per-cell-DMA kernel; batches >=
-    batch_share_threshold route to the MXU batch-shared kernel.
+    not vectors) and scoring (coarse + residual ADC). Routing: on TPU
+    the Pallas per-cell-DMA kernel serves EVERY batch size (measured
+    2.5k QPS on uniform B=256 at 10M x 768 vs 313 for batch-shared,
+    and it matches batch-shared's concentrated-traffic win); where the
+    kernel is unavailable (CPU/XLA), batches >= batch_share_threshold
+    route to the batch-shared decode-unique-cells-once kernel.
     """
 
     def __init__(
@@ -518,7 +522,10 @@ class IVFPQIndex(IVFIndex):
         if self.use_pallas == "interpret":
             return "interpret"
         if self.use_pallas is None:
-            return jax.default_backend() == "tpu"
+            # "axon" = TPU via the remote-attach plugin (flat.py:36) —
+            # omitting it silently dropped auto mode to the 35-QPS XLA
+            # gather path on the actual deployment platform
+            return jax.default_backend() in ("tpu", "axon")
         return bool(self.use_pallas)
 
     def search(

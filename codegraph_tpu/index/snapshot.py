@@ -120,6 +120,7 @@ def publish_index_shm(index, path: str, slack: float = 0.5):
     A fresh segment is created with `slack` growth headroom so routine
     incremental growth republishes in place."""
     from codegraph_tpu.core.shm import ShmError, SharedArrayStore
+    from codegraph_tpu.index.flat import FlatIndex
     from codegraph_tpu.index.int8_flat import Int8FlatIndex
 
     if isinstance(index, Int8FlatIndex):
@@ -137,7 +138,7 @@ def publish_index_shm(index, path: str, slack: float = 0.5):
                   "bias": np.asarray(bias)}
         if r is not None:
             arrays["r"] = np.asarray(r)
-    else:
+    elif isinstance(index, FlatIndex):
         x, bias = index.arrays()
         if x is None:
             raise SnapshotError("cannot publish an empty index")
@@ -147,6 +148,12 @@ def publish_index_shm(index, path: str, slack: float = 0.5):
             "n_rows": index.n_rows, "n_live": index.n_live,
         }
         arrays = {"x": np.asarray(x), "bias": np.asarray(bias)}
+    else:
+        raise SnapshotError(
+            f"shm serving supports the flat/int8 exact tiers, not "
+            f"{type(index).__name__} (use the directory snapshot for "
+            "IVF/IVF-PQ)"
+        )
     arrays["_meta"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
     if os.path.exists(path):
         try:

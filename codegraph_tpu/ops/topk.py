@@ -118,12 +118,12 @@ def streaming_topk(
 # ---------------------------------------------------------------------------
 
 
-def _threshold_merge(s, base, accs, acci, k: int, k_pad: int):
-    """Merge a score tile into the sorted (descending) top-k accumulator
-    with threshold-gated insertion: extract candidates only while some
-    row still beats its k-th best; each winner inserts via a roll-shift.
-    O(improvements) instead of O(k) passes per tile — a row improves its
-    top-k only ~k*ln(N/k) times over a whole random scan."""
+def _threshold_merge_impl(s, make_ids, accs, acci, k: int, k_pad: int):
+    """Shared threshold-gated insertion body for both merge variants —
+    the id derivation is the ONLY difference, so it is injected via
+    make_ids(argmax_col, at_max_mask) -> [Bt] global ids. Keeping one
+    body means a future fix to the pos/roll insertion cannot leave the
+    flat kernels and the IVF-PQ ADC kernel disagreeing."""
     Bt, tile_n = s.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (Bt, tile_n), 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, k_pad), 1)
@@ -137,9 +137,11 @@ def _threshold_merge(s, base, accs, acci, k: int, k_pad: int):
         m = jnp.max(s_cur, axis=1)
         am = jnp.argmax(s_cur, axis=1)
         do = m > accs[:, k - 1]
-        s_cur = jnp.where(col == am[:, None], NEG_INF, s_cur)
+        at_max = col == am[:, None]
+        raw_i = make_ids(am, at_max)
+        s_cur = jnp.where(at_max, NEG_INF, s_cur)
         ins_s = jnp.where(do, m, NEG_INF)
-        ins_i = jnp.where(do, base + am.astype(jnp.int32), -1)
+        ins_i = jnp.where(do, raw_i.astype(jnp.int32), -1)
         pos = jnp.sum(
             (accs > ins_s[:, None]).astype(jnp.int32)[:, :k], axis=1
         )
@@ -155,6 +157,18 @@ def _threshold_merge(s, base, accs, acci, k: int, k_pad: int):
 
     _, new_s, new_i = jax.lax.while_loop(cond, body, (s, accs, acci))
     return new_s, new_i
+
+
+def _threshold_merge(s, base, accs, acci, k: int, k_pad: int):
+    """Merge a score tile into the sorted (descending) top-k accumulator
+    with threshold-gated insertion: extract candidates only while some
+    row still beats its k-th best; each winner inserts via a roll-shift.
+    O(improvements) instead of O(k) passes per tile — a row improves its
+    top-k only ~k*ln(N/k) times over a whole random scan. Inserted id =
+    base + argmax column."""
+    return _threshold_merge_impl(
+        s, lambda am, _at: base + am.astype(jnp.int32), accs, acci, k, k_pad
+    )
 
 
 def _threshold_merge_vids(s, ids_row, accs, acci, k: int, k_pad: int):
@@ -163,39 +177,11 @@ def _threshold_merge_vids(s, ids_row, accs, acci, k: int, k_pad: int):
     gathered cells whose rows carry arbitrary global ids (the IVF-PQ
     per-cell-DMA ADC kernel). The one-matching-column mask-sum replaces
     a scalar gather (Mosaic lane-gathers are vector-shaped only)."""
-    Bt, L = s.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, L), 1)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, k_pad), 1)
-
-    def cond(state):
-        s_cur, accs, _ = state
-        return jnp.any(jnp.max(s_cur, axis=1) > accs[:, k - 1])
-
-    def body(state):
-        s_cur, accs, acci = state
-        m = jnp.max(s_cur, axis=1)
-        am = jnp.argmax(s_cur, axis=1)
-        do = m > accs[:, k - 1]
-        at_max = col == am[:, None]
-        id_at = jnp.sum(jnp.where(at_max, ids_row, 0), axis=1)
-        s_cur = jnp.where(at_max, NEG_INF, s_cur)
-        ins_s = jnp.where(do, m, NEG_INF)
-        ins_i = jnp.where(do, id_at.astype(jnp.int32), -1)
-        pos = jnp.sum(
-            (accs > ins_s[:, None]).astype(jnp.int32)[:, :k], axis=1
-        )
-        shifted_s = pltpu.roll(accs, 1, 1)
-        shifted_i = pltpu.roll(acci, 1, 1)
-        at = kcol == pos[:, None]
-        before = kcol < pos[:, None]
-        accs = jnp.where(before, accs,
-                         jnp.where(at, ins_s[:, None], shifted_s))
-        acci = jnp.where(before, acci,
-                         jnp.where(at, ins_i[:, None], shifted_i))
-        return s_cur, accs, acci
-
-    _, new_s, new_i = jax.lax.while_loop(cond, body, (s, accs, acci))
-    return new_s, new_i
+    return _threshold_merge_impl(
+        s,
+        lambda _am, at_max: jnp.sum(jnp.where(at_max, ids_row, 0), axis=1),
+        accs, acci, k, k_pad,
+    )
 
 
 def _flat_topk_kernel(

@@ -150,7 +150,7 @@ def topk_moe_dispatch(
 
     # combine: token t reads its k slots, weighted; dropped slots -> 0
     gathered = y[e_idx, jnp.minimum(c_idx, C - 1)]     # [T*k, H]
-    gathered = gathered * keep_f[:, None]
+    # wk already carries the drop mask (keep_f): one multiply suffices
     wk = (w.reshape(-1) * keep_f)[:, None]
     out = jnp.sum((gathered * wk).reshape(T, k, H), axis=1)
     return out.astype(x.dtype)
