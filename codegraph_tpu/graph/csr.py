@@ -176,10 +176,13 @@ def _boost_kernel():
         safe = jnp.maximum(cand, 0)
         cn = jnp.take(nbr_d, safe, axis=0)   # [B, K, max_deg]
         cw = jnp.take(wgt_d, safe, axis=0)   # [B, K, max_deg]
-        # match neighbor ids against the query's other candidates
-        # [B, K, max_deg, 1] == [B, 1, 1, K] -> any over last axis
-        is_cand = (cn[:, :, :, None] == cand[:, None, None, :]) & (
-            cand[:, None, None, :] >= 0
+        # match neighbor ids against the query's OTHER candidates
+        # [B, K, max_deg, 1] == [B, 1, 1, K] -> any over last axis;
+        # a self-loop edge (recursive call) must not boost its own row
+        is_cand = (
+            (cn[:, :, :, None] == cand[:, None, None, :])
+            & (cand[:, None, None, :] >= 0)
+            & (cand[:, None, None, :] != cand[:, :, None, None])
         )
         hit = jnp.any(is_cand, axis=-1) & (cn >= 0)  # [B, K, max_deg]
         boost = jnp.sum(jnp.where(hit, cw, 0.0), axis=-1)  # [B, K]

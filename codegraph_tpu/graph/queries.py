@@ -236,7 +236,11 @@ class GraphQueries:
 
     def hub_nodes(self, limit: int = 10) -> Dict[str, Any]:
         csr = self.store.csr()
-        degree = csr.out_degree() + csr.in_degree()
+        # degrees computed ONCE: each call is an O(n) np.diff over the
+        # full indptr, so per-hub recomputation cost 2*limit O(n) passes
+        outd = csr.out_degree()
+        ind = csr.in_degree()
+        degree = outd + ind
         order = np.argsort(-degree)[: limit * 2]
         hubs = []
         for row in order:
@@ -245,8 +249,8 @@ class GraphQueries:
             info = self._node_info(int(row))
             if info:
                 info["degree"] = int(degree[row])
-                info["out_degree"] = int(csr.out_degree()[row])
-                info["in_degree"] = int(csr.in_degree()[row])
+                info["out_degree"] = int(outd[row])
+                info["in_degree"] = int(ind[row])
                 hubs.append(info)
             if len(hubs) >= limit:
                 break

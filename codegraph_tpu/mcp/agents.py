@@ -101,9 +101,16 @@ class ReActAgent:
                 self.debug.reasoning(self.name, resp.text)
             if not resp.tool_calls:
                 return AgentResult(resp.text, traces, turn, self.name)
-            # execute every requested tool, append results
+            # execute every requested tool, append results. Models often
+            # emit tool calls with NO text; the Anthropic Messages API
+            # rejects empty assistant content (400), so synthesize a
+            # transcript line describing the calls instead
+            content = resp.text or "[calling tools: " + ", ".join(
+                f"{tc.name}({json.dumps(tc.arguments, default=str)[:200]})"
+                for tc in resp.tool_calls
+            ) + "]"
             assistant_msg: Dict[str, Any] = {
-                "role": "assistant", "content": resp.text or ""
+                "role": "assistant", "content": content
             }
             messages.append(assistant_msg)
             for tc in resp.tool_calls:

@@ -118,7 +118,7 @@ def _stream_post(url: str, body: dict, headers: dict, timeout: float = 300.0):
 def _post_json(url: str, body: dict, headers: dict, timeout: float = 120.0,
                retries: int = 2) -> dict:
     data = json.dumps(body).encode()
-    last: Optional[Exception] = None
+    last = "unknown error"
     for attempt in range(retries + 1):
         try:
             req = urllib.request.Request(
@@ -126,8 +126,20 @@ def _post_json(url: str, body: dict, headers: dict, timeout: float = 120.0,
             )
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 return json.loads(resp.read())
+        except urllib.error.HTTPError as exc:
+            # surface the API's explanatory body, not just the status
+            try:
+                detail = exc.read().decode(errors="replace")[:500]
+            except OSError:
+                detail = ""
+            last = f"HTTP {exc.code}: {detail or exc.reason}"
+            # 4xx (except 429) are not retryable: bad key/request stays
+            # bad, and retrying only adds ~3 s before the same failure
+            if 400 <= exc.code < 500 and exc.code != 429:
+                break
+            time.sleep(min(2.0**attempt, 8.0))
         except (urllib.error.URLError, OSError, ValueError) as exc:
-            last = exc
+            last = str(exc)
             time.sleep(min(2.0**attempt, 8.0))
     raise ProviderUnavailable(f"LLM request failed: {last}")
 

@@ -43,7 +43,11 @@ def is_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
         return True
-    except (ProcessLookupError, PermissionError):
+    except PermissionError:
+        # EPERM: the process EXISTS but belongs to another user —
+        # treating it as dead would delete a live daemon's pid file
+        return True
+    except ProcessLookupError:
         return False
 
 

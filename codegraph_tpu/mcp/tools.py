@@ -161,9 +161,19 @@ class GraphToolExecutor:
         except Exception as exc:
             logger.exception("tool %s failed", tool)
             result = {"error": f"{type(exc).__name__}: {exc}"}
+            # errors are NOT cached: a transient failure (e.g. an index
+            # mid-swap) would otherwise stick for the whole TTL
+            self.debug.tool_call(tool, params, json.dumps(result,
+                                                          default=str))
+            return result
         self.debug.tool_call(tool, params, json.dumps(result, default=str))
         self.cache.put(cache_key, result)
         return result
+
+    def invalidate(self) -> None:
+        """Drop cached tool results — call after index/graph mutation
+        (the indexer invalidates its search cache the same way)."""
+        self.cache.invalidate()
 
     def _dispatch(self, tool: str, p: Dict[str, Any]) -> Dict[str, Any]:
         q = self.queries

@@ -177,7 +177,13 @@ def bm25_score_native(
     post_off: np.ndarray, post_doc: np.ndarray, post_tf: np.ndarray,
     doc_len: np.ndarray, avg_len: float,
     k1: float, b: float, top_n: int,
+    n_docs: Optional[int] = None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """n_docs: TRUE corpus size for the IDF term. doc_len is only an
+    id -> length table sized to the query's max doc id, so using its
+    length as n_docs (the old behavior, kept as the default) computes
+    log(1 + (max_doc+1-df+0.5)/(df+0.5)) — wildly wrong IDFs whenever
+    the query's postings sit in low rows of a big corpus."""
     cdll = lib()
     if cdll is None:
         return None
@@ -188,7 +194,8 @@ def bm25_score_native(
         np.ascontiguousarray(post_doc, np.int32),
         np.ascontiguousarray(post_tf, np.int32),
         len(post_off) - 1,
-        np.ascontiguousarray(doc_len, np.int32), len(doc_len), avg_len,
+        np.ascontiguousarray(doc_len, np.int32),
+        int(n_docs) if n_docs is not None else len(doc_len), avg_len,
         k1, b, top_n, out_doc, out_score,
     )
     return out_doc[:n], out_score[:n]

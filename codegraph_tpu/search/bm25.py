@@ -134,7 +134,7 @@ class BM25Index:
         out = bm25_score_native(
             np.asarray(post_off, np.int64), np.asarray(post_doc, np.int32),
             np.asarray(post_tf, np.int32), doc_len, avg_len,
-            self.k1, self.b, limit,
+            self.k1, self.b, limit, n_docs=self.n_docs,
         )
         if out is None:
             return None

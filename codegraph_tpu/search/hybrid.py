@@ -103,7 +103,12 @@ class HybridSearch:
         key = query_key(embedding, limit, text_query)
         cached = self.cache.get(key)
         if cached is not None:
-            return cached
+            # fresh copies: downstream rerankers (reranker.py) and
+            # search_multi's and_average overwrite r.score in place,
+            # which would poison the cached objects for later hits
+            import dataclasses
+
+            return [dataclasses.replace(r) for r in cached]
 
         prefetch = max(limit * self.config.prefetch_multiplier, limit)
         with self.monitor.timer("vector_search_ms"):
@@ -176,7 +181,11 @@ class HybridSearch:
             )
         results.sort(key=lambda r: -r.score)
         results = results[:limit]
-        self.cache.put(key, results)
+        # cache pristine COPIES: the list handed to the caller gets
+        # mutated in place by rerankers/search_multi
+        import dataclasses
+
+        self.cache.put(key, [dataclasses.replace(r) for r in results])
         return results
 
     def _graph_boost(self, cand_ids: Sequence[str]) -> Dict[str, float]:

@@ -58,9 +58,9 @@ class QueryService:
         fut: Future = Future()
         with self._lock:
             self._pending.append((np.asarray(query, np.float32), fut))
-            n = len(self._pending)
-        if n >= self.max_batch:
-            self._wake.set()
+        # always wake: the collector blocks indefinitely while idle and
+        # only uses the max_wait timeout between first enqueue and flush
+        self._wake.set()
         return fut
 
     def search(self, query: np.ndarray, timeout: Optional[float] = 30.0):
@@ -69,11 +69,23 @@ class QueryService:
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            self._wake.wait(self.max_wait_s)
+            # idle: block until a submit (or close) wakes us — a timed
+            # wait here would spin ~1/max_wait times per second forever
+            self._wake.wait()
+            if self._stop.is_set():
+                break
+            # collect: give stragglers max_wait to join the batch unless
+            # it is already full
+            with self._lock:
+                n = len(self._pending)
+            if 0 < n < self.max_batch:
+                time.sleep(self.max_wait_s)
             self._wake.clear()
             with self._lock:
-                batch = self._pending
-                self._pending = []
+                batch = self._pending[: self.max_batch]
+                self._pending = self._pending[self.max_batch:]
+                if self._pending:  # leftovers: keep the loop hot
+                    self._wake.set()
             if not batch:
                 continue
             self._flush(batch)
@@ -175,9 +187,10 @@ class ShmServedIndex:
 
                 try:
                     self._reload()
-                except ShmError:
-                    # mid-recreate (publisher rebuilding the segment):
-                    # keep serving the current snapshot, retry next poll
+                except (ShmError, OSError):
+                    # mid-recreate (publisher rebuilding/unlinking the
+                    # segment between our stat and attach): keep serving
+                    # the current snapshot, retry next poll
                     return False
                 return True
         return False

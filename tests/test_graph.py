@@ -175,3 +175,33 @@ def test_find_nodes_by_name_public_query(diamond_store):
     assert out["nodes"][0]["exact"] is True
     # miss
     assert q.find_nodes_by_name("zzz_does_not_exist")["count"] == 0
+
+
+def test_adjacency_boost_ignores_self_loops():
+    """A recursive function's CALLS self-edge must not count as a
+    connection to 'another candidate'."""
+    import numpy as np
+
+    from codegraph_tpu.graph.csr import adjacency_boost, build_csr
+
+    # node 0 has only a self-loop; nodes 1<->2 call each other
+    src = np.array([0, 1, 2], np.int64)
+    dst = np.array([0, 2, 1], np.int64)
+    et = np.zeros(3, np.int16)
+    w = np.ones(3, np.float32)
+    csr = build_csr(3, src, dst, et, w)
+    from codegraph_tpu.search.hybrid import HybridSearch  # noqa: F401
+
+    # padded adjacency from the csr
+    max_deg = 2
+    nbr = np.full((3, max_deg), -1, np.int32)
+    wgt = np.zeros((3, max_deg), np.float32)
+    for r in range(3):
+        ns = csr.neighbors(r)
+        nbr[r, :len(ns)] = ns
+        lo, hi = csr.indptr[r], csr.indptr[r + 1]
+        wgt[r, :hi - lo] = csr.weight[lo:hi]
+    cand = np.array([[0, 1, 2]], np.int32)
+    boost = np.asarray(adjacency_boost(cand, nbr, wgt))[0]
+    assert boost[0] == 0.0          # self-loop contributes nothing
+    assert boost[1] > 0 and boost[2] > 0

@@ -208,3 +208,54 @@ def test_reranker_pipeline_with_cross_encoder():
     out = rr.rerank("parse source file", results)
     assert out and len(out) <= len(results)
     assert all(hasattr(r, "score") for r in out)
+
+
+def test_bm25_native_matches_python_idf():
+    """Native and Python BM25 must rank identically — regression: the
+    native path derived n_docs from the query's max doc id, collapsing
+    IDF for terms living in low rows of a big corpus."""
+    from codegraph_tpu.native import lib
+    from codegraph_tpu.search.bm25 import BM25Index
+
+    if lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    idx = BM25Index()
+    # rare term in low rows, common filler everywhere
+    for d in range(3000):
+        # variable lengths keep every BM25 score distinct (the native
+        # partial_sort is unstable on exact ties, the Python sort stable)
+        text = "filler common words here" + " pad" * (d if d < 40 else d % 7)
+        if d < 40:
+            text += " zebra"
+        if d < 2:
+            text += " quagga zebra"
+        idx.add(d, text)
+    assert idx.n_docs >= idx.NATIVE_THRESHOLD
+    native = idx.search("quagga zebra", limit=10)
+    # force the Python path by shrinking the threshold view
+    old = idx.NATIVE_THRESHOLD
+    idx.NATIVE_THRESHOLD = 10**9
+    try:
+        py = idx.search("quagga zebra", limit=10)
+    finally:
+        idx.NATIVE_THRESHOLD = old
+    assert [d for d, _ in native] == [d for d, _ in py]
+    for (dn, sn), (dp, sp) in zip(native, py):
+        assert abs(sn - sp) < 1e-4 * max(1.0, abs(sp))
+
+
+def test_cached_results_not_poisoned_by_reranker_mutation():
+    """Reranker stages mutate r.score in place — a cache hit must hand
+    out fresh copies, not the cached objects."""
+    store, index, provider, bm25 = build_corpus()
+    hs = HybridSearch(store, index, provider, bm25)
+    q = "parse the source file"
+    r1 = hs.search_text(q, limit=3)
+    assert r1
+    orig = [r.score for r in r1]
+    for r in r1:
+        r.score = -123.0  # what a reranker does
+    r2 = hs.search_text(q, limit=3)  # cache hit
+    assert [r.score for r in r2] == orig
