@@ -316,7 +316,14 @@ class SharedMemoryManager:
     def get_or_create(self, name: str, capacity: int) -> SharedSegment:
         path = self._path(name)
         if os.path.exists(path):
-            return SharedSegment.open(path, writable=True)
+            seg = SharedSegment.open(path, writable=True)
+            if seg.capacity >= capacity:
+                return seg
+            # grow in place: create() ftruncates up and carries the
+            # generation forward (never shrinks), so existing readers
+            # stay valid and hot-reload watchers see a monotonic bump
+            seg.close()
+            return SharedSegment.create(path, capacity)
         return SharedSegment.create(path, capacity)
 
     def open(self, name: str, writable: bool = False) -> SharedSegment:

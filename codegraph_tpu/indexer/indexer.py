@@ -159,8 +159,13 @@ class ProjectIndexer:
 
         t0 = time.perf_counter()
         for path in deleted + modified:
-            _, chunk_rows = self.store.delete_file_data(path)
+            node_rows, chunk_rows = self.store.delete_file_data(path)
             self._tombstone_chunks(chunk_rows)
+            # BM25 docs are keyed by node row: without removal, dead
+            # rows keep crowding the prefetch budget and postings grow
+            # without bound across incremental updates
+            for r in node_rows:
+                self.bm25.remove(r)
         stats.stage_seconds["delete"] = time.perf_counter() - t0
 
         to_ingest = [fp for fp in parses if fp.path in set(added) | set(modified)]
@@ -302,8 +307,10 @@ class ProjectIndexer:
         if fp is None:
             return None
         stats = IndexStats(files_total=1, files_parsed=1)
-        _, chunk_rows = self.store.delete_file_data(path)
+        node_rows, chunk_rows = self.store.delete_file_data(path)
         self._tombstone_chunks(chunk_rows)
+        for r in node_rows:
+            self.bm25.remove(r)
         self.store.upsert_nodes(fp.result.nodes)
         all_nodes = list(self.store.nodes.values())
         unresolved, n_exact, n_sem = self.resolver.resolve(
@@ -325,8 +332,10 @@ class ProjectIndexer:
         return stats
 
     def delete_file(self, path: str) -> None:
-        _, chunk_rows = self.store.delete_file_data(path)
+        node_rows, chunk_rows = self.store.delete_file_data(path)
         self._tombstone_chunks(chunk_rows)
+        for r in node_rows:
+            self.bm25.remove(r)
         self.search.invalidate()
 
     # -- persistence -------------------------------------------------------

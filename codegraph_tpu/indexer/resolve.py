@@ -93,6 +93,13 @@ class EdgeResolver:
         for edge in edges:
             if edge.resolved:
                 continue
+            if edge.metadata.get("local"):
+                # dataflow's local-variable edges (dst = a variable name
+                # inside one function, analyzers.py) must never bind to
+                # global symbols — "config = ..." is not a reference to
+                # some class Config elsewhere in the project
+                unresolved_after.append(edge)
+                continue
             target = edge.dst
             hit: Optional[CodeNode] = None
             for variant in _normalize_variants(target):

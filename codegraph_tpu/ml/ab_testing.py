@@ -94,11 +94,29 @@ class ABExperiment:
         if na < 2 or nb < 2:
             return 0.0, 1.0
         combined = np.concatenate([xa, xb])
-        ranks = np.argsort(np.argsort(combined)) + 1.0
+        # midranks for ties (argsort-of-argsort assigns arbitrary
+        # distinct ranks to equal values, biasing U on rounded metrics)
+        order = np.argsort(combined, kind="mergesort")
+        ranks = np.empty(len(combined))
+        sorted_v = combined[order]
+        i = 0
+        tie_term = 0.0
+        while i < len(sorted_v):
+            j = i
+            while j + 1 < len(sorted_v) and sorted_v[j + 1] == sorted_v[i]:
+                j += 1
+            ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+            t = j - i + 1
+            tie_term += t**3 - t
+            i = j + 1
         ra = float(ranks[:na].sum())
         u = ra - na * (na + 1) / 2
         mu = na * nb / 2
-        sigma = math.sqrt(na * nb * (na + nb + 1) / 12)
+        n = na + nb
+        # normal approximation with tie correction
+        sigma = math.sqrt(
+            na * nb / 12.0 * ((n + 1) - tie_term / (n * (n - 1)))
+        )
         if sigma == 0:
             return u, 1.0
         z = (u - mu) / sigma

@@ -235,6 +235,7 @@ class WordPieceTokenizer:
         self.vocab_size = max(vocab.values()) + 1
         self._inv = {v: k for k, v in vocab.items()}
         self._max_piece = max((len(k) for k in vocab), default=1)
+        self._piece_cache: Dict[str, Tuple[int, ...]] = {}
 
     @classmethod
     def from_vocab_file(cls, path: str, max_len: int = 512,
@@ -247,8 +248,12 @@ class WordPieceTokenizer:
                     vocab[tok] = i
         return cls(vocab, max_len=max_len, lowercase=lowercase)
 
-    @functools.lru_cache(maxsize=100_000)
     def _word_pieces(self, word: str) -> Tuple[int, ...]:
+        # per-instance bounded cache — lru_cache on a METHOD keys on
+        # self and pins every tokenizer (vocab included) process-wide
+        cached = self._piece_cache.get(word)
+        if cached is not None:
+            return cached
         pieces: List[int] = []
         start = 0
         n = len(word)
@@ -268,7 +273,10 @@ class WordPieceTokenizer:
                 return (self.unk_id,)
             pieces.append(cur)
             start = end
-        return tuple(pieces)
+        result = tuple(pieces)
+        if len(self._piece_cache) < 100_000:
+            self._piece_cache[word] = result
+        return result
 
     def ids(self, text: str) -> List[int]:
         if self.lowercase:

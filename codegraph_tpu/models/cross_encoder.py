@@ -54,6 +54,20 @@ class CrossEncoder:
             blob = load_encoder_checkpoint(checkpoint)
             self.params = blob["encoder"]
             self.head = blob["head"]
+            # the checkpoint's array shapes dictate the architecture —
+            # ctor defaults must not be trusted (a 384-wide checkpoint
+            # under a 256-wide cfg reshape-crashes at first score)
+            tok_emb = self.params["tok_emb"]
+            hidden = int(tok_emb.shape[1])
+            n_layers = int(self.params["layers"]["wqkv"].shape[0])
+            max_len = int(self.params["pos_emb"].shape[0])
+            n_heads = next(h for h in (8, 4, 2, 1) if hidden % h == 0)
+            self.cfg = EncoderConfig(
+                vocab_size=int(tok_emb.shape[0]), hidden=hidden,
+                n_layers=n_layers, n_heads=n_heads, max_len=max_len,
+                pooling="cls",
+            )
+            self.tokenizer = ByteTokenizer(max_len=max_len)
         else:
             self.params = init_encoder_params(k1, self.cfg)
             self.head = {

@@ -386,7 +386,14 @@ def encode(
         # lax.scan depth stack this bounds live activations to one layer
         layer = jax.checkpoint(layer)
     x, _ = jax.lax.scan(layer, x, params["layers"])
-    x = _layer_norm(x, params["ln_out_scale"], params["ln_out_bias"], cfg.eps)
+    if cfg.norm_style != "post":
+        # final norm belongs to the pre-LN architecture only. BERT-family
+        # (post) models end with each layer's own LayerNorm and have NO
+        # final encoder norm — and a LayerNorm with identity affine still
+        # STANDARDIZES, so applying it here deviated 11% from
+        # transformers.BertModel on trained (non-identity-LN) weights.
+        x = _layer_norm(x, params["ln_out_scale"], params["ln_out_bias"],
+                        cfg.eps)
 
     xf = x.astype(jnp.float32)
     mf = mask.astype(jnp.float32)[:, :, None]

@@ -120,7 +120,9 @@ def load_hf_encoder(model_dir: str):
             "w_up": w_up, "b_up": b_up,
             "w_down": w_down, "b_down": b_down,
         },
-        # BERT has no final encoder norm: identity
+        # BERT has no final encoder norm; encode() SKIPS ln_out for
+        # norm_style="post" (identity affine would still standardize).
+        # The params stay for pytree-shape compatibility only.
         "ln_out_scale": np.ones((H,), np.float32),
         "ln_out_bias": np.zeros((H,), np.float32),
     }

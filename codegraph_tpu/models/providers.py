@@ -348,6 +348,18 @@ class _HTTPProvider(EmbeddingProvider):
         raise ProviderUnavailable(f"{self.name}: {last}")
 
 
+def _check_dim(provider: str, model: str, out: np.ndarray, want: int):
+    """Fail with an actionable message instead of a downstream index
+    shape crash when the API's width differs from the configured one."""
+    if out.ndim == 2 and out.shape[1] != want:
+        raise ValueError(
+            f"{provider} model {model!r} returned {out.shape[1]}-dim "
+            f"embeddings but embedding.dimension={want}; set "
+            f"CODEGRAPH_EMBEDDING_DIMENSION={out.shape[1]} (or pick a "
+            "model/dimensions combination that matches)"
+        )
+
+
 class OpenAIProvider(_HTTPProvider):
     """OpenAI REST batch embeddings (reference: openai_provider.rs)."""
 
@@ -362,11 +374,18 @@ class OpenAIProvider(_HTTPProvider):
         self.url = base.rstrip("/") + "/embeddings"
 
     def _request_body(self, texts):
-        return {"model": self.model, "input": list(texts)}
+        # v3 models honor the dimensions param (matryoshka truncation),
+        # so the API returns the configured width instead of the model
+        # native 1536/3072 — without it a 384-dim config built a 384-dim
+        # index and crashed on the first 1536-wide response
+        return {"model": self.model, "input": list(texts),
+                "dimensions": self.dimension}
 
     def _parse(self, payload):
         rows = sorted(payload["data"], key=lambda r: r["index"])
-        return np.asarray([r["embedding"] for r in rows], np.float32)
+        out = np.asarray([r["embedding"] for r in rows], np.float32)
+        _check_dim(self.name, self.model, out, self.dimension)
+        return out
 
 
 class JinaProvider(_HTTPProvider):
@@ -384,11 +403,15 @@ class JinaProvider(_HTTPProvider):
         self.url = (base_url or "https://api.jina.ai/v1").rstrip("/") + "/embeddings"
 
     def _request_body(self, texts):
-        return {"model": self.model, "input": list(texts)}
+        # jina-embeddings-v3 supports matryoshka dimensions as well
+        return {"model": self.model, "input": list(texts),
+                "dimensions": self.dimension}
 
     def _parse(self, payload):
         rows = sorted(payload["data"], key=lambda r: r["index"])
-        return np.asarray([r["embedding"] for r in rows], np.float32)
+        out = np.asarray([r["embedding"] for r in rows], np.float32)
+        _check_dim(self.name, self.model, out, self.dimension)
+        return out
 
 
 class OllamaProvider(_HTTPProvider):
@@ -537,6 +560,17 @@ def make_provider(name: str, ecfg: EmbeddingConfig) -> EmbeddingProvider:
                            or is_hf_model_dir(ecfg.model)):
             ckpt = ecfg.model
         elif ecfg.model in ("", "minilm-l6", "seed"):
+            ckpt = _default_checkpoint()
+        else:
+            # an unrecognized model string must not silently become a
+            # random-weight encoder — embedding quality would collapse
+            # with nothing in the logs to explain it
+            logger.warning(
+                "embedding.model=%r is neither an .npz checkpoint nor an "
+                "HF model directory; falling back to the shipped seed "
+                "checkpoint (set embedding.model to a real path to use "
+                "your own weights)", ecfg.model,
+            )
             ckpt = _default_checkpoint()
         tok = None
         tok_spec = getattr(ecfg, "tokenizer", "byte")

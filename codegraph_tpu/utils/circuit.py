@@ -34,6 +34,7 @@ class CircuitBreaker:
         self.failures = 0
         self.consecutive_opens = 0
         self._open_until = 0.0
+        self._probe_in_flight = False
 
     def should_allow_request(self) -> bool:
         """health.rs:78 — gate before processing a batch."""
@@ -43,14 +44,21 @@ class CircuitBreaker:
         if self.state == CircuitState.OPEN:
             if now >= self._open_until:
                 self.state = CircuitState.HALF_OPEN
+                self._probe_in_flight = True
                 return True
             return False
-        return True  # HALF_OPEN admits the probe
+        # HALF_OPEN admits exactly ONE probe (health.rs semantics):
+        # concurrent callers must not herd onto a still-failing backend
+        if self._probe_in_flight:
+            return False
+        self._probe_in_flight = True
+        return True
 
     def record_success(self) -> None:
         self.failures = 0
         self.consecutive_opens = 0
         self.state = CircuitState.CLOSED
+        self._probe_in_flight = False
 
     def record_failure(self) -> None:
         self.failures += 1
@@ -68,6 +76,7 @@ class CircuitBreaker:
         self._open_until = self._clock() + backoff
         self.state = CircuitState.OPEN
         self.failures = 0
+        self._probe_in_flight = False
 
     @property
     def cooldown_remaining_s(self) -> float:

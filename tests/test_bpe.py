@@ -106,6 +106,13 @@ def tiny_bert(tmp_path_factory):
     )
     torch.manual_seed(0)
     model = transformers.BertModel(cfg)
+    # random-init BERT has IDENTITY LayerNorm affines (gamma=1, beta=0),
+    # which masked a real bug: an extra final LayerNorm deviates only on
+    # trained weights. Perturb every LN like trained models have.
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "LayerNorm" in name:
+                p.add_(0.3 * torch.randn_like(p))
     model.eval()
     model.save_pretrained(str(d))
     # a small vocab.txt so the tokenizer loader works on the same dir

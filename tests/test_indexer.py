@@ -236,3 +236,55 @@ def test_save_load_roundtrip_ivfpq(project):
     assert indexer2.index._raw_chunks
     after = [r.node_id for r in indexer2.search.search_text(q, limit=3)]
     assert before == after
+
+
+def test_incremental_delete_cleans_bm25(tmp_path):
+    """Modified/deleted files' nodes must leave the BM25 postings —
+    regression: dead rows crowded the prefetch budget and postings grew
+    without bound across incremental updates."""
+    from codegraph_tpu.core.config import CodeGraphConfig
+
+    cfg = CodeGraphConfig()
+    cfg.project_root = str(tmp_path)
+    cfg.embedding.provider = "hash"
+    cfg.embedding.dimension = 32
+    f = tmp_path / "mod.py"
+    f.write_text("def zanzibar_unique():\n    return 1\n")
+    idx = ProjectIndexer(cfg)
+    idx.index_project(str(tmp_path))
+    n0 = idx.bm25.n_docs
+    assert idx.bm25.search("zanzibar_unique")
+    # modify: the old node text must leave BM25 (new row replaces it)
+    f.write_text("def other_name():\n    return 2\n")
+    idx.index_project(str(tmp_path))
+    assert not [d for d, _ in idx.bm25.search("zanzibar_unique")
+                if idx.store.node_by_row(d) is not None]
+    # deleted file drops its docs entirely
+    f.unlink()
+    idx.index_project(str(tmp_path))
+    assert idx.bm25.n_docs < n0 + 4  # no unbounded growth
+
+
+def test_local_dataflow_edges_never_resolve_globally():
+    """Edges flagged metadata={'local': True} (dataflow variables) must
+    stay unresolved instead of binding to trigram-similar project
+    symbols."""
+    from codegraph_tpu.core.types import (
+        CodeEdge, CodeNode, EdgeType, Language, Location, NodeType,
+    )
+    from codegraph_tpu.indexer.resolve import EdgeResolver
+    from codegraph_tpu.models.providers import HashProvider
+
+    cls = CodeNode.make("p", "Config", NodeType.CLASS, Language.PYTHON,
+                        Location("a.py", 1, 10))
+    fn = CodeNode.make("p", "loader", NodeType.FUNCTION, Language.PYTHON,
+                       Location("b.py", 1, 5))
+    local_edge = CodeEdge(src=fn.id, dst="config", edge_type=EdgeType.USES,
+                          resolved=False, metadata={"local": True})
+    real_edge = CodeEdge(src=fn.id, dst="Config", edge_type=EdgeType.USES,
+                         resolved=False)
+    r = EdgeResolver(HashProvider(dimension=32))
+    unresolved, n_exact, n_sem = r.resolve([local_edge, real_edge],
+                                           [cls, fn])
+    assert not local_edge.resolved
+    assert real_edge.resolved and real_edge.dst == cls.id

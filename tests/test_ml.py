@@ -133,3 +133,18 @@ def test_pipeline_failed_retrain_keeps_baseline(rng):
     # baseline unchanged: the shifted regime still reads as drifted
     r = pipe.observe((rng.standard_normal((128, 16)) + 5.0).astype(np.float32))
     assert r.drifted
+
+
+def test_mann_whitney_midranks_on_ties():
+    """Tied values get midranks (+ tie-corrected sigma) — the old
+    argsort-of-argsort ranks made p depend on arbitrary ordering."""
+    from codegraph_tpu.ml.ab_testing import ABExperiment
+
+    t = ABExperiment("exp", arms=["a", "b"], traffic=[0.5, 0.5])
+    # identical heavy-tie distributions: U must be exactly n*m/2
+    for v in [1.0, 1.0, 2.0, 2.0, 2.0, 3.0]:
+        t.record("a", v)
+        t.record("b", v)
+    u, p = t.mann_whitney("a", "b")
+    assert abs(u - 18.0) < 1e-9  # na*nb/2 = 6*6/2
+    assert p > 0.9

@@ -389,3 +389,22 @@ def test_ensemble_checkpoint_dimension_self_corrects(tmp_path):
     assert e.shape == (2, 64)
     # both halves carry signal
     assert np.abs(e[:, :32]).max() > 0 and np.abs(e[:, 32:]).max() > 0
+
+
+def test_cross_encoder_checkpoint_roundtrip_nondefault(tmp_path):
+    """A non-default-architecture cross-encoder must round-trip through
+    its checkpoint (shapes inferred at load, not ctor defaults)."""
+    from codegraph_tpu.models.cross_encoder import (
+        CrossEncoder,
+        save_cross_encoder,
+    )
+
+    ce = CrossEncoder(hidden=64, n_layers=2, max_len=32)
+    s1 = ce.score_pairs("find config", ["loads the config", "renders html"])
+    path = str(tmp_path / "ce.npz")
+    save_cross_encoder(path, ce)
+    ce2 = CrossEncoder(checkpoint=path)  # default ctor args differ
+    assert ce2.cfg.hidden == 64 and ce2.cfg.n_layers == 2
+    s2 = ce2.score_pairs("find config", ["loads the config", "renders html"])
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-5, atol=1e-5)

@@ -317,3 +317,15 @@ def test_int8_index_publish_attach_hot_reload(tmp_path):
     pub.close()
     pub2.close()
     served.close()
+
+
+def test_manager_get_or_create_grows_capacity(tmp_path):
+    mgr = SharedMemoryManager(str(tmp_path / "segs"))
+    with mgr.get_or_create("g", 64) as seg:
+        seg.write(b"x" * 64)
+        g0 = seg.generation
+    with mgr.get_or_create("g", 4096) as seg:
+        assert seg.capacity >= 4096
+        assert seg.generation >= g0  # carried forward, not reset
+        seg.write(b"y" * 4096)       # fits the grown segment
+        assert seg.read() == b"y" * 4096

@@ -94,3 +94,26 @@ def test_debug_logger(tmp_path):
     # disabled logger writes nothing
     off = DebugLogger("")
     assert not off.enabled
+
+
+def test_circuit_half_open_single_probe():
+    """HALF_OPEN admits exactly one probe until it resolves — N callers
+    must not herd onto a still-failing backend."""
+    from codegraph_tpu.utils.circuit import CircuitBreaker, CircuitState
+
+    t = [0.0]
+    cb = CircuitBreaker(failure_threshold=1, backoff_base_s=1.0,
+                        clock=lambda: t[0])
+    cb.record_failure()
+    assert cb.state == CircuitState.OPEN
+    t[0] = 2.0
+    assert cb.should_allow_request()        # the single probe
+    assert cb.state == CircuitState.HALF_OPEN
+    assert not cb.should_allow_request()    # everyone else waits
+    cb.record_failure()                     # probe failed -> reopen
+    assert cb.state == CircuitState.OPEN
+    t[0] = 10.0
+    assert cb.should_allow_request()
+    cb.record_success()
+    assert cb.state == CircuitState.CLOSED
+    assert cb.should_allow_request()
