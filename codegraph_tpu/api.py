@@ -113,9 +113,19 @@ class CodeGraph:
         from codegraph_tpu.mcp.tools import GraphToolExecutor
         from codegraph_tpu.search.reranker import RerankerPipeline
 
+        # same construction as the CLI (cli._make_server): a duplicated
+        # path silently dropped the cross_encoder wiring, so identical
+        # configs ranked differently between `codegraph start` and the
+        # library API
+        cross_encoder = None
+        if self.config.search.reranker == "cross_encoder":
+            from codegraph_tpu.models.cross_encoder import CrossEncoder
+
+            cross_encoder = CrossEncoder()
         tools = GraphToolExecutor(
             self.graph, self.indexer.search,
-            RerankerPipeline(self.indexer.provider),
+            RerankerPipeline(self.indexer.provider,
+                             cross_encoder=cross_encoder),
         )
         server = MCPServer(tools, self.config)
         if transport == "http":

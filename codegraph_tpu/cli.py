@@ -185,6 +185,12 @@ def cmd_config(args, cfg: CodeGraphConfig) -> int:
 def cmd_daemon(args, cfg: CodeGraphConfig) -> int:
     from codegraph_tpu.daemon import DaemonManager
 
+    # the pid file lives under the TARGET root's data dir — without
+    # this, `daemon start /proj` from elsewhere wrote the pid to the
+    # CWD's .codegraph while the daemon ran against /proj, so stop/
+    # status from the project dir saw not_running (orphaned daemon)
+    if getattr(args, "path", None):
+        cfg.project_root = args.path
     mgr = DaemonManager(cfg)
     if args.action == "start":
         print(json.dumps(mgr.start(args.path)))

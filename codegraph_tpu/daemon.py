@@ -159,7 +159,12 @@ class DaemonManager:
             return {"status": "not_running"}
         import signal
 
-        os.kill(pid, signal.SIGTERM)
+        try:
+            os.kill(pid, signal.SIGTERM)
+        except ProcessLookupError:
+            # exited between read_pid's liveness check and the signal
+            clear_pid(data_dir)
+            return {"status": "not_running"}
         for _ in range(50):
             if not is_alive(pid):
                 break

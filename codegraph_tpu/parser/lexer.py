@@ -50,6 +50,7 @@ class LexSpec:
     lifetimes: bool = False              # Rust 'a is not a char literal
     preprocessor: bool = False           # emit  #...  lines as 'pp' tokens
     dollar_ident: bool = False           # $name is an identifier (PHP, JS)
+    heredocs: bool = False               # Ruby <<~TAG ... TAG bodies
 
 
 _PUNCT_MULTI = (
@@ -72,6 +73,11 @@ class Lexer:
         if spec.rust_raw:
             # trigger only; the body is scanned manually (variable #s)
             parts.append(r'(?P<rraw>\br#*")')
+        if spec.heredocs:
+            # trigger only; the body runs to the terminator line. The
+            # uppercase-tag requirement keeps `a << b` (shift/append)
+            # from matching.
+            parts.append(r"(?P<hd><<[~-]?['\"]?[A-Z_]\w*['\"]?)")
         if spec.nested_blocks and spec.block_comments:
             op = spec.block_comments[0][0]
             parts.append(f"(?P<bopen>{re.escape(op)})")
@@ -126,6 +132,10 @@ class Lexer:
                 end, tok_text = self._scan_rust_raw(text, m.start())
                 out.append(Token("str", tok_text, line))
                 kind = None
+            elif kind == "hd":
+                end, tok_text = self._scan_heredoc(text, m.start())
+                out.append(Token("str", tok_text, line))
+                kind = None
             elif kind == "pp":
                 out.append(Token("pp", tok_text.strip(), line))
                 kind = None
@@ -161,6 +171,25 @@ class Lexer:
                 i += 1
         return n
 
+    def _scan_heredoc(self, text: str, start: int):
+        """Ruby heredoc: <<TAG / <<~TAG / <<-TAG (optionally quoted)
+        through the terminator line. Without this, `end`/`def`/`class`
+        at line start INSIDE heredoc text desynced the end-counter for
+        the rest of the file. Tokens after <<TAG on the same line are
+        swallowed into the string — an accepted trade-off; Ruby's
+        end-counting scanner does not brace-match, so no desync."""
+        m = re.match(r"<<[~-]?(['\"]?)([A-Z_]\w*)\1", text[start:])
+        if m is None:
+            return start + 2, text[start:start + 2]
+        tag = m.group(2)
+        nl = text.find("\n", start)
+        if nl == -1:
+            return len(text), text[start:]
+        t = re.compile(r"^[ \t]*%s[ \t]*$" % re.escape(tag), re.M).search(
+            text, nl + 1)
+        end = t.end() if t else len(text)
+        return end, text[start:end]
+
     def _scan_rust_raw(self, text: str, start: int):
         i = start + 1  # past 'r'
         hashes = 0
@@ -192,7 +221,7 @@ LEX_SPECS = {
     "cpp": LexSpec(preprocessor=True),
     "csharp": LexSpec(multiline_strings=('"""',)),
     "ruby": LexSpec(line_comments=("#",), block_comments=(),
-                    strings=('"', "'")),
+                    strings=('"', "'"), heredocs=True),
     "php": LexSpec(line_comments=("//", "#"), dollar_ident=True),
     "swift": LexSpec(nested_blocks=True, strings=('"',),
                      multiline_strings=('"""',)),

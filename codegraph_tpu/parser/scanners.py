@@ -359,6 +359,9 @@ class BraceScanner:
 
     lang_key = ""
     func_types = (NodeType.FUNCTION, NodeType.METHOD)
+    # `name!` as a call candidate is Rust macro syntax; in TS/Swift `!`
+    # is the non-null/force-unwrap operator and produced false CALLS
+    _macro_calls = False
 
     def __init__(self, ctx: _Ctx):
         self.ctx = ctx
@@ -418,11 +421,12 @@ class BraceScanner:
                     i = self._emit(d, toks, scopes, depth, calls)
                     continue
                 # call candidate: id followed by '(' inside a function
+                call_punct = ("(", "!") if self._macro_calls else ("(",)
                 if (
                     t.kind == "id"
                     and i + 1 < n
                     and toks[i + 1].kind == "punct"
-                    and toks[i + 1].text in ("(", "!")
+                    and toks[i + 1].text in call_punct
                     and t.text not in self.kw
                 ):
                     fn = self.innermost_fn(scopes)
@@ -622,6 +626,7 @@ class RustScanner(BraceScanner):
     static / macro_rules / use."""
 
     lang_key = "rust"
+    _macro_calls = True
 
     def match_decl(self, toks, i, scopes):
         t = toks[i]
@@ -957,11 +962,25 @@ class GoScanner(BraceScanner):
             owner = None
             j = i + 1
             if nxt is not None and nxt.text == "(":
-                # receiver: func (s *Server) Run(
+                # receiver: func (s *Server) Run( — for a generic
+                # receiver `(s *Server[T])`, skip the [T] list or the
+                # type parameter would be taken as the owner
                 close = _match_paren(toks, i + 1)
-                for r in range(close - 1, i + 1, -1):
-                    if toks[r].kind == "id":
-                        owner = toks[r].text
+                r = close - 2
+                if r > i + 1 and toks[r].text == "]":
+                    depth = 0
+                    while r > i + 1:
+                        if toks[r].text == "]":
+                            depth += 1
+                        elif toks[r].text == "[":
+                            depth -= 1
+                            if depth == 0:
+                                r -= 1
+                                break
+                        r -= 1
+                for rr in range(r, i + 1, -1):
+                    if toks[rr].kind == "id":
+                        owner = toks[rr].text
                         break
                 j = close
             if j < n and toks[j].kind == "id":
@@ -1139,6 +1158,14 @@ class CppScanner(BraceScanner):
         nxt = toks[i + 1] if i + 1 < n else None
         if t.text in ("class", "struct") and nxt is not None and \
                 nxt.kind == "id":
+            # template parameter (`template <class T>`) or a parameter
+            # list's elaborated type (`f(int, class X*)`): the keyword
+            # after '<' or ',' introduces no declaration — matching it
+            # extracted a phantom class `T` and skipped the REAL class
+            prev = toks[i - 1] if i > 0 else None
+            if prev is not None and prev.kind == "punct" and \
+                    prev.text in ("<", ","):
+                return None
             # skip elaborated type uses: 'struct X x;' / 'class X*'
             body_probe, _ = _find_body(toks, i + 2, also_semi=True)
             heritage = []
@@ -1218,6 +1245,16 @@ class PhpScanner(BraceScanner):
             return self._decl_with_body(toks, i, i + 1, ntype,
                                         heritage=heritage, also_semi=False)
         if t.text == "use":
+            nxt2 = toks[i + 1] if i + 1 < n else None
+            if nxt2 is not None and nxt2.kind == "punct" and \
+                    nxt2.text == "(":
+                # closure capture list `function () use ($x) {` — NOT an
+                # import. Consume only through the capture parens so the
+                # engine still sees the `{` (swallowing it desynced the
+                # brace depth for the rest of the file).
+                j = _match_paren(toks, i + 1)
+                return _Decl("", NodeType.OTHER, t.line, None, j - 1,
+                             t.line)
             encl = scopes[-1] if scopes else None
             path_parts = []
             j = i + 1
@@ -1497,7 +1534,19 @@ class RubyScanner:
                 i = self._class(toks, i, stack, w)
                 continue
             if w in _RUBY_OPENERS_LINE_START:
-                if line_start:
+                # line start = statement form; mid-line after an
+                # assignment/opener punct = EXPRESSION form (`m = if
+                # cond ... end`), which also owns an `end`. Mid-line
+                # after a value is the modifier form (`x = 1 if cond`),
+                # which owns none.
+                expr_form = (
+                    not line_start
+                    and w in ("if", "unless", "case", "begin")
+                    and i > 0 and toks[i - 1].kind == "punct"
+                    and toks[i - 1].text in ("=", "(", ",", "||=", "&&=",
+                                             "||", "&&", ":", "=>")
+                )
+                if line_start or expr_form:
                     stack.append(None)
                     if w in ("while", "until", "for"):
                         loop_do_line = t.line
@@ -1570,13 +1619,40 @@ class RubyScanner:
         if j < n and toks[j].kind == "id" and toks[j].text == "self" and \
                 j + 1 < n and toks[j + 1].text == ".":
             j += 2
-        if j >= n or toks[j].kind != "id":
+        if j >= n:
+            return i + 1
+        if toks[j].kind == "punct":
+            # operator method (def ==, def <=>, def [], def +): collect
+            # the operator tokens as the name and PUSH — bailing here
+            # left the def's `end` to pop the enclosing class
+            name = ""
+            line0 = toks[j].line
+            while j < n and toks[j].kind == "punct" and \
+                    toks[j].line == line0 and toks[j].text != "(":
+                name += toks[j].text
+                j += 1
+            parent = self._innermost_type(stack)
+            ntype = NodeType.METHOD if parent is not None else \
+                NodeType.FUNCTION
+            node = self.ctx.add_node(name or "operator", ntype,
+                                     toks[i].line, toks[i].line,
+                                     parent=parent)
+            stack.append(node)
+            return j
+        if toks[j].kind != "id":
             return i + 1
         name = toks[j].text
         # trailing ? or !
         if j + 1 < n and toks[j + 1].kind == "punct" and \
                 toks[j + 1].text in ("?", "!") :
             name += toks[j + 1].text
+            j += 1
+        # setter method `def name=(value)`: the '=' belongs to the name —
+        # without this the endless-def check fired, closed the node
+        # immediately, and the real `end` desynced the whole file
+        if j + 2 < n and toks[j + 1].kind == "punct" and \
+                toks[j + 1].text == "=" and toks[j + 2].text == "(":
+            name += "="
             j += 1
         parent = self._innermost_type(stack)
         ntype = NodeType.METHOD if parent is not None else NodeType.FUNCTION

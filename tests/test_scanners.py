@@ -712,3 +712,123 @@ def test_ruby_while_do_single_scope():
     top = next(n for n in r.nodes if n.name == "top")
     # top is NOT a method of C
     assert ("C", "top") not in contains_pairs(r)
+
+
+def test_ruby_setter_operator_defs_and_expression_if():
+    """Setter (def name=), operator (def ==), and expression-if forms
+    must not desync end-counting (pass-5 review regressions)."""
+    src = (
+        "class C\n"
+        "  def name=(value)\n"
+        "    @name = value\n"
+        "  end\n"
+        "  def ==(other)\n"
+        "    @name == other.name\n"
+        "  end\n"
+        "  def m\n"
+        "    mode = if production?\n"
+        "      :fast\n"
+        "    else\n"
+        "      :slow\n"
+        "    end\n"
+        "    mode\n"
+        "  end\n"
+        "end\n"
+        "def top\n"
+        "  1\n"
+        "end\n"
+    )
+    r = extract_file("p", "a.rb", src, Language.RUBY)
+    c = next(n for n in r.nodes if n.name == "C")
+    assert c.location.end_line == 16
+    pairs = contains_pairs(r)
+    assert ("C", "name=") in pairs and ("C", "==") in pairs
+    assert ("C", "m") in pairs and ("C", "top") not in pairs
+
+
+def test_ruby_heredoc_body_is_string():
+    """Keywords inside heredoc text must not desync the end-counter."""
+    src = (
+        "class C\n"
+        "  def m\n"
+        "    sql = <<~SQL\n"
+        "      select 1\n"
+        "      end of the offer\n"
+        "      def not_a_def\n"
+        "    SQL\n"
+        "    sql\n"
+        "  end\n"
+        "  def p\n"
+        "    2\n"
+        "  end\n"
+        "end\n"
+    )
+    r = extract_file("p", "h.rb", src, Language.RUBY)
+    names = {n.name for n in r.nodes}
+    assert "not_a_def" not in names
+    assert ("C", "p") in contains_pairs(r)
+    c = next(n for n in r.nodes if n.name == "C")
+    assert c.location.end_line == 13
+
+
+def test_php_closure_use_not_an_import():
+    src = (
+        "<?php\n"
+        "function outer($a) {\n"
+        "    $x = 1;\n"
+        "    $f = function ($b) use ($x) {\n"
+        "        return $b + $x;\n"
+        "    };\n"
+        "    return $f($a);\n"
+        "}\n"
+        "function later() { return 2; }\n"
+    )
+    r = extract_file("p", "c.php", src, Language.PHP)
+    outer = next(n for n in r.nodes if n.name == "outer")
+    assert outer.location.end_line == 8
+    assert not [n for n in r.nodes
+                if n.node_type == NodeType.IMPORT and "$" in n.name]
+    assert any(n.name == "later" for n in r.nodes)
+
+
+def test_cpp_template_class_param_not_a_class():
+    src = (
+        "template <class T>\n"
+        "class Foo : public Base {\n"
+        " public:\n"
+        "  void run();\n"
+        "};\n"
+        "template <typename A, class B>\n"
+        "struct Pair {};\n"
+    )
+    r = extract_file("p", "t.cpp", src, Language.CPP)
+    names = {n.name for n in r.nodes if n.node_type in
+             (NodeType.CLASS, NodeType.STRUCT)}
+    assert names == {"Foo", "Pair"}
+    assert ("Foo", "Base") in heritage(r, EdgeType.EXTENDS)
+
+
+def test_go_generic_receiver_owner():
+    src = (
+        "type Server struct{}\n"
+        "func (s *Server[T]) Run() {}\n"
+    )
+    r = extract_file("p", "s.go", src, Language.GO)
+    assert ("Server", "Run") in contains_pairs(r)
+
+
+def test_ts_nonnull_assertion_not_a_call():
+    src = (
+        "function f(maybe?: Thing) {\n"
+        "  const v = maybe!.value;\n"
+        "  return v;\n"
+        "}\n"
+    )
+    r = extract_file("p", "x.ts", src, Language.TYPESCRIPT)
+    assert not [d for _, d in calls(r) if d == "maybe"]
+
+
+def test_rust_macro_call_still_detected():
+    src = 'fn main() { println!("hi"); }\n'
+    r = extract_file("p", "m.rs", src, Language.RUST)
+    assert [d for _, d in calls(r) if d == "println"]
