@@ -102,3 +102,58 @@ def test_availability_gating(monkeypatch):
     assert not AnthropicProvider(LLMConfig(provider="anthropic")).is_available()
     monkeypatch.setenv("ANTHROPIC_API_KEY", "k")
     assert AnthropicProvider(LLMConfig(provider="anthropic")).is_available()
+
+
+def test_post_json_no_retry_on_4xx_and_surfaces_body(monkeypatch):
+    """400/401 must fail fast with the API's explanatory body; 429 and
+    5xx keep retrying."""
+    import io
+    import urllib.error
+
+    from codegraph_tpu.mcp import llm as llm_mod
+
+    calls = {"n": 0}
+
+    def fake_urlopen(req, timeout=0):
+        calls["n"] += 1
+        raise urllib.error.HTTPError(
+            req.full_url, 400, "Bad Request", {},
+            io.BytesIO(b'{"error": {"message": "tools[0] invalid"}}'),
+        )
+
+    monkeypatch.setattr(llm_mod.urllib.request, "urlopen", fake_urlopen)
+    monkeypatch.setattr(llm_mod.time, "sleep", lambda s: None)
+    with pytest.raises(llm_mod.ProviderUnavailable) as e:
+        llm_mod._post_json("https://x/v1", {}, {})
+    assert calls["n"] == 1                  # no retries on 400
+    assert "tools[0] invalid" in str(e.value)  # body surfaced
+
+    calls["n"] = 0
+
+    def fake_429(req, timeout=0):
+        calls["n"] += 1
+        raise urllib.error.HTTPError(req.full_url, 429, "rate", {},
+                                     io.BytesIO(b"slow down"))
+
+    monkeypatch.setattr(llm_mod.urllib.request, "urlopen", fake_429)
+    with pytest.raises(llm_mod.ProviderUnavailable):
+        llm_mod._post_json("https://x/v1", {}, {}, retries=2)
+    assert calls["n"] == 3                  # 429 IS retried
+
+
+def test_is_alive_eperm_means_alive(monkeypatch):
+    import os as _os
+
+    from codegraph_tpu.mcp.process import is_alive
+
+    def kill_eperm(pid, sig):
+        raise PermissionError
+
+    monkeypatch.setattr(_os, "kill", kill_eperm)
+    assert is_alive(12345)                  # exists, other user
+
+    def kill_esrch(pid, sig):
+        raise ProcessLookupError
+
+    monkeypatch.setattr(_os, "kill", kill_esrch)
+    assert not is_alive(12345)

@@ -99,12 +99,14 @@ class ScriptedLLM(LLMProvider):
     def __init__(self, script):
         self.script = list(script)
         self.prompts = []
+        self.messages_seen = []
 
     def is_available(self):
         return True
 
     def chat_with_tools(self, messages, tools):
         self.prompts.append(messages[-1]["content"])
+        self.messages_seen = [dict(m) for m in messages]
         if not self.script:
             return ChatResponse(text="done")
         item = self.script.pop(0)
@@ -336,3 +338,42 @@ def test_mcp_resources_endpoints(indexed):
         "params": {"uri": "codegraph://file/nope.py"},
     })
     assert "error" in bad
+
+
+def test_react_assistant_message_never_empty(indexed):
+    """A tool-calls-only model turn must not append an empty assistant
+    message (the Anthropic API rejects empty content with a 400)."""
+    indexer, _ = indexed
+    ex = make_executor(indexer)
+    llm = ScriptedLLM([
+        ToolCall("get_hub_nodes", {"limit": 2}),
+        "the hubs are listed.",
+    ])
+    agent = ReActAgent(llm, ex)
+    result = agent.run("what are the hubs?")
+    assert result.succeeded
+    # every assistant message in the transcript carried content
+    assert all(m["content"] for m in llm.messages_seen
+               if m["role"] == "assistant")
+
+
+def test_tool_executor_does_not_cache_errors(indexed):
+    """A transient tool failure must not stick for the cache TTL."""
+    indexer, _ = indexed
+    ex = make_executor(indexer)
+    calls = {"n": 0}
+    real = ex._dispatch
+
+    def flaky(tool, p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("index mid-swap")
+        return real(tool, p)
+
+    ex._dispatch = flaky
+    r1 = ex.execute("get_hub_nodes", {"limit": 2})
+    assert "error" in r1
+    r2 = ex.execute("get_hub_nodes", {"limit": 2})  # NOT a cached error
+    assert "error" not in r2
+    ex.invalidate()
+    assert ex.cache.hit_rate >= 0.0  # invalidate() exists and runs
