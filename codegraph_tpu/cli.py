@@ -87,8 +87,18 @@ def cmd_estimate(args, cfg: CodeGraphConfig) -> int:
 
 
 def cmd_search(args, cfg: CodeGraphConfig) -> int:
+    from codegraph_tpu.core.types import SearchFilters
+
     indexer = _build_indexer(cfg)
-    results = indexer.search.search_text(args.query, args.limit)
+    filters = None
+    meta = dict(kv.split("=", 1) for kv in (args.metadata or []) if "=" in kv)
+    if args.language or args.node_type or args.path_prefix or meta:
+        filters = SearchFilters.make(
+            languages=args.language, node_types=args.node_type,
+            path_prefixes=args.path_prefix, metadata=meta,
+        )
+    results = indexer.search.search_text(args.query, args.limit,
+                                         filters=filters)
     print(json.dumps([r.to_dict() for r in results], indent=2))
     return 0
 
@@ -257,6 +267,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("search", help="hybrid semantic search")
     sp.add_argument("query")
     sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument("--language", action="append", default=[],
+                    help="filter: only this language (repeatable)")
+    sp.add_argument("--node-type", action="append", default=[],
+                    help="filter: only this node kind (repeatable)")
+    sp.add_argument("--path-prefix", action="append", default=[],
+                    help="filter: only files under this prefix (repeatable)")
+    sp.add_argument("--metadata", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="filter: metadata attribute equals (repeatable)")
     sp.set_defaults(fn=cmd_search)
 
     sp = sub.add_parser("start", help="start the MCP server")

@@ -67,6 +67,14 @@ class SearchConfig:
     vector_weight: float = 0.9
     text_weight: float = 0.1
     graph_boost_weight: float = 0.1
+    # weight of SearchFilters.metadata_match_score in ranking when a
+    # filtered query runs (reference: search.rs:317-345 hybrid_search
+    # mixes vw*score + (1-vw)*meta; here it is additive like the other
+    # boost terms)
+    metadata_weight: float = 0.1
+    # max edge-evidence entries attached per hit (surql:481-536 joins
+    # +-50 edge rows per result set; per-hit the useful tail is short)
+    related_limit: int = 8
     # query-time over-retrieve multiplier (reference: search.rs:110 uses 3x)
     prefetch_multiplier: int = 3
     default_limit: int = 10

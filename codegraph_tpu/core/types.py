@@ -14,7 +14,7 @@ import hashlib
 import uuid
 from dataclasses import dataclass, field
 from enum import Enum
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 
 class Language(str, Enum):
@@ -115,6 +115,113 @@ class EdgeType(str, Enum):
 
 # int codes for device-side CSR edge-type arrays (stable ordering)
 EDGE_TYPE_CODES: Dict[EdgeType, int] = {e: i for i, e in enumerate(EdgeType)}
+EDGE_TYPE_BY_CODE: Dict[int, EdgeType] = {i: e for e, i in EDGE_TYPE_CODES.items()}
+
+# int codes for device-side per-row attribute arrays (search filter masks)
+LANGUAGE_CODES: Dict[Language, int] = {l: i for i, l in enumerate(Language)}
+NODE_TYPE_CODES: Dict[NodeType, int] = {t: i for i, t in enumerate(NodeType)}
+
+
+def path_prefix_match(path: str, prefix: str) -> bool:
+    """True when `prefix` matches `path` from the start (reference
+    semantics, search.rs:446-449 starts_with) OR from any directory
+    boundary — indexed paths are absolute, users pass project-relative
+    prefixes like "web/" or "src/parser"."""
+    return path.startswith(prefix) or f"/{prefix}" in f"/{path}"
+
+
+@dataclass(frozen=True)
+class SearchFilters:
+    """Search-time filters (reference: crates/codegraph-vector/src/
+    search.rs:23-28 SearchFilters{languages, node_types,
+    attribute_equals, path_prefixes}; :420-461 node_matches_filters +
+    metadata_match_score; metadata-filtered KNN
+    surrealdb_storage.rs:331).
+
+    TPU-native application differs from the reference's host post-filter:
+    languages / node_types / path_prefixes / attribute_equals are applied
+    DEVICE-SIDE as a NEG_INF bias mask added to the index's existing bias
+    vector (zero extra kernel work, no prefetch recall loss). The same
+    dimensions also produce a [0,1] metadata_match_score that feeds
+    ranking via SearchConfig.metadata_weight (search.rs:333)."""
+
+    languages: Tuple[str, ...] = ()
+    node_types: Tuple[str, ...] = ()
+    path_prefixes: Tuple[str, ...] = ()
+    attribute_equals: Tuple[Tuple[str, str], ...] = ()
+
+    @classmethod
+    def make(
+        cls,
+        languages: Optional[Iterable[str]] = None,
+        node_types: Optional[Iterable[str]] = None,
+        path_prefixes: Optional[Iterable[str]] = None,
+        metadata: Optional[Dict[str, Any]] = None,
+    ) -> "SearchFilters":
+        return cls(
+            languages=tuple(sorted({str(x).lower() for x in (languages or ())})),
+            node_types=tuple(sorted({str(x).lower() for x in (node_types or ())})),
+            path_prefixes=tuple(sorted({str(x) for x in (path_prefixes or ())})),
+            attribute_equals=tuple(
+                sorted((str(k), str(v)) for k, v in (metadata or {}).items())
+            ),
+        )
+
+    @property
+    def empty(self) -> bool:
+        return not (
+            self.languages or self.node_types or self.path_prefixes
+            or self.attribute_equals
+        )
+
+    def key(self) -> Tuple:
+        """Canonical hashable identity for caches."""
+        return (self.languages, self.node_types, self.path_prefixes,
+                self.attribute_equals)
+
+    def matches_node(self, node: "CodeNode") -> bool:
+        """Host-side oracle / fallback (search.rs:420-446 semantics)."""
+        if self.languages and node.language.value not in self.languages:
+            return False
+        if self.node_types and node.node_type.value not in self.node_types:
+            return False
+        if self.attribute_equals:
+            for k, v in self.attribute_equals:
+                if str(node.metadata.get(k)) != v:
+                    return False
+        if self.path_prefixes and not any(
+            path_prefix_match(node.location.file_path, p)
+            for p in self.path_prefixes
+        ):
+            return False
+        return True
+
+    def metadata_match_score(self, node: "CodeNode") -> float:
+        """Fractional per-dimension match (search.rs:461-515)."""
+        score = denom = 0.0
+        if self.languages:
+            denom += 1.0
+            if node.language.value in self.languages:
+                score += 1.0
+        if self.node_types:
+            denom += 1.0
+            if node.node_type.value in self.node_types:
+                score += 1.0
+        if self.attribute_equals:
+            denom += 1.0
+            if all(
+                str(node.metadata.get(k)) == v
+                for k, v in self.attribute_equals
+            ):
+                score += 1.0
+        if self.path_prefixes:
+            denom += 1.0
+            if any(
+                path_prefix_match(node.location.file_path, p)
+                for p in self.path_prefixes
+            ):
+                score += 1.0
+        return score / denom if denom else 0.0
 
 
 def deterministic_node_id(
@@ -245,9 +352,14 @@ class SearchResult:
     start_line: int = 0
     end_line: int = 0
     snippet: str = ""
+    metadata_score: float = 0.0
+    # per-hit edge EVIDENCE (reference: schema/codegraph.surql:481-536
+    # attaches the joined edge rows to every hit, not just a score):
+    # [{"node_id", "name", "relation", "direction", "weight"}, ...]
+    related: List[Dict[str, Any]] = field(default_factory=list)
 
     def to_dict(self) -> Dict[str, Any]:
-        return {
+        d = {
             "node_id": self.node_id,
             "chunk_id": self.chunk_id,
             "score": round(float(self.score), 6),
@@ -261,6 +373,11 @@ class SearchResult:
             "end_line": self.end_line,
             "snippet": self.snippet,
         }
+        if self.metadata_score:
+            d["metadata_score"] = round(float(self.metadata_score), 6)
+        if self.related:
+            d["related"] = self.related
+        return d
 
 
 def language_for_path(path: str) -> Optional[Language]:
@@ -275,6 +392,10 @@ __all__ = [
     "NodeType",
     "EdgeType",
     "EDGE_TYPE_CODES",
+    "EDGE_TYPE_BY_CODE",
+    "LANGUAGE_CODES",
+    "NODE_TYPE_CODES",
+    "SearchFilters",
     "EXTENSION_LANGUAGES",
     "Location",
     "CodeNode",

@@ -75,13 +75,17 @@ class CSRGraph:
         max_deg: int = 32,
         etypes: Sequence[int] = BOOST_EDGE_CODES,
         symmetric: bool = True,
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Dense [n, max_deg] neighbor table for the device boost kernel.
 
-        Returns (nbr [n, max_deg] int32 with -1 pad, w [n, max_deg] f32).
+        Returns (nbr [n, max_deg] int32 with -1 pad, w [n, max_deg] f32,
+        etype [n, max_deg] int16 with -1 pad, dir [n, max_deg] int8,
+        0=outgoing/1=incoming). The etype/dir planes carry the edge
+        EVIDENCE the reference's schema attaches to every search hit
+        (schema/codegraph.surql:481-536) — not just a boost weight.
         Neighbors beyond max_deg are dropped highest-weight-first kept.
         symmetric=True unions out- and in-edges (the reference joins both
-        directions, surql:481-511).
+        directions, surql:481-511); outgoing wins weight ties.
 
         Uses the native cghost kernel when available (the Python loop is
         O(n) interpreter work; cghost is the Rust-host analogue).
@@ -100,27 +104,38 @@ class CSRGraph:
         n = self.n_nodes
         nbr = np.full((n, max_deg), -1, np.int32)
         wgt = np.zeros((n, max_deg), np.float32)
+        ets = np.full((n, max_deg), -1, np.int16)
+        dirs = np.zeros((n, max_deg), np.int8)
         for row in range(n):
             lo, hi = self.indptr[row], self.indptr[row + 1]
             sel = np.isin(self.etype[lo:hi], etypes)
-            cand = [(self.indices[lo:hi][sel], self.weight[lo:hi][sel])]
+            cand = [(self.indices[lo:hi][sel], self.weight[lo:hi][sel],
+                     self.etype[lo:hi][sel], 0)]
             if symmetric:
                 rlo, rhi = self.r_indptr[row], self.r_indptr[row + 1]
                 rsel = np.isin(self.r_etype[rlo:rhi], etypes)
-                cand.append((self.r_indices[rlo:rhi][rsel], self.r_weight[rlo:rhi][rsel]))
+                cand.append((self.r_indices[rlo:rhi][rsel],
+                             self.r_weight[rlo:rhi][rsel],
+                             self.r_etype[rlo:rhi][rsel], 1))
             ids = np.concatenate([c[0] for c in cand])
             ws = np.concatenate([c[1] for c in cand])
+            es = np.concatenate([c[2] for c in cand])
+            ds = np.concatenate(
+                [np.full(c[0].shape, c[3], np.int8) for c in cand]
+            )
             if ids.size == 0:
                 continue
-            # dedup keep max weight
+            # dedup keep max weight (stable: outgoing wins ties)
             order = np.argsort(-ws, kind="stable")
-            ids, ws = ids[order], ws[order]
+            ids, ws, es, ds = ids[order], ws[order], es[order], ds[order]
             _, first = np.unique(ids, return_index=True)
             first = np.sort(first)[:max_deg]
             m = first.size
             nbr[row, :m] = ids[first]
             wgt[row, :m] = ws[first]
-        return nbr, wgt
+            ets[row, :m] = es[first]
+            dirs[row, :m] = ds[first]
+        return nbr, wgt, ets, dirs
 
 
 def build_csr(

@@ -126,8 +126,25 @@ class FlatIndex:
 
     # -- query -------------------------------------------------------------
 
+    def _effective_bias(self, extra_bias) -> jax.Array:
+        """live/tombstone bias + optional query-time filter mask.
+
+        extra_bias: [n] f32 (n <= capacity; 0 = allowed, NEG_INF =
+        filtered out), indexed by global row id — the device-side
+        SearchFilters application (search.rs:23-28 re-designed as a bias
+        add instead of a post-filter). Rows beyond len(extra_bias) are
+        treated as allowed.
+        """
+        if extra_bias is None:
+            return self._bias
+        eb = jnp.asarray(extra_bias, jnp.float32)
+        if eb.shape[0] < self.capacity:
+            eb = jnp.pad(eb, (0, self.capacity - eb.shape[0]))
+        return self._bias + eb[: self.capacity]
+
     def search(
-        self, queries: np.ndarray, k: int, backend: Optional[str] = None
+        self, queries: np.ndarray, k: int, backend: Optional[str] = None,
+        extra_bias=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k rows per query. Returns (scores [B,k] f32, rows [B,k] i32);
         rows are -1 where fewer than k live vectors exist."""
@@ -147,6 +164,7 @@ class FlatIndex:
 
         be = backend or self.backend
         k_eff = min(k, self.capacity)
+        bias = self._effective_bias(extra_bias)
         if be == "pallas":
             B = q.shape[0]
             # large batches -> query-major kernel (corpus read once/call);
@@ -164,7 +182,7 @@ class FlatIndex:
                 if self.dtype == jnp.float32
                 else q.astype(self.dtype),
                 self._x,
-                self._bias,
+                bias,
                 k_eff,
                 tile_n=min(self.tile_n, self.capacity),
                 tile_b=tile_b,
@@ -173,10 +191,10 @@ class FlatIndex:
             s, i = s[:B], i[:B]
         elif be == "xla":
             s, i = streaming_topk(
-                q, self._x, self._bias, k_eff, tile_n=min(self.tile_n, self.capacity)
+                q, self._x, bias, k_eff, tile_n=min(self.tile_n, self.capacity)
             )
         else:  # exact, small corpora / debugging
-            s, i = exact_topk(q, self._x, k_eff, self._bias)
+            s, i = exact_topk(q, self._x, k_eff, bias)
 
         s_np, i_np = np.asarray(s), np.asarray(i)
         dead = s_np <= float(NEG_INF) / 2

@@ -134,7 +134,18 @@ class Int8FlatIndex:
 
     # -- query -------------------------------------------------------------
 
-    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def _effective_bias(self, extra_bias):
+        """live/tombstone bias + optional query-time filter mask
+        (device-side SearchFilters, see FlatIndex._effective_bias)."""
+        if extra_bias is None:
+            return self._bias
+        eb = jnp.asarray(extra_bias, jnp.float32)
+        if eb.shape[0] < self.capacity:
+            eb = jnp.pad(eb, (0, self.capacity - eb.shape[0]))
+        return self._bias + eb[: self.capacity]
+
+    def search(self, queries: np.ndarray, k: int,
+               extra_bias=None) -> Tuple[np.ndarray, np.ndarray]:
         """Two-stage search: int8 scan for top max(k, rescore_k) candidates,
         then high-precision rescore and truncate to k."""
         if self.n_rows == 0:
@@ -152,6 +163,7 @@ class Int8FlatIndex:
             q = l2_normalize(q)
 
         cand_k = min(max(k, self.rescore_k), self.capacity)
+        bias = self._effective_bias(extra_bias)
         qv, qs = quantize_rows(q)
         if jax.default_backend() in ("tpu", "axon"):
             # fused Pallas int8 kernel on real hardware; large batches use
@@ -167,13 +179,13 @@ class Int8FlatIndex:
                 qv = jnp.pad(qv, ((0, B_pad - B), (0, 0)))
                 qs = jnp.pad(qs, ((0, B_pad - B),))
             s, i = kernel(
-                qv, qs, self._q, self._s, self._bias, cand_k,
+                qv, qs, self._q, self._s, bias, cand_k,
                 tile_n=min(self.tile_n, self.capacity), tile_b=_PALLAS_TILE_B,
             )
             s, i = s[:B], i[:B]
         else:
             s, i = streaming_topk_int8(
-                qv, qs, self._q, self._s, self._bias, cand_k,
+                qv, qs, self._q, self._s, bias, cand_k,
                 tile_n=min(self.tile_n, self.capacity),
             )
         if self._r is not None:

@@ -52,7 +52,7 @@ from codegraph_tpu.ops.kmeans import assign_clusters
 from codegraph_tpu.ops.pq import pq_encode, pq_train
 from codegraph_tpu.ops.topk import (
     NEG_INF,
-    _threshold_merge_vids,
+    _lane_merge_vids,
     merge_topk,
 )
 
@@ -179,7 +179,7 @@ def _adc_cell_kernel(
         parts.append(jnp.sum(val, axis=0, keepdims=True))  # [1, 128]
     s = jnp.concatenate(parts, axis=1) + bias_ref[0] + coarse  # [1, cap]
 
-    new_s, new_i = _threshold_merge_vids(
+    new_s, new_i = _lane_merge_vids(
         s, ids_ref[0], acc_s[:], acc_i[:], k, k_pad
     )
     acc_s[:] = new_s
@@ -529,8 +529,14 @@ class IVFPQIndex(IVFIndex):
         return bool(self.use_pallas)
 
     def search(
-        self, queries: np.ndarray, k: int, nprobe: Optional[int] = None
+        self, queries: np.ndarray, k: int, nprobe: Optional[int] = None,
+        extra_bias=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """extra_bias: optional [n] f32 filter mask indexed by GLOBAL row
+        id (0 = allowed, NEG_INF = excluded) — the SearchFilters device
+        mask. Applied post-scan over the candidate set (the PQ scan is
+        already approximate; candidates are over-fetched 4x when a
+        filter is active so filtered queries keep their recall)."""
         if self._x is None or self.n_rows == 0:
             B = np.asarray(queries).shape[0]
             return (
@@ -551,13 +557,16 @@ class IVFPQIndex(IVFIndex):
         # batch-shared kernel (whose win case — concentrated traffic —
         # it matches), so on TPU it owns every batch size
         if q.shape[0] >= self.batch_share_threshold and not mode:
-            return self.search_batch(queries, k, nprobe=nprobe)
+            return self.search_batch(queries, k, nprobe=nprobe,
+                                     extra_bias=extra_bias)
         if self.metric == "cosine":
             q = l2_normalize(q)
         np_eff = min(nprobe or self.nprobe, self.nlist)
         use_refine = self.refine != "none" and self._raw_chunks
         k_fetch = max(k, min(k * self.refine_factor,
                              self.list_cap * np_eff)) if use_refine else k
+        if extra_bias is not None:
+            k_fetch = max(k_fetch, min(4 * k, self.list_cap * np_eff))
         if mode:
             s, i = ivfpq_search_pallas(
                 q, self._centroids, self._x, self._ids, self._bias,
@@ -572,7 +581,18 @@ class IVFPQIndex(IVFIndex):
         s_np, i_np = np.asarray(s), np.asarray(i)
         dead = s_np <= float(NEG_INF) / 2
         i_np = np.where(dead, -1, i_np)
+        if extra_bias is not None:
+            eb = np.asarray(extra_bias, np.float32)
+            safe = np.minimum(np.maximum(i_np, 0), eb.shape[0] - 1)
+            excl = (i_np >= 0) & (i_np < eb.shape[0]) \
+                & (eb[safe] <= float(NEG_INF) / 2)
+            s_np = np.where(excl, float(NEG_INF), s_np)
+            i_np = np.where(excl, -1, i_np)
         if not use_refine:
+            if k_fetch > k:
+                order = np.argsort(-s_np, axis=1)[:, :k]
+                s_np = np.take_along_axis(s_np, order, axis=1)
+                i_np = np.take_along_axis(i_np, order, axis=1)
             return s_np, i_np
         return self._refine_host(np.asarray(q), s_np, i_np, k)
 
@@ -596,7 +616,7 @@ class IVFPQIndex(IVFIndex):
 
     def search_batch(
         self, queries: np.ndarray, k: int, nprobe: Optional[int] = None,
-        tile_u: int = 16,
+        tile_u: int = 16, extra_bias=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch-shared search: dedupe the batch's probed cells, decode
         each unique cell once, score on the MXU (ivfpq_batch_search_kernel).
@@ -635,6 +655,8 @@ class IVFPQIndex(IVFIndex):
         use_refine = self.refine != "none" and self._raw_chunks
         k_fetch = max(k, min(k * self.refine_factor,
                              self.list_cap * np_eff)) if use_refine else k
+        if extra_bias is not None:
+            k_fetch = max(k_fetch, min(4 * k, self.list_cap * np_eff))
         s, i = ivfpq_batch_search_kernel(
             q, probe_ids, jnp.asarray(cells_u), self._x, self._ids,
             self._bias, self._centroids, self._books, k_fetch,
@@ -643,7 +665,18 @@ class IVFPQIndex(IVFIndex):
         s_np, i_np = np.asarray(s), np.asarray(i)
         dead = s_np <= float(NEG_INF) / 2
         i_np = np.where(dead, -1, i_np)
+        if extra_bias is not None:
+            eb = np.asarray(extra_bias, np.float32)
+            safe = np.minimum(np.maximum(i_np, 0), eb.shape[0] - 1)
+            excl = (i_np >= 0) & (i_np < eb.shape[0]) \
+                & (eb[safe] <= float(NEG_INF) / 2)
+            s_np = np.where(excl, float(NEG_INF), s_np)
+            i_np = np.where(excl, -1, i_np)
         if not use_refine:
+            if k_fetch > k:
+                order = np.argsort(-s_np, axis=1)[:, :k]
+                s_np = np.take_along_axis(s_np, order, axis=1)
+                i_np = np.take_along_axis(i_np, order, axis=1)
             return s_np, i_np
         return self._refine_host(np.asarray(q), s_np, i_np, k)
 

@@ -45,6 +45,27 @@ TOOL_SCHEMAS: Dict[str, Dict[str, Any]] = {
                 "query": {"type": "string", "description": "natural language or code query"},
                 "limit": _int_schema("max results", 10, 1, 100),
                 "rerank": {"type": "boolean", "default": False},
+                # SearchFilters (reference: search.rs:23-28 + the
+                # metadata-filtered KNN, surrealdb_storage.rs:331)
+                "languages": {
+                    "type": "array", "items": {"type": "string"},
+                    "description": "only hits in these languages "
+                                   "(e.g. ['rust', 'python'])",
+                },
+                "node_types": {
+                    "type": "array", "items": {"type": "string"},
+                    "description": "only these node kinds "
+                                   "(e.g. ['function', 'struct'])",
+                },
+                "path_prefixes": {
+                    "type": "array", "items": {"type": "string"},
+                    "description": "only files under these path prefixes",
+                },
+                "metadata": {
+                    "type": "object",
+                    "description": "attribute equals-filters on node "
+                                   "metadata (key: expected value)",
+                },
             },
             "required": ["query"],
         },
@@ -178,8 +199,19 @@ class GraphToolExecutor:
     def _dispatch(self, tool: str, p: Dict[str, Any]) -> Dict[str, Any]:
         q = self.queries
         if tool == "semantic_code_search":
+            from codegraph_tpu.core.types import SearchFilters
+
+            filters = None
+            if any(p.get(f) for f in
+                   ("languages", "node_types", "path_prefixes", "metadata")):
+                filters = SearchFilters.make(
+                    languages=p.get("languages"),
+                    node_types=p.get("node_types"),
+                    path_prefixes=p.get("path_prefixes"),
+                    metadata=p.get("metadata"),
+                )
             results = self.search.search_text(
-                p["query"], int(p.get("limit", 10))
+                p["query"], int(p.get("limit", 10)), filters=filters
             )
             if p.get("rerank") and self.reranker is not None:
                 results = self.reranker.rerank(p["query"], results)

@@ -31,19 +31,26 @@ _i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
 
-def ensure_built() -> bool:
-    """Compile libcghost.so if missing. Returns availability."""
-    if os.path.exists(_SO_PATH):
-        return True
+ABI_VERSION = 2  # must match cg_abi_version() in cghost.cpp
+
+
+def _build() -> bool:
     try:
         subprocess.run(
-            ["make", "-C", _NATIVE_DIR], check=True,
+            ["make", "-C", _NATIVE_DIR, "-B"], check=True,
             capture_output=True, timeout=120,
         )
         return os.path.exists(_SO_PATH)
     except (subprocess.SubprocessError, OSError) as exc:
         logger.warning("native build failed: %s", exc)
         return False
+
+
+def ensure_built() -> bool:
+    """Compile libcghost.so if missing. Returns availability."""
+    if os.path.exists(_SO_PATH):
+        return True
+    return _build()
 
 
 def lib() -> Optional[ctypes.CDLL]:
@@ -61,13 +68,33 @@ def lib() -> Optional[ctypes.CDLL]:
         _load_failed = True
         return None
 
+    # stale-ABI guard: a .so built from older sources would accept the new
+    # ctypes arity silently (C ABI) and leave the new outputs untouched
+    try:
+        cdll.cg_abi_version.restype = ctypes.c_int64
+        so_abi = int(cdll.cg_abi_version())
+    except AttributeError:
+        so_abi = -1
+    if so_abi != ABI_VERSION:
+        del cdll
+        if not _build():
+            _load_failed = True
+            return None
+        cdll = ctypes.CDLL(_SO_PATH)
+        cdll.cg_abi_version.restype = ctypes.c_int64
+        if int(cdll.cg_abi_version()) != ABI_VERSION:
+            logger.warning("native ABI mismatch persists after rebuild")
+            _load_failed = True
+            return None
+
+    _i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     cdll.cg_padded_adjacency.argtypes = [
         ctypes.c_int64,
         _i64p, _i32p, _i16p, _f32p,
         _i64p, _i32p, _i16p, _f32p,
         _i16p, ctypes.c_int64,
         ctypes.c_int64,
-        _i32p, _f32p,
+        _i32p, _f32p, _i16p, _i8p,
     ]
     cdll.cg_padded_adjacency.restype = None
 
@@ -118,12 +145,14 @@ def padded_adjacency_native(
     r_etype: np.ndarray, r_weight: np.ndarray,
     keep_etypes: Sequence[int],
     max_deg: int,
-) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
     cdll = lib()
     if cdll is None:
         return None
     nbr = np.full((n_nodes, max_deg), -1, np.int32)
     wgt = np.zeros((n_nodes, max_deg), np.float32)
+    et = np.full((n_nodes, max_deg), -1, np.int16)
+    dirn = np.zeros((n_nodes, max_deg), np.int8)
     keep = np.asarray(list(keep_etypes), np.int16)
     cdll.cg_padded_adjacency(
         n_nodes,
@@ -135,9 +164,9 @@ def padded_adjacency_native(
         np.ascontiguousarray(r_indices, np.int32),
         np.ascontiguousarray(r_etype, np.int16),
         np.ascontiguousarray(r_weight, np.float32),
-        keep, len(keep), max_deg, nbr, wgt,
+        keep, len(keep), max_deg, nbr, wgt, et, dirn,
     )
-    return nbr, wgt
+    return nbr, wgt, et, dirn
 
 
 def _pack_strings(strings: Sequence[str]) -> Tuple[bytes, np.ndarray]:

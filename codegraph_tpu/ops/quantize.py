@@ -117,7 +117,7 @@ def _int8_topk_kernel(
 ):
     import jax.experimental.pallas as pl
 
-    from codegraph_tpu.ops.topk import NEG_INF, _threshold_merge
+    from codegraph_tpu.ops.topk import NEG_INF, _lane_merge
 
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
@@ -134,7 +134,7 @@ def _int8_topk_kernel(
     )  # int8 x int8 -> int32 on the MXU
     s = raw.astype(jnp.float32) * qs_ref[:] * xs_ref[:] + bias_ref[:]
 
-    new_s, new_i = _threshold_merge(
+    new_s, new_i = _lane_merge(
         s, j * tile_n, acc_s[:], acc_i[:], k, k_pad
     )
     acc_s[:] = new_s
@@ -217,7 +217,7 @@ def _int8_topk_qmajor_kernel(
 ):
     import jax.experimental.pallas as pl
 
-    from codegraph_tpu.ops.topk import NEG_INF, _threshold_merge
+    from codegraph_tpu.ops.topk import NEG_INF, _lane_merge
 
     i = pl.program_id(0)          # N tile (outer: corpus read once/call)
     j = pl.program_id(1)          # B tile (inner)
@@ -240,7 +240,7 @@ def _int8_topk_qmajor_kernel(
     s = raw.astype(jnp.float32) * qs_ref[:] * xs_ref[:] + bias_ref[:]
 
     row = pl.ds(j * tile_b, tile_b)
-    new_s, new_i = _threshold_merge(
+    new_s, new_i = _lane_merge(
         s, i * tile_n, acc_s[row, :], acc_i[row, :], k, k_pad
     )
     acc_s[row, :] = new_s

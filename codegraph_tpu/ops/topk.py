@@ -184,6 +184,105 @@ def _threshold_merge_vids(s, ids_row, accs, acci, k: int, k_pad: int):
     )
 
 
+def _lane_reduce(s, ids_row=None):
+    """One fused pass over a [Bt, tile_n] score tile producing, for each of
+    the 128 lane positions, the best value across the tile_n/128 column
+    slices (m1), the runner-up value (m2), which slice the best came from
+    (r1), and — when ids_row is given — the best value's id (id1).
+
+    This is the whole-tile work of the merge: ~5 VPU ops per element in a
+    single pass, instead of the 2-3 full argmax+mask passes per inserted
+    candidate that the threshold-gated merge pays. Everything downstream
+    operates on [Bt, 128] arrays (16x smaller at tile_n=2048)."""
+    Bt, tile_n = s.shape
+    R = tile_n // LANE
+    m1 = s[:, 0:LANE]
+    m2 = jnp.full((Bt, LANE), NEG_INF, jnp.float32)
+    r1 = jnp.zeros((Bt, LANE), jnp.int32)
+    id1 = ids_row[:, 0:LANE] if ids_row is not None else None
+    for r in range(1, R):
+        sl = s[:, r * LANE:(r + 1) * LANE]
+        better = sl > m1
+        m2 = jnp.maximum(m2, jnp.where(better, m1, sl))
+        m1 = jnp.where(better, sl, m1)
+        r1 = jnp.where(better, r, r1)
+        if ids_row is not None:
+            id1 = jnp.where(better, ids_row[:, r * LANE:(r + 1) * LANE], id1)
+    return m1, m2, r1, id1
+
+
+def _mask_lane_max(s, r1):
+    """NEG_INF out the per-lane-position maxima (at slice r1) of a
+    [Bt, tile_n] tile — the already-consumed candidates — so the slow-path
+    full-width merge cannot re-insert duplicates."""
+    Bt, tile_n = s.shape
+    R = tile_n // LANE
+    parts = [
+        jnp.where(r1 == r, NEG_INF, s[:, r * LANE:(r + 1) * LANE])
+        for r in range(R)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _lane_merge_common(s, m1, m2, r1, ids1, accs, acci, k, k_pad,
+                       slow_make_ids):
+    ins_ids = lambda _am, at: jnp.sum(jnp.where(at, ids1, 0), axis=1)
+    new_s, new_i = _threshold_merge_impl(m1, ins_ids, accs, acci, k, k_pad)
+
+    # Exactness: every tile entry other than a lane-position max is <= that
+    # lane's m2. If no row's m2 beats its post-merge k-th best, the cheap
+    # merge saw every candidate that matters. Otherwise (rare once the
+    # threshold warms up — it needs TWO top-k entries at the same lane
+    # position of the same tile) finish with the full-width merge over the
+    # tile with the consumed maxima masked out.
+    hidden = jnp.any(m2 > new_s[:, k - 1][:, None])
+
+    def slow(args):
+        a_s, a_i = args
+        return _threshold_merge_impl(
+            _mask_lane_max(s, r1), slow_make_ids, a_s, a_i, k, k_pad
+        )
+
+    return jax.lax.cond(hidden, slow, lambda a: a, (new_s, new_i))
+
+
+def _lane_merge(s, base, accs, acci, k: int, k_pad: int):
+    """Lane-reduced exact merge of a [Bt, tile_n] score tile into the
+    sorted top-k accumulator. Drop-in replacement for _threshold_merge
+    with the same semantics (inserted id = base + column) but ~16x less
+    VPU work per tile: one fused reduction pass collapses each 128-lane
+    position to its best two values, candidate insertion runs on the
+    [Bt, 128] lane-maxima, and a threshold check on the runner-ups
+    triggers the full-width merge only when a lane position actually hid
+    a second top-k entry."""
+    Bt, tile_n = s.shape
+    if tile_n <= LANE:
+        return _threshold_merge(s, base, accs, acci, k, k_pad)
+    assert tile_n % LANE == 0
+    m1, m2, r1, _ = _lane_reduce(s)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, LANE), 1)
+    ids1 = base + r1 * LANE + lane
+    return _lane_merge_common(
+        s, m1, m2, r1, ids1, accs, acci, k, k_pad,
+        lambda am, _at: base + am.astype(jnp.int32),
+    )
+
+
+def _lane_merge_vids(s, ids_row, accs, acci, k: int, k_pad: int):
+    """_lane_merge variant whose ids come from an explicit per-column id
+    vector (the IVF-PQ gathered-cell kernels), mirroring
+    _threshold_merge_vids."""
+    Bt, tile_n = s.shape
+    if tile_n <= LANE:
+        return _threshold_merge_vids(s, ids_row, accs, acci, k, k_pad)
+    assert tile_n % LANE == 0
+    m1, m2, r1, id1 = _lane_reduce(s, ids_row)
+    return _lane_merge_common(
+        s, m1, m2, r1, id1, accs, acci, k, k_pad,
+        lambda _am, at: jnp.sum(jnp.where(at, ids_row, 0), axis=1),
+    )
+
+
 def _flat_topk_kernel(
     q_ref, x_ref, bias_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k: int,
     k_pad: int, tile_n: int
@@ -202,7 +301,7 @@ def _flat_topk_kernel(
         preferred_element_type=jnp.float32,
     ) + bias_ref[:]  # bias block is [1, tile_n], broadcasts over B
 
-    new_s, new_i = _threshold_merge(
+    new_s, new_i = _lane_merge(
         s, j * tile_n, acc_s[:], acc_i[:], k, k_pad
     )
     acc_s[:] = new_s
@@ -317,7 +416,7 @@ def _flat_topk_qmajor_kernel(
     ) + bias_ref[:]
 
     row = pl.ds(j * tile_b, tile_b)
-    new_s, new_i = _threshold_merge(
+    new_s, new_i = _lane_merge(
         s, i * tile_n, acc_s[row, :], acc_i[row, :], k, k_pad
     )
     acc_s[row, :] = new_s
@@ -417,7 +516,7 @@ def _flat_topk_qmajor_xt_kernel(
     ) + bias_ref[:]
 
     row = pl.ds(j * tile_b, tile_b)
-    new_s, new_i = _threshold_merge(
+    new_s, new_i = _lane_merge(
         s, i * tile_n, acc_s[row, :], acc_i[row, :], k, k_pad
     )
     acc_s[row, :] = new_s

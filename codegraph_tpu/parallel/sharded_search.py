@@ -275,7 +275,8 @@ class ShardedFlatIndex:
         self._bias = jax.device_put(b_host, self._b_sharding)
         self.n_live -= int(rows.size)
 
-    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, queries: np.ndarray, k: int,
+               extra_bias=None) -> Tuple[np.ndarray, np.ndarray]:
         if self._x is None or self.n_rows == 0:
             B = np.asarray(queries).shape[0]
             return (
@@ -292,8 +293,18 @@ class ShardedFlatIndex:
             q = np.divide(q, norms, out=q.copy(), where=norms > 1e-12)
         k_eff = min(k, self.capacity // self.n_shards)
         qd = jax.device_put(jnp.asarray(q), self._q_sharding)
+        bias = self._bias
+        if extra_bias is not None:
+            # SearchFilters device mask, padded to capacity and laid out
+            # with the corpus sharding so the add stays shard-local
+            eb = np.zeros((self.capacity,), np.float32)
+            n = min(len(extra_bias), self.capacity)
+            eb[:n] = np.asarray(extra_bias, np.float32)[:n]
+            bias = self._bias + jax.device_put(
+                jnp.asarray(eb), self._b_sharding
+            )
         s, i = sharded_topk(
-            qd, self._x, self._bias, k_eff, self.mesh, self.axis,
+            qd, self._x, bias, k_eff, self.mesh, self.axis,
             tile_n=min(self.tile_n, self.capacity // self.n_shards),
         )
         s_np, i_np = np.asarray(s), np.asarray(i)

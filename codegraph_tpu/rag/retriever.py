@@ -32,10 +32,14 @@ class ContextRetriever:
         pq: ProcessedQuery,
         limit: int = 10,
         method: RetrievalMethod = RetrievalMethod.HYBRID,
+        filters=None,
     ) -> List[SearchResult]:
+        """filters: optional core.types.SearchFilters, applied device-side
+        by HybridSearch (search.rs:23-28 parity)."""
         results: List[SearchResult] = []
         if method in (RetrievalMethod.SEMANTIC, RetrievalMethod.HYBRID):
-            results = self.search.search_text(pq.expanded_query, limit)
+            results = self.search.search_text(pq.expanded_query, limit,
+                                              filters=filters)
         elif method == RetrievalMethod.KEYWORD:
             hits = self.search.bm25.search(pq.raw, limit)
             for row, score in hits:

@@ -17,10 +17,12 @@ from typing import Any, Optional
 import numpy as np
 
 
-def query_key(embedding: np.ndarray, limit: int, extra: str = "") -> str:
+def query_key(
+    embedding: np.ndarray, limit: int, extra: str = "", filters=None
+) -> str:
     h = hashlib.blake2b(digest_size=16)
     h.update(np.ascontiguousarray(embedding, np.float32).tobytes())
-    h.update(f"|{limit}|{extra}".encode())
+    h.update(f"|{limit}|{extra}|{filters!r}".encode())
     return h.hexdigest()
 
 

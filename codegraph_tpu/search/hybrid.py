@@ -10,10 +10,13 @@ The query hot path (SURVEY.md section 3.3). Reproduces the reference's
   4. BM25 text candidates              (surql:420-447)
   5. combined = 0.9*vector + 0.1*text  (surql:470-472)
   6. graph edge-context boost          (surql:481-536) — on device via
-     the CSR adjacency kernel (graph/csr.py adjacency_boost)
+     the CSR adjacency kernel (graph/csr.py adjacency_boost), with the
+     matching edges attached to each hit as `related` evidence
   7. sort / truncate / normalize       (search.rs:131-141)
 
-plus the reference's query-result cache (cache probe before encode) and
+plus SearchFilters (search.rs:23-28) applied DEVICE-SIDE as a bias mask
+(search/filters.py), metadata match scoring (search.rs:461-515), the
+reference's query-result cache (cache probe before encode) and
 multi-query combine modes OrMax / AndAverage (search.rs:31-35).
 """
 
@@ -25,11 +28,16 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 from codegraph_tpu.core.config import SearchConfig
-from codegraph_tpu.core.types import SearchResult
+from codegraph_tpu.core.types import (
+    EDGE_TYPE_BY_CODE,
+    SearchFilters,
+    SearchResult,
+)
 from codegraph_tpu.graph.csr import adjacency_boost
 from codegraph_tpu.graph.store import GraphStore
 from codegraph_tpu.search.bm25 import BM25Index
 from codegraph_tpu.search.cache import SearchCache, query_key
+from codegraph_tpu.search.filters import FilterBank
 
 logger = logging.getLogger("codegraph_tpu.search")
 
@@ -41,7 +49,9 @@ class HybridSearch:
 
     `index` is any vector index with search(queries, k) -> (scores, rows)
     over *chunk* rows (FlatIndex / Int8FlatIndex / IVFIndex /
-    ShardedFlatIndex all qualify).
+    ShardedFlatIndex all qualify). Indexes accepting an `extra_bias`
+    kwarg get SearchFilters applied device-side; others fall back to the
+    reference's host post-filter (search.rs:296-307).
     """
 
     def __init__(
@@ -61,7 +71,10 @@ class HybridSearch:
         self.config = config or SearchConfig()
         self.max_deg = max_deg
         self.cache = SearchCache(self.config.cache_size, self.config.cache_ttl_s)
-        self._adj = None  # (nbr, wgt) padded adjacency, built lazily
+        self.filters_bank = FilterBank(store)
+        self._adj = None        # (nbr, wgt) device arrays for the boost kernel
+        self._adj_host = None   # (nbr, wgt, etype, dir) np arrays for evidence
+        self._index_filter_ok = True  # learned: index accepts extra_bias?
         if monitor is None:
             from codegraph_tpu.utils.perfmon import PerformanceMonitor
 
@@ -73,14 +86,17 @@ class HybridSearch:
     def invalidate(self) -> None:
         """Call after any index/graph mutation."""
         self.cache.invalidate()
+        self.filters_bank.invalidate()
         self._adj = None
+        self._adj_host = None
 
     def _adjacency(self):
         if self._adj is None:
             import jax.numpy as jnp
 
             csr = self.store.csr()
-            nbr, wgt = csr.padded_adjacency(max_deg=self.max_deg)
+            nbr, wgt, et, dirn = csr.padded_adjacency(max_deg=self.max_deg)
+            self._adj_host = (nbr, wgt, et, dirn)
             # device-resident: converting per query would re-upload the
             # [n, max_deg] tables on every search
             self._adj = (jnp.asarray(nbr), jnp.asarray(wgt))
@@ -88,19 +104,55 @@ class HybridSearch:
 
     # -- query path --------------------------------------------------------
 
-    def search_text(self, query: str, limit: int = 0) -> List[SearchResult]:
+    def search_text(
+        self,
+        query: str,
+        limit: int = 0,
+        filters: Optional[SearchFilters] = None,
+    ) -> List[SearchResult]:
         limit = limit or self.config.default_limit
         limit = min(limit, self.config.max_limit)
         q = self.provider.embed_texts([query])[0]
-        return self.search_embedding(q, limit, text_query=query)
+        return self.search_embedding(q, limit, text_query=query,
+                                     filters=filters)
+
+    def _vector_search(self, embedding, prefetch, filters):
+        """Stage 2 with SearchFilters as a device-side bias mask; falls
+        back to host post-filtering when the index has no extra_bias."""
+        q = embedding[None, :]
+        if filters is None or filters.empty:
+            return self.index.search(q, prefetch)
+        n_rows = getattr(self.index, "n_rows", 0) or 0
+        eb = self.filters_bank.bias_for(filters, n_rows)
+        if eb is not None and self._index_filter_ok:
+            try:
+                return self.index.search(q, prefetch, extra_bias=eb)
+            except TypeError:
+                self._index_filter_ok = False
+        # host fallback: over-fetch then drop filtered rows (reference
+        # post-filter semantics, search.rs:296-307)
+        scores, rows = self.index.search(q, min(prefetch * 4, max(n_rows, 1)))
+        if eb is None:
+            return scores[:, :prefetch], rows[:, :prefetch]
+        s, r = scores[0], rows[0]
+        safe = np.minimum(np.maximum(r, 0), eb.shape[0] - 1)
+        bad = (r >= 0) & ((r >= eb.shape[0]) | (eb[safe] < 0))
+        s = np.where(bad, -np.inf, s)
+        r = np.where(bad, -1, r)
+        order = np.argsort(-s, kind="stable")[:prefetch]
+        return s[order][None, :], r[order][None, :]
 
     def search_embedding(
         self,
         embedding: np.ndarray,
         limit: int,
         text_query: str = "",
+        filters: Optional[SearchFilters] = None,
     ) -> List[SearchResult]:
-        key = query_key(embedding, limit, text_query)
+        if filters is not None and filters.empty:
+            filters = None
+        key = query_key(embedding, limit, text_query,
+                        filters.key() if filters else None)
         cached = self.cache.get(key)
         if cached is not None:
             # fresh copies: downstream rerankers (reranker.py) and
@@ -112,7 +164,7 @@ class HybridSearch:
 
         prefetch = max(limit * self.config.prefetch_multiplier, limit)
         with self.monitor.timer("vector_search_ms"):
-            scores, rows = self.index.search(embedding[None, :], prefetch)
+            scores, rows = self._vector_search(embedding, prefetch, filters)
         scores, rows = scores[0], rows[0]
 
         # chunk -> parent node, keep max vector score per node
@@ -130,11 +182,15 @@ class HybridSearch:
                 node_chunk[nid] = chunk.id
 
         # BM25 candidates: add text-only hits the vector pass missed
+        # (filtered queries apply the same hard filter host-side — BM25
+        # runs over nodes, not chunk rows)
         text_scores: Dict[str, float] = {}
         if text_query and self.bm25.n_docs > 0:
             for node_row, ts in self.bm25.search(text_query, limit=prefetch):
                 node = self.store.node_by_row(int(node_row))
                 if node is None:
+                    continue
+                if filters is not None and not filters.matches_node(node):
                     continue
                 text_scores[node.id] = float(ts)
             if text_scores:
@@ -154,15 +210,22 @@ class HybridSearch:
         }
 
         # graph-adjacency boost over the candidate set (device kernel)
-        boosts = self._graph_boost(cand_ids)
+        cand_rows = np.asarray(
+            [self.store.node_rows.get(nid, -1) for nid in cand_ids], np.int32
+        )
+        boosts = self._graph_boost(cand_ids, cand_rows)
 
+        mw = self.config.metadata_weight if filters is not None else 0.0
         bw = self.config.graph_boost_weight
         results: List[SearchResult] = []
         for nid in cand_ids:
             node = self.store.nodes.get(nid)
             if node is None:
                 continue
-            score = combined[nid] + bw * boosts.get(nid, 0.0)
+            meta_score = (
+                filters.metadata_match_score(node) if mw else 0.0
+            )
+            score = combined[nid] + bw * boosts.get(nid, 0.0) + mw * meta_score
             results.append(
                 SearchResult(
                     node_id=nid,
@@ -171,6 +234,7 @@ class HybridSearch:
                     vector_score=node_vec.get(nid, 0.0),
                     text_score=text_scores.get(nid, 0.0),
                     graph_boost=boosts.get(nid, 0.0),
+                    metadata_score=meta_score,
                     name=node.name,
                     node_type=node.node_type.value,
                     file_path=node.location.file_path,
@@ -181,6 +245,7 @@ class HybridSearch:
             )
         results.sort(key=lambda r: -r.score)
         results = results[:limit]
+        self._attach_related(results, cand_rows)
         # cache pristine COPIES: the list handed to the caller gets
         # mutated in place by rerankers/search_multi
         import dataclasses
@@ -188,26 +253,68 @@ class HybridSearch:
         self.cache.put(key, [dataclasses.replace(r) for r in results])
         return results
 
-    def _graph_boost(self, cand_ids: Sequence[str]) -> Dict[str, float]:
+    def _graph_boost(
+        self, cand_ids: Sequence[str], cand_rows: np.ndarray
+    ) -> Dict[str, float]:
         if self.store.n_node_rows == 0 or not self.store.edges:
             return {}
-        rows = np.asarray(
-            [self.store.node_rows.get(nid, -1) for nid in cand_ids], np.int32
-        )
         nbr, wgt = self._adjacency()
         if nbr.shape[0] == 0:
             return {}
         # pad the candidate axis to a bucket so the jitted boost kernel
         # compiles once per bucket, not once per distinct candidate count
-        bucket = max(16, 1 << (int(rows.size - 1).bit_length()))
+        bucket = max(16, 1 << (int(cand_rows.size - 1).bit_length()))
         padded = np.full((bucket,), -1, np.int32)
-        padded[: rows.size] = rows
+        padded[: cand_rows.size] = cand_rows
         boost = np.asarray(
             adjacency_boost(padded[None, :], nbr, wgt)
-        )[0][: rows.size]
+        )[0][: cand_rows.size]
         if boost.max() > 0:
             boost = boost / boost.max()  # normalize to [0, 1]
         return {nid: float(b) for nid, b in zip(cand_ids, boost)}
+
+    def _attach_related(
+        self, results: List[SearchResult], cand_rows: np.ndarray
+    ) -> None:
+        """Attach per-hit edge EVIDENCE: which candidate neighbors each
+        result connects to, via what relation. The reference returns the
+        joined edge rows with every hit (schema/codegraph.surql:481-536,
+        graph_functions.rs:519 semantic_search_with_context); the boost
+        kernel only keeps the weight sum, so the evidence is recovered
+        host-side from the same padded adjacency over the final hits —
+        O(limit * max_deg) work."""
+        if self._adj_host is None or not results:
+            return
+        nbr, wgt, et, dirn = self._adj_host
+        if nbr.shape[0] == 0:
+            return
+        cand_set = set(int(r) for r in cand_rows if r >= 0)
+        cap = self.config.related_limit
+        for res in results:
+            row = self.store.node_rows.get(res.node_id, -1)
+            if row < 0 or row >= nbr.shape[0]:
+                continue
+            entries = []
+            for j in range(nbr.shape[1]):
+                dst = int(nbr[row, j])
+                if dst < 0:
+                    break  # -1 padded tail
+                if dst == row or dst not in cand_set:
+                    continue
+                other = self.store.node_by_row(dst)
+                if other is None:
+                    continue
+                ecode = int(et[row, j])
+                etype = EDGE_TYPE_BY_CODE.get(ecode)
+                entries.append({
+                    "node_id": other.id,
+                    "name": other.name,
+                    "relation": etype.value if etype else str(ecode),
+                    "direction": "out" if int(dirn[row, j]) == 0 else "in",
+                    "weight": round(float(wgt[row, j]), 6),
+                })
+            entries.sort(key=lambda e: -e["weight"])
+            res.related = entries[:cap]
 
     def search_chunks(
         self, query: str, limit: int = 10
@@ -245,10 +352,14 @@ class HybridSearch:
         embeddings: np.ndarray,
         limit: int,
         mode: str = "or_max",
+        filters: Optional[SearchFilters] = None,
     ) -> List[SearchResult]:
         """Multiple query vectors combined OrMax (union, max score) or
         AndAverage (intersection, mean score)."""
-        per_query = [self.search_embedding(e, limit * 2) for e in embeddings]
+        per_query = [
+            self.search_embedding(e, limit * 2, filters=filters)
+            for e in embeddings
+        ]
         merged: Dict[str, SearchResult] = {}
         counts: Dict[str, int] = {}
         sums: Dict[str, float] = {}

@@ -22,12 +22,22 @@
 
 extern "C" {
 
+// Bumped whenever an exported signature changes; the ctypes loader
+// rebuilds a stale .so instead of silently calling with the wrong arity.
+int64_t cg_abi_version() { return 2; }
+
 // ---------------------------------------------------------------------------
 // Padded adjacency: forward+reverse CSR -> [n, max_deg] neighbor/weight
 // table for the device boost kernel (graph/csr.py padded_adjacency).
 // Union of out- and in-edges filtered by etype membership; dedup keeps the
 // max-weight copy; neighbors kept highest-weight-first.
 // ---------------------------------------------------------------------------
+// out_et / out_dir carry the edge evidence the reference's schema joins
+// onto every search hit (schema/codegraph.surql:481-536): edge type code
+// and direction (0 = outgoing, 1 = incoming; outgoing wins on a tie so a
+// mutual edge reads "calls" rather than "called by").
+struct AdjBest { float w; int16_t et; int8_t dir; };
+
 void cg_padded_adjacency(
     int64_t n_nodes,
     const int64_t* indptr, const int32_t* indices,
@@ -37,34 +47,40 @@ void cg_padded_adjacency(
     const int16_t* keep_etypes, int64_t n_keep,
     int64_t max_deg,
     int32_t* out_nbr,   // [n_nodes * max_deg], pre-filled with -1
-    float* out_wgt)     // [n_nodes * max_deg], pre-filled with 0
+    float* out_wgt,     // [n_nodes * max_deg], pre-filled with 0
+    int16_t* out_et,    // [n_nodes * max_deg], pre-filled with -1
+    int8_t* out_dir)    // [n_nodes * max_deg], pre-filled with 0
 {
   std::unordered_set<int16_t> keep(keep_etypes, keep_etypes + n_keep);
   std::vector<std::pair<float, int32_t>> cand;
-  std::unordered_map<int32_t, float> best;
+  std::unordered_map<int32_t, AdjBest> best;
   for (int64_t row = 0; row < n_nodes; ++row) {
     best.clear();
     for (int64_t j = indptr[row]; j < indptr[row + 1]; ++j) {
       if (!keep.count(etype[j])) continue;
       auto it = best.find(indices[j]);
-      if (it == best.end() || weight[j] > it->second) best[indices[j]] = weight[j];
+      if (it == best.end() || weight[j] > it->second.w)
+        best[indices[j]] = {weight[j], etype[j], 0};
     }
     for (int64_t j = r_indptr[row]; j < r_indptr[row + 1]; ++j) {
       if (!keep.count(r_etype[j])) continue;
       auto it = best.find(r_indices[j]);
-      if (it == best.end() || r_weight[j] > it->second)
-        best[r_indices[j]] = r_weight[j];
+      if (it == best.end() || r_weight[j] > it->second.w)
+        best[r_indices[j]] = {r_weight[j], r_etype[j], 1};
     }
     if (best.empty()) continue;
     cand.clear();
     cand.reserve(best.size());
-    for (auto& kv : best) cand.emplace_back(kv.second, kv.first);
+    for (auto& kv : best) cand.emplace_back(kv.second.w, kv.first);
     int64_t m = std::min<int64_t>((int64_t)cand.size(), max_deg);
     std::partial_sort(cand.begin(), cand.begin() + m, cand.end(),
                       [](auto& a, auto& b) { return a.first > b.first; });
     for (int64_t k = 0; k < m; ++k) {
+      const AdjBest& ab = best[cand[k].second];
       out_nbr[row * max_deg + k] = cand[k].second;
       out_wgt[row * max_deg + k] = cand[k].first;
+      out_et[row * max_deg + k] = ab.et;
+      out_dir[row * max_deg + k] = ab.dir;
     }
   }
 }

@@ -154,7 +154,7 @@ def test_store_snapshot_roundtrip(tmp_path, diamond_store):
 
 def test_adjacency_boost_kernel(diamond_store):
     csr = diamond_store.csr()
-    nbr, wgt = csr.padded_adjacency(max_deg=4)
+    nbr, wgt, _et, _dir = csr.padded_adjacency(max_deg=4)
     rows = diamond_store.node_rows
     by_name = {n.name: rows[n.id] for n in diamond_store.nodes.values()}
     # candidates {a, b, e}: a-b are connected (calls), e is isolated
@@ -205,3 +205,31 @@ def test_adjacency_boost_ignores_self_loops():
     boost = np.asarray(adjacency_boost(cand, nbr, wgt))[0]
     assert boost[0] == 0.0          # self-loop contributes nothing
     assert boost[1] > 0 and boost[2] > 0
+
+
+def test_padded_adjacency_edge_evidence_planes():
+    """etype/direction planes carry the per-edge evidence the reference
+    joins onto search hits (schema/codegraph.surql:481-536)."""
+    import numpy as np
+
+    from codegraph_tpu.core.types import EDGE_TYPE_CODES, EdgeType
+    from codegraph_tpu.graph.csr import build_csr
+
+    calls = EDGE_TYPE_CODES[EdgeType.CALLS]
+    uses = EDGE_TYPE_CODES[EdgeType.USES]
+    # a(0) -calls-> b(1) w=1.0 ; c(2) -uses-> a(0) w=2.0
+    csr = build_csr(
+        3,
+        np.array([0, 2]), np.array([1, 0]),
+        np.array([calls, uses], np.int16),
+        np.array([1.0, 2.0], np.float32),
+    )
+    nbr, wgt, et, dirn = csr.padded_adjacency(max_deg=4)
+    row0 = {int(n): (float(w), int(e), int(d))
+            for n, w, e, d in zip(nbr[0], wgt[0], et[0], dirn[0]) if n >= 0}
+    assert row0[1] == (1.0, calls, 0)   # outgoing call to b
+    assert row0[2] == (2.0, uses, 1)    # incoming use from c
+    # b sees the call as incoming
+    row1 = {int(n): (float(w), int(e), int(d))
+            for n, w, e, d in zip(nbr[1], wgt[1], et[1], dirn[1]) if n >= 0}
+    assert row1[0] == (1.0, calls, 1)

@@ -377,3 +377,39 @@ def test_tool_executor_does_not_cache_errors(indexed):
     assert "error" not in r2
     ex.invalidate()
     assert ex.cache.hit_rate >= 0.0  # invalidate() exists and runs
+
+
+def test_semantic_code_search_filters_end_to_end(indexed, tmp_path):
+    """MCP-level SearchFilters: agents can scope a search by language /
+    node type / path (search.rs:23-28 parity via the tool schema)."""
+    indexer, cfg = indexed
+    # add a second file in a different subdir to filter against
+    sub = tmp_path / "web"
+    sub.mkdir(exist_ok=True)
+    (sub / "render.py").write_text(
+        "def render_totals(values):\n    return str(values)\n")
+    indexer.index_project(str(tmp_path))
+    ex = make_executor(indexer)
+    schema = TOOL_SCHEMAS["semantic_code_search"]["parameters"]["properties"]
+    assert "languages" in schema and "node_types" in schema
+
+    unfiltered = ex.execute("semantic_code_search",
+                            {"query": "compute the total", "limit": 10})
+    assert unfiltered["count"] > 0
+    filtered = ex.execute("semantic_code_search", {
+        "query": "compute the total", "limit": 10,
+        "path_prefixes": ["web/"],
+    })
+    assert filtered["count"] >= 1
+    assert all("/web/" in r["file_path"] for r in filtered["results"])
+    typed = ex.execute("semantic_code_search", {
+        "query": "compute the total", "limit": 10,
+        "languages": ["python"], "node_types": ["function"],
+    })
+    assert typed["count"] > 0
+    assert all(r["node_type"] == "function" for r in typed["results"])
+    none = ex.execute("semantic_code_search", {
+        "query": "compute the total", "limit": 10,
+        "languages": ["rust"],
+    })
+    assert none["count"] == 0

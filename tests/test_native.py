@@ -35,7 +35,7 @@ def test_padded_adjacency_matches_python(rng):
         keep, 16,
     )
     assert nat is not None
-    nbr_n, wgt_n = nat
+    nbr_n, wgt_n, et_n, dir_n = nat
     # python reference path (bypass the native shortcut by calling the
     # fallback loop directly through a non-symmetric call + manual union
     # is complex; instead compare against a set-based oracle)

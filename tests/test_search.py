@@ -259,3 +259,168 @@ def test_cached_results_not_poisoned_by_reranker_mutation():
         r.score = -123.0  # what a reranker does
     r2 = hs.search_text(q, limit=3)  # cache hit
     assert [r.score for r in r2] == orig
+
+
+# -- SearchFilters + edge evidence (search.rs:23-28, :420-461; surql:481) --
+
+
+def build_multilang_corpus():
+    """Six nodes across two languages/dirs with metadata + a calls edge."""
+    store = GraphStore()
+    provider = HashProvider(DIM)
+    spec = [
+        ("parse_source_file", Language.PYTHON, NodeType.FUNCTION,
+         "src/parse.py", {"visibility": "public"},
+         "def parse_source_file(path): read and parse the source file into an ast tree"),
+        ("parse_helper", Language.PYTHON, NodeType.FUNCTION,
+         "src/helper.py", {"visibility": "private"},
+         "def parse_helper(tree): helper used by the source file parser for ast walking"),
+        ("ParserConfig", Language.PYTHON, NodeType.CLASS,
+         "src/parse.py", {},
+         "class ParserConfig: options controlling how the parser reads source files"),
+        ("parse_tokens", Language.RUST, NodeType.FUNCTION,
+         "native/lexer.rs", {"visibility": "public"},
+         "fn parse_tokens(input: &str) -> Vec<Token> parse the source input into tokens"),
+        ("TokenKind", Language.RUST, NodeType.ENUM,
+         "native/lexer.rs", {},
+         "enum TokenKind token categories produced when we parse source text"),
+        ("render_page", Language.RUST, NodeType.FUNCTION,
+         "web/render.rs", {"visibility": "public"},
+         "fn render_page(ctx) render an html template page"),
+    ]
+    nodes = []
+    for i, (name, lang, ntype, path, meta, text) in enumerate(spec):
+        nodes.append(CodeNode.make(
+            "proj", name, ntype, lang,
+            Location(path, i * 10, i * 10 + 5), content=text, metadata=meta,
+        ))
+    store.upsert_nodes(nodes)
+    by_name = {n.name: n for n in nodes}
+    store.add_edges([
+        CodeEdge(by_name["parse_source_file"].id, by_name["parse_helper"].id,
+                 EdgeType.CALLS),
+        CodeEdge(by_name["parse_tokens"].id, by_name["TokenKind"].id,
+                 EdgeType.USES),
+    ])
+    chunks = [CodeChunk.make(n.id, n.content, 0, 1) for n in nodes]
+    store.upsert_chunks(chunks)
+    index = FlatIndex(DIM, tile_n=128, backend="xla")
+    index.add(provider.embed_texts([c.text for c in chunks]))
+    bm25 = BM25Index()
+    for node in nodes:
+        bm25.add(node.row, f"{node.name} {node.content}")
+    return store, index, provider, bm25, by_name
+
+
+def test_filterbank_bias_matches_matches_node_oracle():
+    from codegraph_tpu.core.types import SearchFilters
+    from codegraph_tpu.search.filters import FilterBank
+
+    store, index, provider, bm25, by_name = build_multilang_corpus()
+    bank = FilterBank(store)
+    cases = [
+        SearchFilters.make(languages=["rust"]),
+        SearchFilters.make(node_types=["function"]),
+        SearchFilters.make(path_prefixes=["src/"]),
+        SearchFilters.make(metadata={"visibility": "public"}),
+        SearchFilters.make(languages=["python"], node_types=["class"]),
+        SearchFilters.make(languages=["rust"], path_prefixes=["native/"],
+                           metadata={"visibility": "public"}),
+    ]
+    for f in cases:
+        bias = bank.bias_for(f, index.n_rows)
+        assert bias is not None and bias.shape == (index.n_rows,)
+        for row in range(index.n_rows):
+            node = store.nodes[store.chunk_by_row(row).parent_node]
+            expect = f.matches_node(node)
+            assert (bias[row] == 0.0) == expect, (f, node.name)
+
+
+def test_filtered_search_language_and_type():
+    from codegraph_tpu.core.types import SearchFilters
+
+    store, index, provider, bm25, by_name = build_multilang_corpus()
+    hs = HybridSearch(store, index, provider, bm25)
+    f = SearchFilters.make(languages=["rust"])
+    res = hs.search_text("parse the source", limit=5, filters=f)
+    assert res and all(
+        store.nodes[r.node_id].language == Language.RUST for r in res
+    )
+    assert res[0].name == "parse_tokens"
+    assert res[0].metadata_score > 0  # filters contribute a meta score
+    # node_type filter
+    f2 = SearchFilters.make(node_types=["class"])
+    res2 = hs.search_text("parser options", limit=5, filters=f2)
+    assert res2 and all(r.node_type == "class" for r in res2)
+    # empty-filter object behaves like no filter
+    res3 = hs.search_text("parse the source", limit=5,
+                          filters=SearchFilters.make())
+    names3 = {r.name for r in res3}
+    assert "parse_source_file" in names3 and "parse_tokens" in names3
+
+
+def test_filtered_search_path_and_metadata():
+    from codegraph_tpu.core.types import SearchFilters
+
+    store, index, provider, bm25, by_name = build_multilang_corpus()
+    hs = HybridSearch(store, index, provider, bm25)
+    f = SearchFilters.make(path_prefixes=["native/"])
+    res = hs.search_text("parse source tokens", limit=5, filters=f)
+    assert res and all(r.file_path.startswith("native/") for r in res)
+    f2 = SearchFilters.make(metadata={"visibility": "private"})
+    res2 = hs.search_text("parse helper", limit=5, filters=f2)
+    assert [r.name for r in res2] == ["parse_helper"]
+
+
+def test_filtered_search_distinct_cache_entries():
+    from codegraph_tpu.core.types import SearchFilters
+
+    store, index, provider, bm25, by_name = build_multilang_corpus()
+    hs = HybridSearch(store, index, provider, bm25)
+    plain = hs.search_text("parse the source", limit=5)
+    filt = hs.search_text("parse the source", limit=5,
+                          filters=SearchFilters.make(languages=["rust"]))
+    assert {r.name for r in plain} != {r.name for r in filt}
+    # repeat must hit the cache yet stay filtered
+    again = hs.search_text("parse the source", limit=5,
+                           filters=SearchFilters.make(languages=["rust"]))
+    assert [r.name for r in again] == [r.name for r in filt]
+
+
+def test_flat_index_extra_bias_matches_numpy_oracle(rng):
+    from codegraph_tpu.ops.topk import NEG_INF
+
+    N, k = 300, 5
+    x = rng.standard_normal((N, DIM)).astype(np.float32)
+    q = rng.standard_normal((2, DIM)).astype(np.float32)
+    idx = FlatIndex(DIM, metric="dot", tile_n=128, backend="xla")
+    idx.add(x)
+    mask = np.zeros((N,), np.float32)
+    excluded = rng.choice(N, size=200, replace=False)
+    mask[excluded] = float(NEG_INF)
+    s, i = idx.search(q, k, extra_bias=mask)
+    allowed = np.setdiff1d(np.arange(N), excluded)
+    scores = q @ x.T
+    for b in range(2):
+        ref = allowed[np.argsort(-scores[b][allowed], kind="stable")[:k]]
+        np.testing.assert_array_equal(i[b], ref)
+
+
+def test_search_results_carry_edge_evidence():
+    store, index, provider, bm25, by_name = build_multilang_corpus()
+    hs = HybridSearch(store, index, provider, bm25)
+    res = hs.search_text("parse the source file ast", limit=4)
+    by = {r.name: r for r in res}
+    assert "parse_source_file" in by and "parse_helper" in by
+    rel = by["parse_source_file"].related
+    assert rel, "top hit must carry edge evidence"
+    ev = {e["name"]: e for e in rel}
+    assert "parse_helper" in ev
+    assert ev["parse_helper"]["relation"] == "calls"
+    assert ev["parse_helper"]["direction"] == "out"
+    # and the callee sees the incoming edge
+    rel_h = {e["name"]: e for e in by["parse_helper"].related}
+    assert rel_h["parse_source_file"]["direction"] == "in"
+    # evidence serializes through to_dict for tools/MCP
+    d = by["parse_source_file"].to_dict()
+    assert d["related"][0]["relation"] in ("calls", "uses", "depends_on")

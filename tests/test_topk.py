@@ -142,3 +142,47 @@ def test_qmajor_xt_pallas_matches_exact(rng):
     )
     np.testing.assert_array_equal(np.asarray(ie), np.asarray(ip))
     np.testing.assert_allclose(np.asarray(se), np.asarray(sp), atol=1e-4)
+
+
+def test_pallas_topk_same_lane_position_collisions(rng):
+    """Adversarial case for the lane-reduced merge: multiple top-k entries
+    share a 128-lane position inside ONE tile (ids congruent mod 128), so
+    the per-lane maxima alone cannot cover them and the kernel must take
+    the hidden-candidate (m2) fallback to stay exact."""
+    from codegraph_tpu.ops.topk import streaming_topk_pallas_qmajor
+
+    N, D, B, k = 1024, 64, 8, 8
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    x = 0.001 * rng.standard_normal((N, D)).astype(np.float32)
+    mults = [10.0, 9.5, 9.0, 8.5, 8.0, 7.5, 7.0, 6.5]
+    for b in range(B):
+        for j, mult in enumerate(mults):
+            # lane position b in every 128-slice; ids b and 128+b fall in
+            # the SAME 256-wide tile
+            x[(j * 128 + b) % N] += mult * q[b]
+    bias = np.zeros(N, np.float32)
+    ref_s, ref_i = numpy_topk(q, x, k)
+    s, i = streaming_topk_pallas(q, x, bias, k, tile_n=256, tile_b=8,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=8e-3, atol=2e-3)
+    s, i = streaming_topk_pallas_qmajor(q, x, bias, k, tile_n=256, tile_b=8,
+                                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+
+def test_pallas_topk_underfilled_rows(rng):
+    """Fewer live rows than k: dead rows never surface, ids pad with -1."""
+    N, D, B, k = 256, 32, 8, 10
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    bias = np.full(N, float(NEG_INF), np.float32)
+    live = [3, 40, 200]
+    for r in live:
+        bias[r] = 0.0
+    s, i = streaming_topk_pallas(q, x, bias, k, tile_n=128, tile_b=8,
+                                 interpret=True)
+    i = np.asarray(i)
+    assert set(i[:, :3].ravel()) <= set(live)
+    assert (i[:, 3:] == -1).all()
