@@ -16,10 +16,13 @@ bench:
 native:
 	$(MAKE) -C native
 
+sanitize:
+	$(MAKE) -C native sanitize
+
 entry:
 	$(PY) __graft_entry__.py
 
-ci: native test entry
+ci: native sanitize test entry
 
 clean:
 	$(MAKE) -C native clean

@@ -111,7 +111,10 @@ class CodeGraph:
     def serve(self, transport: str = "stdio") -> None:
         from codegraph_tpu.mcp.server import MCPServer
         from codegraph_tpu.mcp.tools import GraphToolExecutor
-        from codegraph_tpu.search.reranker import RerankerPipeline
+        from codegraph_tpu.search.reranker import (
+            RerankerConfig,
+            RerankerPipeline,
+        )
 
         # same construction as the CLI (cli._make_server): a duplicated
         # path silently dropped the cross_encoder wiring, so identical
@@ -124,8 +127,12 @@ class CodeGraph:
             cross_encoder = CrossEncoder()
         tools = GraphToolExecutor(
             self.graph, self.indexer.search,
-            RerankerPipeline(self.indexer.provider,
-                             cross_encoder=cross_encoder),
+            RerankerPipeline(
+                self.indexer.provider,
+                config=RerankerConfig(
+                    stage1_k=self.config.search.rerank_candidates),
+                cross_encoder=cross_encoder,
+            ),
         )
         server = MCPServer(tools, self.config)
         if transport == "http":

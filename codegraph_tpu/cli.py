@@ -116,13 +116,23 @@ def _make_server(cfg: CodeGraphConfig):
         from codegraph_tpu.models.cross_encoder import CrossEncoder
 
         cross_encoder = CrossEncoder()
-    reranker = RerankerPipeline(indexer.provider, cross_encoder=cross_encoder)
+    from codegraph_tpu.search.reranker import RerankerConfig
+
+    rr_cfg = RerankerConfig(stage1_k=cfg.search.rerank_candidates)
+    reranker = RerankerPipeline(indexer.provider, config=rr_cfg,
+                                cross_encoder=cross_encoder)
     tools = GraphToolExecutor(queries, indexer.search, reranker)
     return MCPServer(tools, cfg)
 
 
 def cmd_start(args, cfg: CodeGraphConfig) -> int:
     server = _make_server(cfg)
+    if cfg.daemon.auto_start:
+        # CODEGRAPH_DAEMON_AUTO_START: bring the watch daemon up with
+        # the server (reference: daemon auto-start on MCP start)
+        from codegraph_tpu.daemon import DaemonManager
+
+        DaemonManager(cfg).start(cfg.daemon.watch_path or cfg.project_root)
     if args.transport == "http":
         port = args.port or cfg.server.http_port
         server.serve_http(cfg.server.http_host, port)
@@ -195,15 +205,18 @@ def cmd_config(args, cfg: CodeGraphConfig) -> int:
 def cmd_daemon(args, cfg: CodeGraphConfig) -> int:
     from codegraph_tpu.daemon import DaemonManager
 
+    # CODEGRAPH_DAEMON_WATCH_PATH supplies the default watch target
+    # (reference: config_manager.rs daemon env overrides)
+    path = getattr(args, "path", None) or cfg.daemon.watch_path or None
     # the pid file lives under the TARGET root's data dir — without
     # this, `daemon start /proj` from elsewhere wrote the pid to the
     # CWD's .codegraph while the daemon ran against /proj, so stop/
     # status from the project dir saw not_running (orphaned daemon)
-    if getattr(args, "path", None):
-        cfg.project_root = args.path
+    if path:
+        cfg.project_root = path
     mgr = DaemonManager(cfg)
     if args.action == "start":
-        print(json.dumps(mgr.start(args.path)))
+        print(json.dumps(mgr.start(path)))
     elif args.action == "stop":
         print(json.dumps(mgr.stop()))
     else:

@@ -36,6 +36,9 @@ class EmbeddingConfig:
     max_chunk_tokens: int = 512
     chunk_overlap_tokens: int = 64
     normalize: bool = True
+    # base URL override for the HTTP providers (reference:
+    # CODEGRAPH_OLLAMA_URL and friends, config_manager.rs:696-908)
+    base_url: str = ""
     # fallback chain, tried in order when the primary is unavailable
     # (reference: HybridEmbeddingPipeline, providers.rs:120-256)
     fallbacks: List[str] = field(default_factory=lambda: ["hash"])
@@ -81,6 +84,9 @@ class SearchConfig:
     max_limit: int = 100
     rerank: bool = False
     reranker: str = "embedding"  # embedding | cross_encoder | none
+    # stage-1 candidate pool for the rerank pipeline (reference:
+    # CODEGRAPH_RERANKING_CANDIDATES)
+    rerank_candidates: int = 100
     cache_size: int = 1024
     cache_ttl_s: float = 300.0
 
@@ -128,6 +134,10 @@ class LLMConfig:
     context_window: int = 128_000
     max_tokens: int = 4096
     temperature: float = 0.2
+    # passed through to providers that support it (reference:
+    # CODEGRAPH_REASONING_EFFORT / CODEGRAPH_USE_COMPLETIONS_API)
+    reasoning_effort: str = ""
+    use_completions_api: bool = False
 
 
 @dataclass
@@ -135,12 +145,35 @@ class DaemonConfig:
     """Watch daemon + circuit breaker (reference: daemon/health.rs:14-184)."""
 
     enabled: bool = False
+    auto_start: bool = False          # CODEGRAPH_DAEMON_AUTO_START
+    watch_path: str = ""              # CODEGRAPH_DAEMON_WATCH_PATH
+    batch_timeout_ms: int = 1000      # CODEGRAPH_DAEMON_BATCH_TIMEOUT_MS
     failure_threshold: int = 5
     open_cooldown_s: float = 30.0
     backoff_base_s: float = 1.0
     backoff_max_s: float = 60.0
     heartbeat_interval_s: float = 5.0
     heartbeat_max_missed: int = 3
+
+
+@dataclass
+class LatsConfig:
+    """LATS tree-search knobs + per-phase LLM routing (reference:
+    CODEGRAPH_LATS_* env overrides, config_manager.rs:696-908; the
+    autoagents provider_router routes each LATS phase to its own
+    provider/model)."""
+
+    beam_width: int = 2           # proposals per expansion
+    max_depth: int = 4
+    exploration_weight: float = 1.4  # UCB c
+    selection_provider: str = ""
+    selection_model: str = ""
+    expansion_provider: str = ""
+    expansion_model: str = ""
+    evaluation_provider: str = ""
+    evaluation_model: str = ""
+    backprop_provider: str = ""
+    backprop_model: str = ""
 
 
 @dataclass
@@ -160,6 +193,7 @@ class CodeGraphConfig:
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     indexing: IndexingConfig = field(default_factory=IndexingConfig)
     llm: LLMConfig = field(default_factory=LLMConfig)
+    lats: LatsConfig = field(default_factory=LatsConfig)
     daemon: DaemonConfig = field(default_factory=DaemonConfig)
     server: ServerConfig = field(default_factory=ServerConfig)
 
@@ -222,6 +256,30 @@ _ENV_OVERRIDES: Dict[str, str] = {
     "CODEGRAPH_CONTEXT_WINDOW": "llm.context_window",
     "CODEGRAPH_HTTP_PORT": "server.http_port",
     "CODEGRAPH_DATA_DIR": "data_dir",
+    # round-3 parity sweep vs config_manager.rs:696-908
+    "CODEGRAPH_MODEL": "llm.model",
+    "CODEGRAPH_TEMPERATURE": "llm.temperature",
+    "CODEGRAPH_REASONING_EFFORT": "llm.reasoning_effort",
+    "CODEGRAPH_USE_COMPLETIONS_API": "llm.use_completions_api",
+    "CODEGRAPH_LOCAL_MODEL": "embedding.model",
+    "CODEGRAPH_OLLAMA_URL": "embedding.base_url",
+    "CODEGRAPH_ENABLE_RERANKING": "search.rerank",
+    "CODEGRAPH_RERANKING_CANDIDATES": "search.rerank_candidates",
+    "CODEGRAPH_DAEMON_AUTO_START": "daemon.auto_start",
+    "CODEGRAPH_DAEMON_WATCH_PATH": "daemon.watch_path",
+    "CODEGRAPH_DAEMON_BATCH_TIMEOUT_MS": "daemon.batch_timeout_ms",
+    "CODEGRAPH_DAEMON_DEBOUNCE_MS": "indexing.watch_debounce_ms",
+    "CODEGRAPH_LATS_BEAM_WIDTH": "lats.beam_width",
+    "CODEGRAPH_LATS_MAX_DEPTH": "lats.max_depth",
+    "CODEGRAPH_LATS_EXPLORATION_WEIGHT": "lats.exploration_weight",
+    "CODEGRAPH_LATS_SELECTION_PROVIDER": "lats.selection_provider",
+    "CODEGRAPH_LATS_SELECTION_MODEL": "lats.selection_model",
+    "CODEGRAPH_LATS_EXPANSION_PROVIDER": "lats.expansion_provider",
+    "CODEGRAPH_LATS_EXPANSION_MODEL": "lats.expansion_model",
+    "CODEGRAPH_LATS_EVALUATION_PROVIDER": "lats.evaluation_provider",
+    "CODEGRAPH_LATS_EVALUATION_MODEL": "lats.evaluation_model",
+    "CODEGRAPH_LATS_BACKPROP_PROVIDER": "lats.backprop_provider",
+    "CODEGRAPH_LATS_BACKPROP_MODEL": "lats.backprop_model",
 }
 
 

@@ -82,7 +82,13 @@ class WatchDaemon:
         while not self._stop.is_set():
             self.heartbeat.pong()
             watcher.poll_once()
-            self._stop.wait(self.config.indexing.watch_debounce_ms / 1000.0)
+            # poll cadence: bounded by BOTH the debounce window and the
+            # batch timeout (CODEGRAPH_DAEMON_BATCH_TIMEOUT_MS caps how
+            # long a ready batch can sit before processing)
+            self._stop.wait(
+                min(self.config.indexing.watch_debounce_ms,
+                    self.config.daemon.batch_timeout_ms) / 1000.0
+            )
             batch = watcher.next_batch()
             if batch.empty:
                 continue

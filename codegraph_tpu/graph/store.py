@@ -96,13 +96,29 @@ class GraphStore:
 
     # -- deletes (file-scoped, delete-then-insert) -------------------------
 
-    def delete_file_data(self, file_path: str) -> Tuple[List[int], List[int]]:
+    def delete_file_data(
+        self,
+        file_path: str,
+        keep_node_ids: Optional[Sequence[str]] = None,
+    ) -> Tuple[List[int], List[int]]:
         """Drop a file's nodes/edges/chunks. Returns (node_rows, chunk_rows)
-        tombstoned — callers tombstone the same rows in the vector index."""
+        tombstoned — callers tombstone the same rows in the vector index.
+
+        keep_node_ids enables SYMBOL-LEVEL incremental updates (reference:
+        codegraph-core/src/watch/mod.rs:46,772 symbol-level change
+        detection): the listed nodes — unchanged symbols of a modified
+        file — survive with their rows, chunks, and incoming edges; only
+        the rest is dropped. Edges SOURCED anywhere in the file are
+        always dropped (the caller re-adds them from the fresh parse).
+        """
         node_ids = self.file_nodes.pop(file_path, [])
-        id_set = set(node_ids)
+        keep = set(keep_node_ids or ())
+        file_set = set(node_ids)
+        drop_set = file_set - keep
         node_rows, chunk_rows = [], []
         for nid in node_ids:
+            if nid in keep:
+                continue
             node = self.nodes.pop(nid, None)
             if node is None:
                 continue
@@ -111,16 +127,29 @@ class GraphStore:
                 self.row_nodes[row] = None
                 node_rows.append(row)
         # chunks of removed nodes
-        dead_chunks = [c for c in self.chunks.values() if c.parent_node in id_set]
+        dead_chunks = [
+            c for c in self.chunks.values() if c.parent_node in drop_set
+        ]
         for chunk in dead_chunks:
             del self.chunks[chunk.id]
             row = self.chunk_rows.pop(chunk.id, None)
             if row is not None:
                 self.row_chunks[row] = None
                 chunk_rows.append(row)
-        self.edges = [
-            e for e in self.edges if e.src not in id_set and e.dst not in id_set
-        ]
+        if keep:
+            # edges from this file get re-added by the caller's re-parse;
+            # incoming edges to KEPT nodes from other files survive (the
+            # all-or-nothing path below would sever them)
+            self.edges = [
+                e for e in self.edges
+                if e.src not in file_set and e.dst not in drop_set
+            ]
+            self.file_nodes[file_path] = [n for n in node_ids if n in keep]
+        else:
+            self.edges = [
+                e for e in self.edges
+                if e.src not in file_set and e.dst not in file_set
+            ]
         self.file_metadata.pop(file_path, None)
         self._csr = None
         return node_rows, chunk_rows

@@ -108,10 +108,11 @@ def publish_index_shm(index, path: str, slack: float = 0.5):
     """Publish an index's state into a shared-memory segment
     (core/shm.py) so other processes on this host can serve it without
     their own copy — the cross-process serving path the reference builds
-    on codegraph-zerocopy/src/shared_memory.rs. Supports the two exact
-    serving tiers: FlatIndex (f32/bf16) and Int8FlatIndex (+rescore
-    matrix). Returns the open SharedArrayStore (close it to detach; the
-    file persists).
+    on codegraph-zerocopy/src/shared_memory.rs. Supports all three
+    serving tiers: FlatIndex (f32/bf16), Int8FlatIndex (+rescore
+    matrix), and IVFPQIndex (codes/books/ids/bias + host refine store —
+    the 100M-row capacity tier). Returns the open SharedArrayStore
+    (close it to detach; the file persists).
 
     Republish-friendly: when the segment already exists and has
     capacity, the new payload goes through the seqlock publish on the
@@ -122,8 +123,36 @@ def publish_index_shm(index, path: str, slack: float = 0.5):
     from codegraph_tpu.core.shm import ShmError, SharedArrayStore
     from codegraph_tpu.index.flat import FlatIndex
     from codegraph_tpu.index.int8_flat import Int8FlatIndex
+    from codegraph_tpu.index.ivfpq import IVFPQIndex
 
-    if isinstance(index, Int8FlatIndex):
+    if isinstance(index, IVFPQIndex):
+        # the capacity tier (codes live in HBM as [nlist, m, cap]): one
+        # resident copy of codes/books/ids/bias + the host refine store
+        # serves every process — closing the round-2 gap where shm
+        # serving stopped at int8 (shared_memory.rs:23 serves any store)
+        if index._x is None or index._books is None:
+            raise SnapshotError("cannot publish an untrained/empty index")
+        meta = {
+            "kind": "ivfpq", "dim": index.dim, "metric": index.metric,
+            "nlist": index.nlist, "nprobe": index.nprobe,
+            "m": index.m, "nbits": index.nbits,
+            "list_cap": index.list_cap,
+            "refine": index.refine, "refine_factor": index.refine_factor,
+            "code_layout": "subspace_major",
+            "n_rows": index.n_rows, "n_live": index.n_live,
+        }
+        arrays = {
+            "centroids": np.asarray(index._centroids, np.float32),
+            "code_lists": np.asarray(index._x),          # uint8
+            "id_lists": np.asarray(index._ids, np.int32),
+            "bias_lists": np.asarray(index._bias, np.float32),
+            "books": np.asarray(index._books, np.float32),
+            "fill": np.asarray(index._fill, np.int64),
+        }
+        if index._raw_chunks:
+            arrays["refine_rows"] = np.concatenate(index._raw_chunks)
+            arrays["refine_scales"] = np.concatenate(index._raw_scales)
+    elif isinstance(index, Int8FlatIndex):
         q, s, r, bias = index.arrays()
         if q is None:
             raise SnapshotError("cannot publish an empty index")
@@ -184,6 +213,33 @@ def attach_index_shm(path: str, copy: bool = False):
     store = SharedArrayStore.open(path)
     arrs = store.arrays(copy=copy)
     meta = json.loads(bytes(arrs["_meta"]).decode())
+    if meta.get("kind", "flat") == "ivfpq":
+        import jax.numpy as jnp
+
+        from codegraph_tpu.index.ivfpq import IVFPQIndex
+
+        idx = IVFPQIndex(
+            meta["dim"], nlist=meta["nlist"], nprobe=meta["nprobe"],
+            m=meta["m"], nbits=meta["nbits"], metric=meta["metric"],
+            refine=meta["refine"], refine_factor=meta["refine_factor"],
+        )
+        idx._centroids = jnp.asarray(arrs["centroids"])
+        idx._x = jnp.asarray(arrs["code_lists"])
+        idx._ids = jnp.asarray(arrs["id_lists"])
+        idx._bias = jnp.asarray(arrs["bias_lists"])
+        idx._books = jnp.asarray(arrs["books"])
+        idx._fill = np.asarray(arrs["fill"], np.int64).copy()
+        idx.list_cap = int(meta["list_cap"])
+        idx.n_rows = int(meta["n_rows"])
+        idx.n_live = int(meta["n_live"])
+        if "refine_rows" in arrs:
+            idx._raw_chunks = [np.asarray(arrs["refine_rows"])]
+            idx._raw_scales = [np.asarray(arrs["refine_scales"])]
+        # attached copies are read-only serving replicas: _row_loc (the
+        # row -> (cell, pos) delete map) is not rebuilt — deletes belong
+        # to the publisher, which republishes with a fresh generation
+        idx._row_loc = {}
+        return idx, store
     if meta.get("kind", "flat") == "int8":
         idx = Int8FlatIndex(meta["dim"], metric=meta["metric"],
                             rescore_dtype=meta["rescore_dtype"],

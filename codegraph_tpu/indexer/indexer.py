@@ -46,6 +46,7 @@ class IndexStats:
     files_unchanged: int = 0
     files_deleted: int = 0
     nodes: int = 0
+    nodes_reused: int = 0  # symbol-level incremental: unchanged symbols kept
     edges_total: int = 0
     edges_resolved_exact: int = 0
     edges_resolved_semantic: int = 0
@@ -143,6 +144,11 @@ class ProjectIndexer:
         )
         stats.stage_seconds["parse"] = time.perf_counter() - t0
         stats.files_total = pstats.files
+        from codegraph_tpu.utils.progress import ProgressReporter
+
+        _pp = ProgressReporter().stage("parse", pstats.files, "files")
+        _pp.t0, _pp.n = t0, pstats.files
+        _pp.done()
 
         # change detection (checkpoint/resume; indexer.rs:3186-3254)
         current = {fp.path: fp.digest for fp in parses}
@@ -233,7 +239,7 @@ class ProjectIndexer:
         stats.stage_seconds["chunk"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        self._embed_and_index(plan.chunks)
+        self._embed_and_index_with_progress(plan.chunks)
         stats.embedded = len(plan.chunks)
         stats.stage_seconds["embed"] = time.perf_counter() - t0
 
@@ -260,6 +266,33 @@ class ProjectIndexer:
         self.search = HybridSearch(
             self.store, self.index, self.provider, self.bm25, self.config.search
         )
+
+    def _embed_and_index_with_progress(
+        self, chunks: Sequence[CodeChunk]
+    ) -> None:
+        """Embed in slices with a live rate/ETA line (reference:
+        indexer.rs:4107 indicatif batch progress). When the IVF/IVF-PQ
+        coarse quantizer is untrained, the first slice is sized to the
+        training sample so nlist/codebooks train exactly as the unsliced
+        path would."""
+        from codegraph_tpu.utils.progress import ProgressReporter
+
+        if not chunks:
+            return
+        bs = max(int(self.config.indexing.batch_size), 256) * 4
+        first = len(chunks)
+        if isinstance(self.index, IVFIndex) and not self._ivf_trained:
+            first = min(len(chunks), max(bs, self.index.train_sample))
+        elif len(chunks) > bs:
+            first = bs
+        prog = ProgressReporter().stage("embed", len(chunks), "chunks")
+        done = 0
+        for lo in [0] + list(range(first, len(chunks), bs)):
+            hi = first if lo == 0 else min(lo + bs, len(chunks))
+            self._embed_and_index(chunks[lo:hi])
+            done = hi
+            prog.update(done)
+        prog.done()
 
     def _embed_and_index(self, chunks: Sequence[CodeChunk]) -> None:
         if not chunks:
@@ -302,12 +335,35 @@ class ProjectIndexer:
     # -- single-file incremental (watch mode; indexer.rs:4117) -------------
 
     def index_single_file(self, path: str) -> Optional[IndexStats]:
+        """Symbol-level incremental re-index of one file (watch mode).
+
+        Reference: indexer.rs:4117 index_single_file re-embeds the whole
+        file; codegraph-core/src/watch/mod.rs:46,772 detects which
+        SYMBOLS changed. Here both are combined: deterministic node ids
+        (project/file/name/type/start_line) pin symbol identity, so a
+        re-parse identifies unchanged symbols by id + content equality —
+        their chunks keep their index rows and are NOT re-embedded; only
+        changed/new symbols' chunks go through the encoder. A one-line
+        edit inside one function re-embeds only that function.
+        """
         parser = SourceParser(project=os.path.abspath(self.config.project_root))
         fp = parser.parse_file(path)
         if fp is None:
             return None
         stats = IndexStats(files_total=1, files_parsed=1)
-        node_rows, chunk_rows = self.store.delete_file_data(path)
+
+        # unchanged symbols: same deterministic id AND identical content
+        old_ids = set(self.store.file_nodes.get(path, []))
+        new_by_id = {n.id: n for n in fp.result.nodes}
+        keep = {
+            nid for nid in old_ids
+            if nid in new_by_id
+            and self.store.nodes.get(nid) is not None
+            and self.store.nodes[nid].content == new_by_id[nid].content
+        }
+        node_rows, chunk_rows = self.store.delete_file_data(
+            path, keep_node_ids=keep
+        )
         self._tombstone_chunks(chunk_rows)
         for r in node_rows:
             self.bm25.remove(r)
@@ -317,14 +373,16 @@ class ProjectIndexer:
             fp.result.edges, all_nodes
         )
         self.store.add_edges([e for e in fp.result.edges if e.resolved])
-        plan = build_chunk_plan(fp.result.nodes, self.chunker_cfg,
+        changed_nodes = [n for n in fp.result.nodes if n.id not in keep]
+        plan = build_chunk_plan(changed_nodes, self.chunker_cfg,
                                 count_tokens=self._count_tokens())
         self._embed_and_index(plan.chunks)
-        for node in fp.result.nodes:
+        for node in changed_nodes:
             self.bm25.add(node.row, f"{node.name} {node.content}")
         self.store.record_file(path, fp.digest)
         self.search.invalidate()
         stats.nodes = len(fp.result.nodes)
+        stats.nodes_reused = len(keep)
         stats.chunks = len(plan.chunks)
         stats.edges_total = len(fp.result.edges)
         stats.edges_resolved_exact = n_exact

@@ -172,6 +172,7 @@ class LatsAgent:
         max_depth: int = 4,
         propose_llm: Optional[LLMProvider] = None,
         evaluate_llm: Optional[LLMProvider] = None,
+        exploration_weight: float = 1.4,
     ):
         # per-phase LLM routing (reference: autoagents provider_router.rs
         # multi-LLM per LATS phase): a cheap model can propose/evaluate
@@ -183,6 +184,7 @@ class LatsAgent:
         self.max_iterations = max_iterations
         self.expansion_width = expansion_width
         self.max_depth = max_depth
+        self.exploration_weight = exploration_weight
 
     def _propose(self, task: str, history: List[ToolTrace]) -> List[ToolCall]:
         hist = "\n".join(
@@ -231,7 +233,10 @@ class LatsAgent:
             # select: walk down by UCB
             node = root
             while node.children:
-                node = max(node.children, key=lambda n: n.ucb())
+                node = max(
+                    node.children,
+                    key=lambda n: n.ucb(self.exploration_weight),
+                )
             if node.depth >= self.max_depth:
                 break
             # expand
@@ -314,14 +319,48 @@ class ReflexionAgent:
         )
 
 
+def _phase_llm(config, provider: str, model: str) -> Optional[LLMProvider]:
+    """Build a per-phase LLM override (reference: autoagents
+    provider_router.rs:266 routes each LATS phase to its own
+    provider/model via CODEGRAPH_LATS_*_PROVIDER/_MODEL)."""
+    if not provider and not model:
+        return None
+    import dataclasses as _dc
+
+    from codegraph_tpu.mcp.llm import create_llm
+
+    cfg2 = _dc.replace(config)
+    cfg2.llm = _dc.replace(
+        config.llm,
+        provider=provider or config.llm.provider,
+        model=model or config.llm.model,
+    )
+    return create_llm(cfg2)
+
+
 def create_agent(
     architecture: str,
     llm: LLMProvider,
     tools: GraphToolExecutor,
+    config=None,
 ):
     """reference: CODEGRAPH_AGENT_ARCHITECTURE selects rig/react/lats
-    (codegraph-mcp-core/src/agent_architecture.rs:8)."""
+    (codegraph-mcp-core/src/agent_architecture.rs:8). With a
+    CodeGraphConfig, LATS picks up beam/depth/UCB knobs and per-phase
+    LLM routing from config.lats (CODEGRAPH_LATS_*)."""
     if architecture == "lats":
+        if config is not None:
+            lc = config.lats
+            return LatsAgent(
+                llm, tools,
+                expansion_width=lc.beam_width,
+                max_depth=lc.max_depth,
+                exploration_weight=lc.exploration_weight,
+                propose_llm=_phase_llm(
+                    config, lc.expansion_provider, lc.expansion_model),
+                evaluate_llm=_phase_llm(
+                    config, lc.evaluation_provider, lc.evaluation_model),
+            )
         return LatsAgent(llm, tools)
     if architecture == "reflexion":
         return ReflexionAgent(ReActAgent(llm, tools), llm)

@@ -170,7 +170,8 @@ class MCPServer:
             task = f"{startup}\n\n{task}"
         if self.llm.is_available():
             try:
-                agent = create_agent(self.architecture, self.llm, self.tools)
+                agent = create_agent(self.architecture, self.llm, self.tools,
+                                     config=self.config)
                 try:
                     result = agent.run(task, on_text=on_text)
                 except TypeError:  # agent without streaming support

@@ -585,6 +585,16 @@ def make_provider(name: str, ecfg: EmbeddingConfig) -> EmbeddingProvider:
             checkpoint=ckpt,
             tokenizer=tok,
         )
+    if cls in (OpenAIProvider, JinaProvider, OllamaProvider,
+               LMStudioProvider):
+        kw = {}
+        if ecfg.model and not ecfg.model.endswith(".npz") \
+                and ecfg.model not in ("minilm-l6", "seed"):
+            kw["model"] = ecfg.model
+        if ecfg.base_url:
+            kw["base_url"] = ecfg.base_url  # CODEGRAPH_OLLAMA_URL etc.
+        return cls(dimension=ecfg.dimension, batch_size=ecfg.batch_size,
+                   **kw)
     return cls(dimension=ecfg.dimension, batch_size=ecfg.batch_size)
 
 

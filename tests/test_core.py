@@ -103,3 +103,82 @@ vector_weight = 0.7
     cfg = load_config(path=str(p), apply_env=False)
     assert cfg.embedding.dimension == 512
     assert cfg.search.vector_weight == pytest.approx(0.7)
+
+
+def test_round3_env_override_parity(monkeypatch):
+    """config_manager.rs:696-908 parity sweep: the round-3 additions
+    (LATS knobs, daemon, reranking, model aliases) all apply."""
+    from codegraph_tpu.core.config import load_config
+
+    monkeypatch.setenv("CODEGRAPH_MODEL", "claude-x")
+    monkeypatch.setenv("CODEGRAPH_TEMPERATURE", "0.7")
+    monkeypatch.setenv("CODEGRAPH_REASONING_EFFORT", "high")
+    monkeypatch.setenv("CODEGRAPH_USE_COMPLETIONS_API", "true")
+    monkeypatch.setenv("CODEGRAPH_LOCAL_MODEL", "/models/enc.npz")
+    monkeypatch.setenv("CODEGRAPH_OLLAMA_URL", "http://h:1234")
+    monkeypatch.setenv("CODEGRAPH_ENABLE_RERANKING", "1")
+    monkeypatch.setenv("CODEGRAPH_RERANKING_CANDIDATES", "55")
+    monkeypatch.setenv("CODEGRAPH_DAEMON_AUTO_START", "yes")
+    monkeypatch.setenv("CODEGRAPH_DAEMON_WATCH_PATH", "/proj")
+    monkeypatch.setenv("CODEGRAPH_DAEMON_BATCH_TIMEOUT_MS", "250")
+    monkeypatch.setenv("CODEGRAPH_DAEMON_DEBOUNCE_MS", "150")
+    monkeypatch.setenv("CODEGRAPH_LATS_BEAM_WIDTH", "3")
+    monkeypatch.setenv("CODEGRAPH_LATS_MAX_DEPTH", "6")
+    monkeypatch.setenv("CODEGRAPH_LATS_EXPLORATION_WEIGHT", "2.0")
+    monkeypatch.setenv("CODEGRAPH_LATS_EXPANSION_PROVIDER", "ollama")
+    monkeypatch.setenv("CODEGRAPH_LATS_EXPANSION_MODEL", "qwen")
+    monkeypatch.setenv("CODEGRAPH_LATS_EVALUATION_MODEL", "mini")
+    cfg = load_config(path="/nonexistent/config.toml")
+    assert cfg.llm.model == "claude-x"
+    assert cfg.llm.temperature == 0.7
+    assert cfg.llm.reasoning_effort == "high"
+    assert cfg.llm.use_completions_api is True
+    assert cfg.embedding.model == "/models/enc.npz"
+    assert cfg.embedding.base_url == "http://h:1234"
+    assert cfg.search.rerank is True
+    assert cfg.search.rerank_candidates == 55
+    assert cfg.daemon.auto_start is True
+    assert cfg.daemon.watch_path == "/proj"
+    assert cfg.daemon.batch_timeout_ms == 250
+    assert cfg.indexing.watch_debounce_ms == 150
+    assert cfg.lats.beam_width == 3 and cfg.lats.max_depth == 6
+    assert cfg.lats.exploration_weight == 2.0
+    assert cfg.lats.expansion_provider == "ollama"
+    assert cfg.lats.expansion_model == "qwen"
+    assert cfg.lats.evaluation_model == "mini"
+
+
+def test_lats_config_drives_agent(monkeypatch):
+    """CODEGRAPH_LATS_* reaches the LATS agent through create_agent."""
+    from codegraph_tpu.core.config import CodeGraphConfig
+    from codegraph_tpu.mcp.agents import create_agent
+
+    cfg = CodeGraphConfig()
+    cfg.lats.beam_width = 5
+    cfg.lats.max_depth = 7
+    cfg.lats.exploration_weight = 0.5
+    agent = create_agent("lats", llm=None, tools=None, config=cfg)
+    assert agent.expansion_width == 5
+    assert agent.max_depth == 7
+    assert agent.exploration_weight == 0.5
+
+
+def test_progress_reporter_lines(capsys):
+    import io
+
+    from codegraph_tpu.utils.progress import ProgressReporter
+
+    buf = io.StringIO()
+    rep = ProgressReporter(enabled=True, out=buf)
+    st = rep.stage("embed", 100, "chunks")
+    st.update(50)
+    st.update(100)
+    st.done()
+    out = buf.getvalue()
+    assert "[embed]" in out and "chunks" in out and "/s" in out
+    # disabled reporter writes nothing
+    buf2 = io.StringIO()
+    st2 = ProgressReporter(enabled=False, out=buf2).stage("x", 10, "y")
+    st2.update(10)
+    st2.done()
+    assert buf2.getvalue() == ""

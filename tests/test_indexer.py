@@ -288,3 +288,95 @@ def test_local_dataflow_edges_never_resolve_globally():
                                            [cls, fn])
     assert not local_edge.resolved
     assert real_edge.resolved and real_edge.dst == cls.id
+
+
+def test_symbol_level_incremental_reembeds_only_changed_symbol(project):
+    """watch/mod.rs:46,772 parity: a one-function edit re-embeds ONLY
+    that function's chunks; unchanged symbols keep their rows, chunks,
+    and incoming edges."""
+    cfg = make_cfg(project)
+    indexer = ProjectIndexer(cfg)
+    indexer.index_project(str(project))
+    store = indexer.store
+    add_before = next(n for n in store.nodes.values()
+                      if n.name == "add_numbers")
+    add_row = add_before.row
+    add_chunk_rows = sorted(
+        c.row for c in store.chunks.values()
+        if c.parent_node == add_before.id
+    )
+    assert add_chunk_rows
+    live_before = len(indexer.index)
+
+    # edit ONLY multiply_numbers' body (line count preserved so
+    # add_numbers keeps its start_line -> same deterministic id)
+    path = project / "math_utils.py"
+    path.write_text(path.read_text().replace(
+        "            total = add_numbers(total, a)",
+        "            total = add_numbers(a, total)",
+    ))
+    stats = indexer.index_single_file(str(path))
+    assert stats is not None
+    # add_numbers (and the file node) survived untouched
+    assert stats.nodes_reused >= 1
+    add_after = next(n for n in store.nodes.values()
+                     if n.name == "add_numbers")
+    assert add_after.id == add_before.id and add_after.row == add_row
+    assert sorted(
+        c.row for c in store.chunks.values()
+        if c.parent_node == add_after.id
+    ) == add_chunk_rows
+    # only the changed symbol's chunks were re-embedded
+    mult = next(n for n in store.nodes.values()
+                if n.name == "multiply_numbers")
+    mult_chunks = [c for c in store.chunks.values()
+                   if c.parent_node == mult.id]
+    assert stats.chunks <= len(mult_chunks) + 1  # + possible file node chunk
+    assert stats.chunks < len(
+        [c for c in store.chunks.values()
+         if store.nodes.get(c.parent_node) is not None
+         and store.nodes[c.parent_node].location.file_path == str(path)]
+    )
+    # index live count: changed chunks tombstoned + re-added, net stable
+    assert len(indexer.index) == live_before
+    # the calls edge from multiply -> add was re-resolved after the edit
+    assert any(
+        e.src == mult.id and e.dst == add_after.id
+        and e.edge_type == EdgeType.CALLS for e in store.edges
+    )
+    # and search still works end-to-end
+    results = indexer.search.search_text("multiply numbers", limit=3)
+    assert any(r.name == "multiply_numbers" for r in results)
+
+
+def test_symbol_level_keep_preserves_incoming_edges(project):
+    """Incoming edges from OTHER files to kept symbols survive a
+    symbol-level update (the all-or-nothing delete severed them)."""
+    cfg = make_cfg(project)
+    indexer = ProjectIndexer(cfg)
+    (project / "caller.py").write_text(
+        "from math_utils import add_numbers\n\n"
+        "def run_sum(xs):\n"
+        "    t = 0\n"
+        "    for x in xs:\n"
+        "        t = add_numbers(t, x)\n"
+        "    return t\n"
+    )
+    indexer.index_project(str(project))
+    store = indexer.store
+    add_node = next(n for n in store.nodes.values()
+                    if n.name == "add_numbers")
+    run_node = next(n for n in store.nodes.values() if n.name == "run_sum")
+    assert any(e.src == run_node.id and e.dst == add_node.id
+               for e in store.edges)
+    # touch math_utils.py WITHOUT changing add_numbers
+    path = project / "math_utils.py"
+    path.write_text(path.read_text().replace(
+        "            total = add_numbers(total, a)",
+        "            total = add_numbers(a, total)",
+    ))
+    indexer.index_single_file(str(path))
+    add_after = next(n for n in store.nodes.values()
+                     if n.name == "add_numbers")
+    assert any(e.src == run_node.id and e.dst == add_after.id
+               for e in store.edges), "incoming edge to kept symbol lost"

@@ -329,3 +329,104 @@ def test_manager_get_or_create_grows_capacity(tmp_path):
         assert seg.generation >= g0  # carried forward, not reset
         seg.write(b"y" * 4096)       # fits the grown segment
         assert seg.read() == b"y" * 4096
+
+
+# ---- IVF-PQ capacity tier over shm (round-3: all tiers shm-served) ------
+
+
+def _ivfpq(rows=256, dim=32, seed=0):
+    from codegraph_tpu.index.ivfpq import IVFPQIndex
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((rows, dim)).astype(np.float32)
+    idx = IVFPQIndex(dim, nlist=8, nprobe=8, m=8, refine="int8",
+                     kmeans_iters=4, pq_iters=4, train_sample=rows)
+    idx.train(x)
+    idx.add(x)
+    return idx, x
+
+
+def test_ivfpq_publish_attach_identical_results(tmp_path):
+    from codegraph_tpu.index.snapshot import (
+        attach_index_shm,
+        publish_index_shm,
+    )
+
+    idx, x = _ivfpq()
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    s_ref, i_ref = idx.search(q, 5)
+
+    p = str(tmp_path / "ivfpq.shm")
+    pub = publish_index_shm(idx, p)
+    attached, store = attach_index_shm(p)
+    try:
+        assert type(attached).__name__ == "IVFPQIndex"
+        assert attached.refine == "int8" and attached._raw_chunks
+        s2, i2 = attached.search(q, 5)
+        np.testing.assert_array_equal(i2, i_ref)
+        np.testing.assert_allclose(s2, s_ref, rtol=1e-5, atol=1e-5)
+        assert len(attached) == len(idx)
+    finally:
+        store.close()
+        pub.close()
+
+
+def test_ivfpq_subprocess_attach(tmp_path):
+    """A separate process attaches the published IVF-PQ segment and
+    reproduces the publisher's search result."""
+    import subprocess
+    import sys
+
+    from codegraph_tpu.index.snapshot import publish_index_shm
+
+    idx, x = _ivfpq()
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((2, 32)).astype(np.float32)
+    _, i_ref = idx.search(q, 3)
+    p = str(tmp_path / "ivfpq.shm")
+    qp = str(tmp_path / "q.npy")
+    np.save(qp, q)
+    pub = publish_index_shm(idx, p)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys, json, numpy as np\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from codegraph_tpu.index.snapshot import attach_index_shm\n"
+        f"idx, store = attach_index_shm({p!r}, copy=True)\n"
+        f"q = np.load({qp!r})\n"
+        "s, i = idx.search(q, 3)\n"
+        "print(json.dumps({'ids': np.asarray(i).tolist()}))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    np.testing.assert_array_equal(np.asarray(res["ids"]), i_ref)
+    pub.close()
+
+
+def test_ivfpq_shm_hot_reload(tmp_path):
+    """ShmServedIndex hot-swaps a republished IVF-PQ segment."""
+    from codegraph_tpu.index.snapshot import publish_index_shm
+    from codegraph_tpu.search.service import ShmServedIndex
+
+    idx1, x1 = _ivfpq(rows=192, seed=3)
+    p = str(tmp_path / "serve.shm")
+    pub = publish_index_shm(idx1, p)
+    served = ShmServedIndex(p, check_every=0.0)
+    assert len(served) == 192
+    g0 = served.generation
+
+    idx2, x2 = _ivfpq(rows=224, seed=4)
+    pub2 = publish_index_shm(idx2, p)
+    q = np.asarray(x2[:2])
+    s, rows = served.search(q, 1)
+    assert served.generation > g0 or served.reloads >= 2
+    assert len(served) == 224
+    # nearest neighbor of a corpus row is itself
+    np.testing.assert_array_equal(rows[:, 0], np.arange(2))
+    served.close()
+    pub.close()
+    pub2.close()
