@@ -4,11 +4,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Config (BASELINE north star): 1M x 768-d corpus, bf16, k=10, EXACT
 brute-force via the query-major fused Pallas kernel
-(ops/topk.py streaming_topk_pallas_qmajor): the corpus streams from HBM
-once per call regardless of batch size, so a 1024-query batch amortizes
-both the scan and the dev-tunnel transport (~30 ms per synchronous
-dispatch; block_until_ready returns early on this transport, so every
-timing below synchronizes with a host fetch).
+(ops/topk.py streaming_topk_pallas_qmajor with the round-3 lane-reduced
+merge). Protocol: R async dispatches of B-query batches kept in flight,
+then drain — JAX dispatch is asynchronous, so the ~30 ms/call tunnel
+overhead of this dev transport overlaps with kernel execution exactly
+as a serving loop would drive the chip (timing still ends on host
+fetches of every result; distinct query batches per call defeat the
+transport's result cache). Round-3 floor analysis:
+.bench/kernel_r3_int8.json + kernel_pipeline.json.
 
 Baseline for vs_baseline: the reference's published vector-query latency
 of 2-5 ms/query (README.md:425, CHANGELOG.md:840) -> midpoint 3.5 ms
@@ -35,13 +38,13 @@ def main() -> None:
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu:
-        # B=2048 measured 29k QPS vs 20.6k at B=1024 (same compiled kernel
-        # family; the corpus is read once per dispatch regardless of B)
-        N, D, B, K, tile_n, tile_b = 1_000_000, 768, 2048, 10, 2048, 256
-        dtype, iters = jnp.bfloat16, 4
+        # B=4096 x R=8 in-flight: 63.1k QPS measured vs 34.0k for
+        # single-dispatch B=2048 (.bench/kernel_pipeline.json)
+        N, D, B, K, tile_n, tile_b = 1_000_000, 768, 4096, 10, 2048, 128
+        dtype, R = jnp.bfloat16, 8
     else:
         N, D, B, K, tile_n, tile_b = 100_000, 384, 256, 10, 2048, 8
-        dtype, iters = jnp.float32, 2
+        dtype, R = jnp.float32, 2
     N = (N // tile_n) * tile_n
 
     key = jax.random.PRNGKey(0)
@@ -49,9 +52,9 @@ def main() -> None:
     x = jax.random.normal(kx, (N, D), jnp.float32)
     x = x * jax.lax.rsqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), 1e-12))
     x = x.astype(dtype)
-    # distinct query batches per iteration (identical dispatches can be
+    # distinct query batches per call (identical dispatches can be
     # result-cached by the transport)
-    qs = jax.random.normal(kq, (iters + 1, B, D), jnp.float32)
+    qs = jax.random.normal(kq, (R + 1, B, D), jnp.float32)
     qs = qs * jax.lax.rsqrt(jnp.maximum(jnp.sum(qs * qs, -1, keepdims=True), 1e-12))
     qs = qs.astype(dtype)
     bias = jnp.zeros((N,), jnp.float32)
@@ -66,13 +69,14 @@ def main() -> None:
             return streaming_topk(q.astype(jnp.float32), x, bias, K,
                                   tile_n=tile_n)
 
-    np.asarray(one(qs[iters])[0])  # compile + warm
+    np.asarray(one(qs[R])[0])  # compile + warm
     t0 = time.perf_counter()
-    for it in range(iters):
-        np.asarray(one(qs[it])[0])  # host fetch = true synchronization
+    outs = [one(qs[r]) for r in range(R)]  # async submit: R calls in flight
+    for s, _ in outs:
+        np.asarray(s)  # host fetch = true synchronization, every result
     dt = time.perf_counter() - t0
 
-    qps = B * iters / dt
+    qps = B * R / dt
     print(json.dumps({
         "metric": f"flat_exact_cosine_top{K}_qps_{N}x{D}_{jnp.dtype(dtype).name}",
         "value": round(qps, 2),

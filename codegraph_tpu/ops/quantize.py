@@ -316,6 +316,115 @@ def streaming_topk_int8_qmajor(
     return out_s[:, :k], out_i[:, :k]
 
 
+
+
+def _int8_topk_qres_kernel(
+    qv_ref, qs_ref, xv_ref, xs_ref, bias_ref, out_s_ref, out_i_ref,
+    acc_s, acc_i, *, k: int, k_pad: int, tile_n: int, tile_b: int
+):
+    """int8 query-RESIDENT kernel: the whole [B, D] int8 batch (plus
+    scales) is pinned in VMEM via constant-index blocks, so the only
+    per-call HBM traffic is one int8 corpus read (see
+    topk._flat_topk_qres_kernel for the floor-probe rationale)."""
+    import jax.experimental.pallas as pl
+
+    from codegraph_tpu.ops.topk import NEG_INF, _lane_merge
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_s[pl.ds(j * tile_b, tile_b), :] = jnp.full(
+            (tile_b, k_pad), NEG_INF, jnp.float32
+        )
+        acc_i[pl.ds(j * tile_b, tile_b), :] = jnp.full(
+            (tile_b, k_pad), -1, jnp.int32
+        )
+
+    row = pl.ds(j * tile_b, tile_b)
+    raw = jax.lax.dot_general(
+        qv_ref[row, :], xv_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = raw.astype(jnp.float32) * qs_ref[row, :] * xs_ref[:] + bias_ref[:]
+
+    new_s, new_i = _lane_merge(
+        s, i * tile_n, acc_s[row, :], acc_i[row, :], k, k_pad
+    )
+    acc_s[row, :] = new_s
+    acc_i[row, :] = new_i
+
+    @pl.when(i == n_i - 1)
+    def _():
+        out_s_ref[:] = acc_s[row, :]
+        out_i_ref[:] = acc_i[row, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "tile_b", "interpret")
+)
+def streaming_topk_int8_qres(
+    qv: jax.Array,
+    qs: jax.Array,
+    xv: jax.Array,
+    xs: jax.Array,
+    bias: jax.Array,
+    k: int,
+    tile_n: int = 2048,
+    tile_b: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Query-resident fused int8 scan: one int8 corpus read per call,
+    queries pinned in VMEM. Same contract as streaming_topk_int8_qmajor."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from codegraph_tpu.ops.topk import LANE, _round_up
+
+    B, D = qv.shape
+    N = xv.shape[0]
+    assert N % tile_n == 0 and B % tile_b == 0
+    k_pad = _round_up(max(k, 1), LANE)
+    grid = (N // tile_n, B // tile_b)
+    kernel = functools.partial(
+        _int8_topk_qres_kernel, k=k, k_pad=k_pad, tile_n=tile_n,
+        tile_b=tile_b,
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, D), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, k_pad), jnp.float32),
+            pltpu.VMEM((B, k_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=B * D + N * D + N * 8 + 2 * B * k_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qv, qs.reshape(B, 1), xv, xs.reshape(1, N), bias.reshape(1, N))
+    return out_s[:, :k], out_i[:, :k]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def rescore_topk(
     q: jax.Array,
@@ -345,6 +454,7 @@ def rescore_topk(
 
 __all__ = [
     "streaming_topk_int8_qmajor",
+    "streaming_topk_int8_qres",
     "INT8_MAX",
     "quantize_rows",
     "dequantize_rows",

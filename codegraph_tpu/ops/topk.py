@@ -484,6 +484,111 @@ def streaming_topk_pallas_qmajor(
 
 
 # ---------------------------------------------------------------------------
+# Query-RESIDENT kernel: the whole query batch lives in VMEM
+# ---------------------------------------------------------------------------
+
+
+def _flat_topk_qres_kernel(
+    q_ref, x_ref, bias_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k: int,
+    k_pad: int, tile_n: int, tile_b: int
+):
+    """Like _flat_topk_qmajor_kernel but the q BLOCK is the whole [B, D]
+    batch with a constant index_map — it is DMA'd into VMEM exactly once
+    per call. The floor probe (.bench/kernel_r3_int8.json) showed the
+    qmajor kernel is HBM-traffic-bound on re-fetching query tiles: per
+    corpus tile the whole batch streams again (B*D bytes x N/tile_n ~
+    3-12 GB/call at the headline config), while the batch itself is only
+    ~3 MB. Holding q resident leaves ONE corpus read as the only
+    meaningful HBM traffic."""
+    i = pl.program_id(0)          # N tile (outer)
+    j = pl.program_id(1)          # B tile (inner)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_s[pl.ds(j * tile_b, tile_b), :] = jnp.full(
+            (tile_b, k_pad), NEG_INF, jnp.float32
+        )
+        acc_i[pl.ds(j * tile_b, tile_b), :] = jnp.full(
+            (tile_b, k_pad), -1, jnp.int32
+        )
+
+    row = pl.ds(j * tile_b, tile_b)
+    s = jax.lax.dot_general(
+        q_ref[row, :], x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[:]
+
+    new_s, new_i = _lane_merge(
+        s, i * tile_n, acc_s[row, :], acc_i[row, :], k, k_pad
+    )
+    acc_s[row, :] = new_s
+    acc_i[row, :] = new_i
+
+    @pl.when(i == n_i - 1)
+    def _():
+        out_s_ref[:] = acc_s[row, :]
+        out_i_ref[:] = acc_i[row, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "tile_b", "interpret")
+)
+def streaming_topk_pallas_qres(
+    q: jax.Array,
+    x: jax.Array,
+    bias: jax.Array,
+    k: int,
+    tile_n: int = DEFAULT_TILE_N,
+    tile_b: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Query-resident streaming top-k: q [B, D] is pinned whole in VMEM
+    (constant block), the corpus streams once. VMEM budget ~ B*D*dtype +
+    2*tile_n*D*dtype + tile_b*tile_n*4 + B*k_pad*8 — B up to a few
+    thousand bf16 rows fits. Same results as streaming_topk_pallas_qmajor.
+    """
+    B, D = q.shape
+    N = x.shape[0]
+    assert N % tile_n == 0 and B % tile_b == 0
+    k_pad = _round_up(max(k, 1), LANE)
+    grid = (N // tile_n, B // tile_b)
+    kernel = functools.partial(
+        _flat_topk_qres_kernel, k=k, k_pad=k_pad, tile_n=tile_n,
+        tile_b=tile_b,
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, D), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, k_pad), jnp.float32),
+            pltpu.VMEM((B, k_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=B * D * 4 + N * D * 4 + N * 4 + 2 * B * k_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, x, bias.reshape(1, N))
+    return out_s[:, :k], out_i[:, :k]
+
+
+# ---------------------------------------------------------------------------
 # Query-major kernel over a TRANSPOSED corpus [D, N]
 # ---------------------------------------------------------------------------
 
@@ -593,5 +698,6 @@ __all__ = [
     "streaming_topk",
     "streaming_topk_pallas",
     "streaming_topk_pallas_qmajor",
+    "streaming_topk_pallas_qres",
     "streaming_topk_pallas_qmajor_xt",
 ]

@@ -186,3 +186,47 @@ def test_pallas_topk_underfilled_rows(rng):
     i = np.asarray(i)
     assert set(i[:, :3].ravel()) <= set(live)
     assert (i[:, 3:] == -1).all()
+
+
+def test_qres_pallas_matches_exact(rng):
+    import jax.numpy as jnp
+
+    from codegraph_tpu.ops.topk import exact_topk, streaming_topk_pallas_qres
+
+    N, D, B, k = 768, 64, 64, 7
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    bias = np.zeros((N,), np.float32)
+    bias[:100] = -1e30
+    se, ie = exact_topk(jnp.asarray(q), jnp.asarray(x), k, jnp.asarray(bias))
+    sp, ip = streaming_topk_pallas_qres(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(bias), k,
+        tile_n=256, tile_b=16, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ie), np.asarray(ip))
+    np.testing.assert_allclose(np.asarray(se), np.asarray(sp), atol=1e-4)
+
+
+def test_int8_qres_matches_qmajor(rng):
+    import jax.numpy as jnp
+
+    from codegraph_tpu.ops.quantize import (
+        quantize_rows,
+        streaming_topk_int8_qmajor,
+        streaming_topk_int8_qres,
+    )
+
+    N, D, B, k = 512, 64, 32, 5
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    bias = np.zeros((N,), np.float32)
+    xv, xs = quantize_rows(x)
+    qv, qs = quantize_rows(q)
+    s1, i1 = streaming_topk_int8_qmajor(qv, qs, xv, xs, jnp.asarray(bias),
+                                        k, tile_n=256, tile_b=16,
+                                        interpret=True)
+    s2, i2 = streaming_topk_int8_qres(qv, qs, xv, xs, jnp.asarray(bias),
+                                      k, tile_n=256, tile_b=16,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
