@@ -103,7 +103,8 @@ def main():
                                       1e-12))
     queries = np.asarray(
         jax.random.normal(kq, (4096, D), jnp.float32))
-    queries /= np.linalg.norm(queries, axis=1, keepdims=True) + 1e-12
+    queries = queries / (np.linalg.norm(queries, axis=1,
+                                        keepdims=True) + 1e-12)
 
     shm_dir = os.path.join(os.path.dirname(OUT))
     os.makedirs(shm_dir, exist_ok=True)

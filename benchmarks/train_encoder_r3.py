@@ -56,7 +56,7 @@ def python_roots(max_roots: int = 400):
 
 
 _C_FN = re.compile(
-    r"(/\*\*?(?P<block>(?:[^*]|\*(?!/))*)\*/\s*|(?P<dox>(?:^[ \\t]*///[^\\n]*\\n)+)|(?P<lines>(?:^[ \\t]*//[^\\n]*\\n){2,}))"
+    r"(/\*\*?(?P<block>(?:[^*]|\*(?!/))*)\*/\s*|(?P<dox>(?:^[ \t]*///[^\n]*\n)+)|(?P<lines>(?:^[ \t]*//[^\n]*\n){2,}))"
     r"^[ \t]*(?:template\s*<[^>\n]*>\s*\n)?[ \t]*"
     r"(?P<sig>[A-Za-z_][\w \t\*&:<>,~=\[\]]*?\b(?P<name>[A-Za-z_]\w+)\s*\([^;{)]*\)[^;{]*)(?P<term>[;{])",
     re.M,

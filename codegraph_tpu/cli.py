@@ -96,6 +96,7 @@ def cmd_search(args, cfg: CodeGraphConfig) -> int:
         filters = SearchFilters.make(
             languages=args.language, node_types=args.node_type,
             path_prefixes=args.path_prefix, metadata=meta,
+            soft=args.soft_filters,
         )
     results = indexer.search.search_text(args.query, args.limit,
                                          filters=filters)
@@ -129,10 +130,17 @@ def cmd_start(args, cfg: CodeGraphConfig) -> int:
     server = _make_server(cfg)
     if cfg.daemon.auto_start:
         # CODEGRAPH_DAEMON_AUTO_START: bring the watch daemon up with
-        # the server (reference: daemon auto-start on MCP start)
+        # the server (reference: daemon auto-start on MCP start). The
+        # daemon gets a config re-rooted at the WATCH path so its pid
+        # file lands under the watched project's data dir (the same
+        # orphaned-daemon fix as cmd_daemon below).
+        import dataclasses as _dc
+
         from codegraph_tpu.daemon import DaemonManager
 
-        DaemonManager(cfg).start(cfg.daemon.watch_path or cfg.project_root)
+        watch = cfg.daemon.watch_path or cfg.project_root
+        dcfg = _dc.replace(cfg, project_root=watch)
+        DaemonManager(dcfg).start(watch)
     if args.transport == "http":
         port = args.port or cfg.server.http_port
         server.serve_http(cfg.server.http_host, port)
@@ -289,6 +297,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--metadata", action="append", default=[],
                     metavar="KEY=VALUE",
                     help="filter: metadata attribute equals (repeatable)")
+    sp.add_argument("--soft-filters", action="store_true",
+                    help="filters boost ranking instead of excluding "
+                         "(reference hybrid_search soft mix)")
     sp.set_defaults(fn=cmd_search)
 
     sp = sub.add_parser("start", help="start the MCP server")

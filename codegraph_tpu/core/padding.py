@@ -82,3 +82,21 @@ __all__ = [
     "grow_capacity",
     "validity_mask",
 ]
+
+
+def combine_bias(base_bias, extra_bias, capacity: int):
+    """live/tombstone bias + optional query-time filter mask (the
+    device-side SearchFilters application shared by every index tier).
+
+    extra_bias: [n] f32 (n <= capacity; 0 = allowed, NEG_INF =
+    filtered), indexed by global row id. Rows beyond len(extra_bias)
+    are treated as allowed. Returns a device array.
+    """
+    if extra_bias is None:
+        return base_bias
+    import jax.numpy as jnp
+
+    eb = jnp.asarray(extra_bias, jnp.float32)
+    if eb.shape[0] < capacity:
+        eb = jnp.pad(eb, (0, capacity - eb.shape[0]))
+    return base_bias + eb[:capacity]

@@ -149,6 +149,12 @@ class SearchFilters:
     node_types: Tuple[str, ...] = ()
     path_prefixes: Tuple[str, ...] = ()
     attribute_equals: Tuple[Tuple[str, str], ...] = ()
+    # soft=True: no hard exclusion — the filter dimensions contribute a
+    # metadata_match_score to RANKING only (the reference's
+    # hybrid_search soft mix, search.rs:317-345). soft=False (default)
+    # excludes non-matching rows device-side (node_matches_filters
+    # semantics, search.rs:296-307).
+    soft: bool = False
 
     @classmethod
     def make(
@@ -157,6 +163,7 @@ class SearchFilters:
         node_types: Optional[Iterable[str]] = None,
         path_prefixes: Optional[Iterable[str]] = None,
         metadata: Optional[Dict[str, Any]] = None,
+        soft: bool = False,
     ) -> "SearchFilters":
         return cls(
             languages=tuple(sorted({str(x).lower() for x in (languages or ())})),
@@ -165,6 +172,7 @@ class SearchFilters:
             attribute_equals=tuple(
                 sorted((str(k), str(v)) for k, v in (metadata or {}).items())
             ),
+            soft=bool(soft),
         )
 
     @property
@@ -177,7 +185,7 @@ class SearchFilters:
     def key(self) -> Tuple:
         """Canonical hashable identity for caches."""
         return (self.languages, self.node_types, self.path_prefixes,
-                self.attribute_equals)
+                self.attribute_equals, self.soft)
 
     def matches_node(self, node: "CodeNode") -> bool:
         """Host-side oracle / fallback (search.rs:420-446 semantics)."""

@@ -127,20 +127,11 @@ class FlatIndex:
     # -- query -------------------------------------------------------------
 
     def _effective_bias(self, extra_bias) -> jax.Array:
-        """live/tombstone bias + optional query-time filter mask.
+        """Device-side SearchFilters mask (search.rs:23-28 re-designed
+        as a bias add instead of a post-filter); see core.padding."""
+        from codegraph_tpu.core.padding import combine_bias
 
-        extra_bias: [n] f32 (n <= capacity; 0 = allowed, NEG_INF =
-        filtered out), indexed by global row id — the device-side
-        SearchFilters application (search.rs:23-28 re-designed as a bias
-        add instead of a post-filter). Rows beyond len(extra_bias) are
-        treated as allowed.
-        """
-        if extra_bias is None:
-            return self._bias
-        eb = jnp.asarray(extra_bias, jnp.float32)
-        if eb.shape[0] < self.capacity:
-            eb = jnp.pad(eb, (0, self.capacity - eb.shape[0]))
-        return self._bias + eb[: self.capacity]
+        return combine_bias(self._bias, extra_bias, self.capacity)
 
     def search(
         self, queries: np.ndarray, k: int, backend: Optional[str] = None,

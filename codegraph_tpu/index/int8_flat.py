@@ -135,14 +135,10 @@ class Int8FlatIndex:
     # -- query -------------------------------------------------------------
 
     def _effective_bias(self, extra_bias):
-        """live/tombstone bias + optional query-time filter mask
-        (device-side SearchFilters, see FlatIndex._effective_bias)."""
-        if extra_bias is None:
-            return self._bias
-        eb = jnp.asarray(extra_bias, jnp.float32)
-        if eb.shape[0] < self.capacity:
-            eb = jnp.pad(eb, (0, self.capacity - eb.shape[0]))
-        return self._bias + eb[: self.capacity]
+        """Device-side SearchFilters mask (see core.padding.combine_bias)."""
+        from codegraph_tpu.core.padding import combine_bias
+
+        return combine_bias(self._bias, extra_bias, self.capacity)
 
     def search(self, queries: np.ndarray, k: int,
                extra_bias=None) -> Tuple[np.ndarray, np.ndarray]:

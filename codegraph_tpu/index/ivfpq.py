@@ -370,6 +370,35 @@ def _scatter2t(buf, cells, pos, vals):
     return buf.at[cells, :, pos].set(vals)
 
 
+
+
+def _filter_fetch_k(k: int, extra_bias, cap_total: int) -> int:
+    """Candidate count for a FILTERED approximate search: scale the
+    over-fetch by the filter's selectivity (allowed fraction) so a 2%
+    filter over-fetches ~50x, not a fixed 4x that would leave filtered
+    queries nearly empty. Bounded by the probed capacity."""
+    eb = np.asarray(extra_bias, np.float32)
+    allowed = float(np.mean(eb > float(NEG_INF) / 2)) if eb.size else 1.0
+    mult = min(64.0, 2.0 / max(allowed, 1.0 / 64.0))
+    return int(min(cap_total, max(4 * k, round(k * mult))))
+
+
+def _apply_extra_bias_post(s_np, i_np, extra_bias):
+    """Drop candidates the filter mask excludes (post-scan, host)."""
+    eb = np.asarray(extra_bias, np.float32)
+    safe = np.minimum(np.maximum(i_np, 0), eb.shape[0] - 1)
+    excl = (i_np >= 0) & (i_np < eb.shape[0]) \
+        & (eb[safe] <= float(NEG_INF) / 2)
+    return (np.where(excl, float(NEG_INF), s_np),
+            np.where(excl, -1, i_np))
+
+
+def _truncate_topk(s_np, i_np, k: int):
+    order = np.argsort(-s_np, axis=1)[:, :k]
+    return (np.take_along_axis(s_np, order, axis=1),
+            np.take_along_axis(i_np, order, axis=1))
+
+
 class IVFPQIndex(IVFIndex):
     """IVF cells storing m-byte residual PQ codes instead of vectors.
 
@@ -535,8 +564,10 @@ class IVFPQIndex(IVFIndex):
         """extra_bias: optional [n] f32 filter mask indexed by GLOBAL row
         id (0 = allowed, NEG_INF = excluded) — the SearchFilters device
         mask. Applied post-scan over the candidate set (the PQ scan is
-        already approximate; candidates are over-fetched 4x when a
-        filter is active so filtered queries keep their recall)."""
+        already approximate); the over-fetch scales with the filter's
+        selectivity (allowed fraction), so a 2% filter fetches ~50x
+        candidates instead of a fixed 4x that would return near-empty
+        results."""
         if self._x is None or self.n_rows == 0:
             B = np.asarray(queries).shape[0]
             return (
@@ -566,7 +597,8 @@ class IVFPQIndex(IVFIndex):
         k_fetch = max(k, min(k * self.refine_factor,
                              self.list_cap * np_eff)) if use_refine else k
         if extra_bias is not None:
-            k_fetch = max(k_fetch, min(4 * k, self.list_cap * np_eff))
+            k_fetch = max(k_fetch, _filter_fetch_k(
+                k, extra_bias, self.list_cap * np_eff))
         if mode:
             s, i = ivfpq_search_pallas(
                 q, self._centroids, self._x, self._ids, self._bias,
@@ -582,17 +614,10 @@ class IVFPQIndex(IVFIndex):
         dead = s_np <= float(NEG_INF) / 2
         i_np = np.where(dead, -1, i_np)
         if extra_bias is not None:
-            eb = np.asarray(extra_bias, np.float32)
-            safe = np.minimum(np.maximum(i_np, 0), eb.shape[0] - 1)
-            excl = (i_np >= 0) & (i_np < eb.shape[0]) \
-                & (eb[safe] <= float(NEG_INF) / 2)
-            s_np = np.where(excl, float(NEG_INF), s_np)
-            i_np = np.where(excl, -1, i_np)
+            s_np, i_np = _apply_extra_bias_post(s_np, i_np, extra_bias)
         if not use_refine:
             if k_fetch > k:
-                order = np.argsort(-s_np, axis=1)[:, :k]
-                s_np = np.take_along_axis(s_np, order, axis=1)
-                i_np = np.take_along_axis(i_np, order, axis=1)
+                s_np, i_np = _truncate_topk(s_np, i_np, k)
             return s_np, i_np
         return self._refine_host(np.asarray(q), s_np, i_np, k)
 
@@ -656,7 +681,8 @@ class IVFPQIndex(IVFIndex):
         k_fetch = max(k, min(k * self.refine_factor,
                              self.list_cap * np_eff)) if use_refine else k
         if extra_bias is not None:
-            k_fetch = max(k_fetch, min(4 * k, self.list_cap * np_eff))
+            k_fetch = max(k_fetch, _filter_fetch_k(
+                k, extra_bias, self.list_cap * np_eff))
         s, i = ivfpq_batch_search_kernel(
             q, probe_ids, jnp.asarray(cells_u), self._x, self._ids,
             self._bias, self._centroids, self._books, k_fetch,
@@ -666,17 +692,10 @@ class IVFPQIndex(IVFIndex):
         dead = s_np <= float(NEG_INF) / 2
         i_np = np.where(dead, -1, i_np)
         if extra_bias is not None:
-            eb = np.asarray(extra_bias, np.float32)
-            safe = np.minimum(np.maximum(i_np, 0), eb.shape[0] - 1)
-            excl = (i_np >= 0) & (i_np < eb.shape[0]) \
-                & (eb[safe] <= float(NEG_INF) / 2)
-            s_np = np.where(excl, float(NEG_INF), s_np)
-            i_np = np.where(excl, -1, i_np)
+            s_np, i_np = _apply_extra_bias_post(s_np, i_np, extra_bias)
         if not use_refine:
             if k_fetch > k:
-                order = np.argsort(-s_np, axis=1)[:, :k]
-                s_np = np.take_along_axis(s_np, order, axis=1)
-                i_np = np.take_along_axis(i_np, order, axis=1)
+                s_np, i_np = _truncate_topk(s_np, i_np, k)
             return s_np, i_np
         return self._refine_host(np.asarray(q), s_np, i_np, k)
 

@@ -66,6 +66,13 @@ TOOL_SCHEMAS: Dict[str, Dict[str, Any]] = {
                     "description": "attribute equals-filters on node "
                                    "metadata (key: expected value)",
                 },
+                "filter_mode": {
+                    "type": "string", "enum": ["hard", "soft"],
+                    "default": "hard",
+                    "description": "hard: exclude non-matching results; "
+                                   "soft: filters only boost ranking "
+                                   "(partial matches allowed)",
+                },
             },
             "required": ["query"],
         },
@@ -209,6 +216,7 @@ class GraphToolExecutor:
                     node_types=p.get("node_types"),
                     path_prefixes=p.get("path_prefixes"),
                     metadata=p.get("metadata"),
+                    soft=(p.get("filter_mode") == "soft"),
                 )
             results = self.search.search_text(
                 p["query"], int(p.get("limit", 10)), filters=filters

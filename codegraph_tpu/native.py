@@ -80,7 +80,22 @@ def lib() -> Optional[ctypes.CDLL]:
         if not _build():
             _load_failed = True
             return None
-        cdll = ctypes.CDLL(_SO_PATH)
+        # ctypes never dlcloses and glibc dedups by dev/inode, so
+        # re-opening _SO_PATH would return the STALE mapping. Load the
+        # rebuilt library through a fresh-inode copy instead.
+        import shutil
+        import tempfile
+
+        fd, fresh = tempfile.mkstemp(dir=_NATIVE_DIR, suffix=".so")
+        os.close(fd)
+        try:
+            shutil.copy2(_SO_PATH, fresh)
+            cdll = ctypes.CDLL(fresh)
+        finally:
+            try:
+                os.unlink(fresh)  # mapping survives the unlink on Linux
+            except OSError:
+                pass
         cdll.cg_abi_version.restype = ctypes.c_int64
         if int(cdll.cg_abi_version()) != ABI_VERSION:
             logger.warning("native ABI mismatch persists after rebuild")

@@ -295,8 +295,8 @@ class ShardedFlatIndex:
         qd = jax.device_put(jnp.asarray(q), self._q_sharding)
         bias = self._bias
         if extra_bias is not None:
-            # SearchFilters device mask, padded to capacity and laid out
-            # with the corpus sharding so the add stays shard-local
+            # SearchFilters device mask (combine_bias semantics), laid
+            # out with the corpus sharding so the add stays shard-local
             eb = np.zeros((self.capacity,), np.float32)
             n = min(len(extra_bias), self.capacity)
             eb[:n] = np.asarray(extra_bias, np.float32)[:n]

@@ -36,6 +36,8 @@ class FilterBank:
     repeated filtered queries reuse one device upload.
     """
 
+    MAX_CACHED_FILTERS = 32
+
     def __init__(self, store):
         self.store = store
         self._rows_built = 0
@@ -143,6 +145,10 @@ class FilterBank:
         mapped = self._row_node[:n_rows] >= 0
         row_ok[mapped] = allowed_nodes[self._row_node[:n_rows][mapped]]
         bias = np.where(row_ok, 0.0, float(NEG_INF)).astype(np.float32)
+        # bounded cache: each entry is an n_rows f32 array (4 MB at 1M
+        # rows); agents fanning out distinct filters must not leak RAM
+        if len(self._bias_cache) >= self.MAX_CACHED_FILTERS:
+            self._bias_cache.pop(next(iter(self._bias_cache)))
         self._bias_cache[key] = bias
         return bias
 

@@ -74,7 +74,17 @@ class HybridSearch:
         self.filters_bank = FilterBank(store)
         self._adj = None        # (nbr, wgt) device arrays for the boost kernel
         self._adj_host = None   # (nbr, wgt, etype, dir) np arrays for evidence
-        self._index_filter_ok = True  # learned: index accepts extra_bias?
+        # capability probe (NOT try/except TypeError, which would
+        # misattribute an unrelated internal TypeError as "unsupported"
+        # and silently disable device-side filtering)
+        import inspect
+
+        try:
+            self._index_filter_ok = (
+                "extra_bias" in inspect.signature(index.search).parameters
+            )
+        except (TypeError, ValueError):
+            self._index_filter_ok = True
         if monitor is None:
             from codegraph_tpu.utils.perfmon import PerformanceMonitor
 
@@ -120,15 +130,14 @@ class HybridSearch:
         """Stage 2 with SearchFilters as a device-side bias mask; falls
         back to host post-filtering when the index has no extra_bias."""
         q = embedding[None, :]
-        if filters is None or filters.empty:
+        if filters is None or filters.empty or filters.soft:
+            # soft filters never exclude — they only feed the
+            # metadata_match_score ranking term (search.rs:317-345)
             return self.index.search(q, prefetch)
         n_rows = getattr(self.index, "n_rows", 0) or 0
         eb = self.filters_bank.bias_for(filters, n_rows)
         if eb is not None and self._index_filter_ok:
-            try:
-                return self.index.search(q, prefetch, extra_bias=eb)
-            except TypeError:
-                self._index_filter_ok = False
+            return self.index.search(q, prefetch, extra_bias=eb)
         # host fallback: over-fetch then drop filtered rows (reference
         # post-filter semantics, search.rs:296-307)
         scores, rows = self.index.search(q, min(prefetch * 4, max(n_rows, 1)))
@@ -160,7 +169,12 @@ class HybridSearch:
             # which would poison the cached objects for later hits
             import dataclasses
 
-            return [dataclasses.replace(r) for r in cached]
+            # `related` is a mutable list of dicts: share it between the
+            # cache and callers and an in-place edit poisons the cache
+            return [
+                dataclasses.replace(r, related=[dict(e) for e in r.related])
+                for r in cached
+            ]
 
         prefetch = max(limit * self.config.prefetch_multiplier, limit)
         with self.monitor.timer("vector_search_ms"):
@@ -190,7 +204,8 @@ class HybridSearch:
                 node = self.store.node_by_row(int(node_row))
                 if node is None:
                     continue
-                if filters is not None and not filters.matches_node(node):
+                if filters is not None and not filters.soft \
+                        and not filters.matches_node(node):
                     continue
                 text_scores[node.id] = float(ts)
             if text_scores:
@@ -250,7 +265,10 @@ class HybridSearch:
         # mutated in place by rerankers/search_multi
         import dataclasses
 
-        self.cache.put(key, [dataclasses.replace(r) for r in results])
+        self.cache.put(key, [
+            dataclasses.replace(r, related=[dict(e) for e in r.related])
+            for r in results
+        ])
         return results
 
     def _graph_boost(

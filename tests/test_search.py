@@ -424,3 +424,64 @@ def test_search_results_carry_edge_evidence():
     # evidence serializes through to_dict for tools/MCP
     d = by["parse_source_file"].to_dict()
     assert d["related"][0]["relation"] in ("calls", "uses", "depends_on")
+
+
+def test_soft_filters_boost_without_excluding():
+    """search.rs:317-345 parity: soft filters keep non-matching results
+    but rank matching ones higher via metadata_match_score."""
+    from codegraph_tpu.core.types import SearchFilters
+
+    store, index, provider, bm25, by_name = build_multilang_corpus()
+    hs = HybridSearch(store, index, provider, bm25,
+                      SearchConfig(metadata_weight=0.5))
+    f = SearchFilters.make(languages=["rust"], soft=True)
+    res = hs.search_text("parse the source", limit=6, filters=f)
+    langs = [store.nodes[r.node_id].language for r in res]
+    # non-rust results survive (soft)
+    assert any(l != Language.RUST for l in langs)
+    # rust results carry a higher metadata score
+    rust_scores = [r.metadata_score for r in res
+                   if store.nodes[r.node_id].language == Language.RUST]
+    other_scores = [r.metadata_score for r in res
+                    if store.nodes[r.node_id].language != Language.RUST]
+    assert rust_scores and min(rust_scores) > max(other_scores)
+    # and the boost reorders: best rust hit outranks same-content python
+    names = [r.name for r in res]
+    assert names.index("parse_tokens") < names.index("parse_helper")
+
+
+def test_cached_results_not_poisoned_by_related_mutation():
+    """`related` is mutable: cache hits must hand out deep copies."""
+    store, index, provider, bm25, by_name = build_multilang_corpus()
+    hs = HybridSearch(store, index, provider, bm25)
+    q = "parse the source file ast"
+    r1 = hs.search_text(q, limit=4)
+    target = next(r for r in r1 if r.related)
+    orig = [dict(e) for e in target.related]
+    target.related.clear()           # what a consumer might do
+    r2 = hs.search_text(q, limit=4)  # cache hit
+    again = next(r for r in r2 if r.node_id == target.node_id)
+    assert again.related == orig
+
+
+def test_ivfpq_selective_filter_overfetch():
+    """A highly selective filter on the IVF-PQ tier must still return k
+    results (selectivity-scaled over-fetch, not a fixed 4x)."""
+    from codegraph_tpu.index.ivfpq import IVFPQIndex
+    from codegraph_tpu.ops.topk import NEG_INF
+
+    rng = np.random.default_rng(5)
+    N, D2 = 4096, 32
+    x = rng.standard_normal((N, D2)).astype(np.float32)
+    idx = IVFPQIndex(D2, nlist=8, nprobe=8, m=8, refine="none",
+                     kmeans_iters=3, pq_iters=3, train_sample=N)
+    idx.train(x)
+    idx.add(x)
+    mask = np.full((N,), float(NEG_INF), np.float32)
+    allowed = rng.choice(N, size=80, replace=False)  # ~2% selectivity
+    mask[allowed] = 0.0
+    s, i = idx.search(x[:4], 10, extra_bias=mask)
+    i = np.asarray(i)
+    got = i[i >= 0]
+    assert got.size >= 30, f"only {got.size} filtered hits across 4 queries"
+    assert np.isin(got, allowed).all()
