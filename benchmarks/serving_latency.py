@@ -122,9 +122,11 @@ def main():
     print("int8 shm published + attached", flush=True)
 
     svc = QueryService(served8, k=10, max_batch=256, max_wait_ms=3.0)
-    np.asarray(svc.search(queries[0])[0])  # warm/compile
+    # warm the ONE padded batch shape before driving
+    np.asarray(svc.search(queries[0])[0])
     tier = {}
     for rate in RATES:
+        time.sleep(1.0)  # settle: no queue bleed between rates
         lat, n_sub, wall = drive_threaded(svc, queries, rate, DURATION_S)
         tier[f"rate_{rate}"] = {
             "submitted": int(n_sub),
@@ -145,7 +147,8 @@ def main():
     idxpq = IVFPQIndex(D, nlist=1024, nprobe=16, m=96, refine="none",
                        kmeans_iters=4, pq_iters=4, train_sample=131072)
     idxpq.train(x[:131072])  # device slice: no host round-trip
-    idxpq.add(x)
+    for lo in range(0, N, 131072):  # chunked: one-shot add OOMs HBM
+        idxpq.add(x[lo:lo + 131072])
     print("ivfpq index built", flush=True)
     ppq = os.path.join(shm_dir, "serve_ivfpq.shm")
     pubpq = publish_index_shm(idxpq, ppq)
@@ -157,6 +160,7 @@ def main():
     np.asarray(svc.search(queries[0])[0])
     tier = {}
     for rate in RATES:
+        time.sleep(1.0)
         lat, n_sub, wall = drive_threaded(svc, queries, rate, DURATION_S)
         tier[f"rate_{rate}"] = {
             "submitted": int(n_sub),

@@ -40,11 +40,20 @@ class QueryService:
         k: int = 10,
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
+        pad_to_max: bool = True,
     ):
+        """pad_to_max: zero-pad every flushed batch to max_batch rows so
+        the jitted index kernels compile for exactly ONE batch shape.
+        Without it, every distinct batch size triggers a fresh XLA
+        compile (tens of seconds each) and the service builds a
+        standing queue under load — measured as multi-second p50 at
+        light arrival rates. The scan cost is corpus-dominated, so the
+        padded rows are nearly free."""
         self.index = index
         self.k = int(k)
         self.max_batch = int(max_batch)
         self.max_wait_s = max_wait_ms / 1000.0
+        self.pad_to_max = bool(pad_to_max)
         self.stats = ServiceStats()
         self._lock = threading.Lock()
         self._pending: List[Tuple[np.ndarray, Future]] = []
@@ -92,6 +101,12 @@ class QueryService:
 
     def _flush(self, batch: List[Tuple[np.ndarray, Future]]) -> None:
         queries = np.stack([q for q, _ in batch])
+        if self.pad_to_max and queries.shape[0] < self.max_batch:
+            queries = np.concatenate([
+                queries,
+                np.zeros((self.max_batch - queries.shape[0],
+                          queries.shape[1]), queries.dtype),
+            ])
         try:
             scores, rows = self.index.search(queries, self.k)
         except Exception as exc:
