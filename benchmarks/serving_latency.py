@@ -28,6 +28,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 N, D = 999424, 768
 RATES = (200, 1000, 3000)     # arrivals/s
+WORKERS = 4                   # pipelined flushes in flight (QueryService)
 DURATION_S = 15.0
 WARMUP_S = 2.0
 
@@ -95,7 +96,7 @@ def main():
     from codegraph_tpu.search.service import QueryService, ShmServedIndex
 
     results = {"config": {"N": N, "D": D, "rates": RATES,
-                          "duration_s": DURATION_S}}
+                          "duration_s": DURATION_S, "workers": WORKERS}}
     key = jax.random.PRNGKey(7)
     kx, kq = jax.random.split(key)
     x = jax.random.normal(kx, (N, D), jnp.float32)
@@ -121,7 +122,8 @@ def main():
     del idx8
     print("int8 shm published + attached", flush=True)
 
-    svc = QueryService(served8, k=10, max_batch=256, max_wait_ms=3.0)
+    svc = QueryService(served8, k=10, max_batch=256, max_wait_ms=3.0,
+                       workers=WORKERS)
     # warm the ONE padded batch shape before driving
     np.asarray(svc.search(queries[0])[0])
     tier = {}
@@ -156,7 +158,8 @@ def main():
     del idxpq
     print("ivfpq shm published + attached", flush=True)
 
-    svc = QueryService(servedpq, k=10, max_batch=256, max_wait_ms=3.0)
+    svc = QueryService(servedpq, k=10, max_batch=256, max_wait_ms=3.0,
+                       workers=WORKERS)
     np.asarray(svc.search(queries[0])[0])
     tier = {}
     for rate in RATES:

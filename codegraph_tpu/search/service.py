@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -41,6 +41,7 @@ class QueryService:
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
         pad_to_max: bool = True,
+        workers: int = 1,
     ):
         """pad_to_max: zero-pad every flushed batch to max_batch rows so
         the jitted index kernels compile for exactly ONE batch shape.
@@ -48,17 +49,35 @@ class QueryService:
         compile (tens of seconds each) and the service builds a
         standing queue under load — measured as multi-second p50 at
         light arrival rates. The scan cost is corpus-dominated, so the
-        padded rows are nearly free."""
+        padded rows are nearly free.
+
+        workers: number of concurrent flush workers. With 1 (default)
+        the collector flushes inline, so each batch pays the full
+        dispatch + device + host-fetch latency before the next batch
+        can start. With R > 1, batches are handed to R flush threads,
+        keeping up to R index calls in flight — the serving-loop
+        analogue of the pipelined kernel protocol (bench.py): fixed
+        per-call transport overhead overlaps with device compute
+        instead of serializing behind it. A semaphore bounds in-flight
+        flushes at R, so overload back-pressures into larger batches
+        rather than an unbounded dispatch queue."""
         self.index = index
         self.k = int(k)
         self.max_batch = int(max_batch)
         self.max_wait_s = max_wait_ms / 1000.0
         self.pad_to_max = bool(pad_to_max)
+        self.workers = max(1, int(workers))
         self.stats = ServiceStats()
         self._lock = threading.Lock()
         self._pending: List[Tuple[np.ndarray, Future]] = []
         self._wake = threading.Event()
         self._stop = threading.Event()
+        self._pool = (
+            ThreadPoolExecutor(max_workers=self.workers,
+                               thread_name_prefix="qsvc-flush")
+            if self.workers > 1 else None
+        )
+        self._inflight = threading.Semaphore(self.workers)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -97,7 +116,17 @@ class QueryService:
                     self._wake.set()
             if not batch:
                 continue
+            if self._pool is not None:
+                self._inflight.acquire()  # backpressure: <= workers in flight
+                self._pool.submit(self._flush_release, batch)
+            else:
+                self._flush(batch)
+
+    def _flush_release(self, batch: List[Tuple[np.ndarray, Future]]) -> None:
+        try:
             self._flush(batch)
+        finally:
+            self._inflight.release()
 
     def _flush(self, batch: List[Tuple[np.ndarray, Future]]) -> None:
         queries = np.stack([q for q, _ in batch])
@@ -114,9 +143,11 @@ class QueryService:
                 if not fut.cancelled():
                     fut.set_exception(exc)
             return
-        self.stats.queries += len(batch)
-        self.stats.batches += 1
-        self.stats.max_batch_seen = max(self.stats.max_batch_seen, len(batch))
+        with self._lock:
+            self.stats.queries += len(batch)
+            self.stats.batches += 1
+            self.stats.max_batch_seen = max(self.stats.max_batch_seen,
+                                            len(batch))
         for i, (_, fut) in enumerate(batch):
             if not fut.cancelled():
                 fut.set_result((scores[i], rows[i]))
@@ -130,6 +161,8 @@ class QueryService:
             self._pending = []
         if leftover:
             self._flush(leftover)
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
 
 
 class ShmServedIndex:

@@ -26,6 +26,38 @@ def test_query_service_batches_concurrent_queries(rng):
         svc.close()
 
 
+def test_query_service_pipelined_workers(rng):
+    """workers>1: concurrent flushes stay correct (results match the
+    single-worker path) and back-pressure keeps the service draining."""
+    D, N = 32, 300
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    index = FlatIndex(D, tile_n=128, backend="xla")
+    rows = index.add(x)
+    svc = QueryService(index, k=5, max_batch=8, max_wait_ms=1.0, workers=4)
+    try:
+        futures = [svc.submit(x[i]) for i in range(64)]
+        results = [f.result(timeout=60) for f in futures]
+        for i, (scores, got_rows) in enumerate(results):
+            assert got_rows[0] == rows[i]  # self-hit survives concurrency
+        assert svc.stats.queries == 64
+        assert svc.stats.batches >= 64 // 8
+    finally:
+        svc.close()
+
+
+def test_query_service_pipelined_error_propagates(rng):
+    class BrokenIndex:
+        def search(self, q, k):
+            raise RuntimeError("index down")
+
+    svc = QueryService(BrokenIndex(), k=3, max_wait_ms=1.0, workers=3)
+    try:
+        with pytest.raises(RuntimeError, match="index down"):
+            svc.search(np.zeros(8, np.float32), timeout=30)
+    finally:
+        svc.close()
+
+
 def test_query_service_sync_and_error(rng):
     class BrokenIndex:
         def search(self, q, k):
