@@ -90,9 +90,13 @@ def main():
                       f"encoder_{os.path.basename(ckpt)}", results)
         from codegraph_tpu.models.providers import EnsembleProvider
 
-        eval_provider(
-            EnsembleProvider(dimension=768, checkpoint=ckpt, w_enc=0.3),
-            pairs, "ensemble_w0.3", results)
+        # sweep the mix: the right weight moves with encoder quality
+        # (round 2's weak encoder wanted 0.3; a hash-beating encoder
+        # wants most of the mass)
+        for w in (0.3, 0.5, 0.7, 0.9):
+            eval_provider(
+                EnsembleProvider(dimension=768, checkpoint=ckpt, w_enc=w),
+                pairs, f"ensemble_w{w}", results)
     extra = sys.argv[1] if len(sys.argv) > 1 else None
     if extra and os.path.exists(extra):
         from codegraph_tpu.models.bpe import BPETokenizer

@@ -31,6 +31,9 @@ RATES = (200, 1000, 3000)     # arrivals/s
 WORKERS = 4                   # pipelined flushes in flight (QueryService)
 DURATION_S = 15.0
 WARMUP_S = 2.0
+MAX_BATCH = 256
+MAX_WAIT_MS = 3.0
+SUFFIX = ""                   # result-key suffix (tuned re-runs merge in)
 
 
 def drive_threaded(service, queries, rate, duration):
@@ -87,6 +90,23 @@ def pct(lat, p):
 
 
 def main():
+    global RATES, WORKERS, DURATION_S, MAX_BATCH, MAX_WAIT_MS, SUFFIX
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rates", type=int, nargs="+", default=list(RATES))
+    ap.add_argument("--workers", type=int, default=WORKERS)
+    ap.add_argument("--duration", type=float, default=DURATION_S)
+    ap.add_argument("--max-batch", type=int, default=MAX_BATCH)
+    ap.add_argument("--max-wait-ms", type=float, default=MAX_WAIT_MS)
+    ap.add_argument("--suffix", default=SUFFIX,
+                    help="append to result keys; merges into existing json")
+    args = ap.parse_args()
+    RATES = tuple(args.rates)
+    WORKERS, DURATION_S = args.workers, args.duration
+    MAX_BATCH, MAX_WAIT_MS, SUFFIX = args.max_batch, args.max_wait_ms, \
+        args.suffix
+
     import jax
     import jax.numpy as jnp
 
@@ -95,8 +115,15 @@ def main():
     from codegraph_tpu.index.snapshot import publish_index_shm
     from codegraph_tpu.search.service import QueryService, ShmServedIndex
 
-    results = {"config": {"N": N, "D": D, "rates": RATES,
-                          "duration_s": DURATION_S, "workers": WORKERS}}
+    results = {}
+    if SUFFIX and os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
+    results["config" + SUFFIX] = {"N": N, "D": D, "rates": RATES,
+                                  "duration_s": DURATION_S,
+                                  "workers": WORKERS,
+                                  "max_batch": MAX_BATCH,
+                                  "max_wait_ms": MAX_WAIT_MS}
     key = jax.random.PRNGKey(7)
     kx, kq = jax.random.split(key)
     x = jax.random.normal(kx, (N, D), jnp.float32)
@@ -122,8 +149,8 @@ def main():
     del idx8
     print("int8 shm published + attached", flush=True)
 
-    svc = QueryService(served8, k=10, max_batch=256, max_wait_ms=3.0,
-                       workers=WORKERS)
+    svc = QueryService(served8, k=10, max_batch=MAX_BATCH,
+                       max_wait_ms=MAX_WAIT_MS, workers=WORKERS)
     # warm the ONE padded batch shape before driving
     np.asarray(svc.search(queries[0])[0])
     tier = {}
@@ -140,7 +167,7 @@ def main():
             "avg_batch": round(svc.stats.avg_batch, 1),
         }
         print("int8", rate, tier[f"rate_{rate}"], flush=True)
-    results["int8_shm_served"] = tier
+    results["int8_shm_served" + SUFFIX] = tier
     svc.close()
     served8.close()
     pub8.close()
@@ -158,8 +185,8 @@ def main():
     del idxpq
     print("ivfpq shm published + attached", flush=True)
 
-    svc = QueryService(servedpq, k=10, max_batch=256, max_wait_ms=3.0,
-                       workers=WORKERS)
+    svc = QueryService(servedpq, k=10, max_batch=MAX_BATCH,
+                       max_wait_ms=MAX_WAIT_MS, workers=WORKERS)
     np.asarray(svc.search(queries[0])[0])
     tier = {}
     for rate in RATES:
@@ -175,7 +202,7 @@ def main():
             "avg_batch": round(svc.stats.avg_batch, 1),
         }
         print("ivfpq", rate, tier[f"rate_{rate}"], flush=True)
-    results["ivfpq_shm_served"] = tier
+    results["ivfpq_shm_served" + SUFFIX] = tier
     svc.close()
     servedpq.close()
     pubpq.close()

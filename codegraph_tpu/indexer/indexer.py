@@ -62,9 +62,13 @@ class IndexStats:
         return d
 
 
-def _make_index(cfg: CodeGraphConfig):
+def _make_index(cfg: CodeGraphConfig, dim: Optional[int] = None):
+    # dim: the PROVIDER's actual output width when it differs from the
+    # configured one (a checkpoint dictates the encoder's architecture,
+    # so EncoderProvider/EnsembleProvider self-correct their dimension;
+    # the index must follow the provider, not the config default)
     icfg = cfg.index
-    dim = cfg.embedding.dimension
+    dim = int(dim) if dim else cfg.embedding.dimension
     if icfg.kind == "ivfpq":
         from codegraph_tpu.index.ivfpq import IVFPQIndex
 
@@ -101,7 +105,8 @@ class ProjectIndexer:
         self.config = config or CodeGraphConfig()
         self.provider = provider or create_provider(self.config)
         self.store = store or GraphStore()
-        self.index = index if index is not None else _make_index(self.config)
+        self.index = index if index is not None else _make_index(
+            self.config, getattr(self.provider, "dimension", None))
         self.bm25 = BM25Index()
         self.resolver = EdgeResolver(self.provider)
         self.search = HybridSearch(
@@ -260,7 +265,8 @@ class ProjectIndexer:
 
     def _reset_state(self) -> None:
         self.store = GraphStore()
-        self.index = _make_index(self.config)
+        self.index = _make_index(self.config,
+                                 getattr(self.provider, "dimension", None))
         self.bm25 = BM25Index()
         self._ivf_trained = not isinstance(self.index, IVFIndex)
         self.search = HybridSearch(

@@ -474,18 +474,21 @@ class EnsembleProvider(EmbeddingProvider):
     Cosine over the concatenation equals w*cos_enc + (1-w)*cos_hash, so
     this is score-level mixing packaged as a single index-able vector.
     Measured cross-repo (reference Rust doc->code, 512 pairs,
-    .bench/crossrepo_eval.json): recall@1 0.461 / recall@10 0.840 at
-    w=0.3 vs 0.375/0.773 hash-only and 0.230/0.480 encoder-only — the
-    learned-dense and lexical-hash signals are complementary, the same
-    reason the reference mixes 0.9 vector + 0.1 BM25 at the search
-    layer (schema/codegraph.surql:470).
+    .bench/crossrepo_eval.json, round-3 encoder_r3_512 checkpoint):
+    recall@1 0.738 / recall@10 0.979 at w=0.5 vs 0.375/0.773 hash-only
+    and 0.660/0.928 encoder-only — the learned-dense and lexical-hash
+    signals are complementary, the same reason the reference mixes
+    0.9 vector + 0.1 BM25 at the search layer
+    (schema/codegraph.surql:470). The weight sweep (w in 0.3..0.9)
+    peaks at 0.5 with the round-3 encoder; weaker encoders want less
+    mass (round 2's wanted 0.3).
     """
 
     name = "ensemble"
 
     def __init__(self, dimension: int = 768, batch_size: int = 256,
                  max_len: int = 512, checkpoint: Optional[str] = None,
-                 w_enc: float = 0.3, tokenizer=None):
+                 w_enc: float = 0.5, tokenizer=None):
         self.encoder = EncoderProvider(
             dimension=dimension // 2, batch_size=batch_size,
             max_len=max_len, checkpoint=checkpoint, tokenizer=tokenizer,
@@ -529,16 +532,18 @@ _PROVIDERS = {
 
 
 def _default_checkpoint() -> Optional[str]:
-    """The shipped seed checkpoint (trained on code/docstring pairs,
-    benchmarks/train_on_repo.py); env/model-path overrides win. Prefers
-    the TPU-trained 4L/384 (held-out desc->code recall@1 0.91)."""
+    """The shipped default checkpoint; env/model-path overrides win.
+
+    Preference order = measured cross-repo quality (reference Rust
+    doc->code retrieval, .bench/crossrepo_eval.json): the round-3
+    6L/512 BPE-16k model (cross-repo recall@1 0.66, held-out 0.953,
+    benchmarks/train_encoder_r3.py, TPU-trained on 128k multi-language
+    pairs with in-batch hard negatives) over the round-2 BPE-8k 4L/384
+    (cross-repo 0.230) over the byte-level round-1 seeds."""
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    # preference order: BPE-vocab model (held-out r@1 0.867, trained on
-    # 15k site-packages pairs, benchmarks/train_bpe_encoder.py) over the
-    # byte-level round-1 seeds
-    for name in ("encoder_bpe_384.npz", "encoder_seed_384.npz",
-                 "encoder_seed.npz"):
+    for name in ("encoder_r3_512.npz", "encoder_bpe_384.npz",
+                 "encoder_seed_384.npz", "encoder_seed.npz"):
         path = os.path.join(here, "checkpoints", name)
         if os.path.exists(path):
             return path

@@ -232,7 +232,9 @@ def test_default_checkpoint_prefers_bpe(tmp_path):
     from codegraph_tpu.models.providers import EncoderProvider, _default_checkpoint
 
     ckpt = _default_checkpoint()
-    if ckpt is None or "bpe" not in ckpt:
+    # preference order: r3 BPE-16k model, then the r2 BPE-8k model —
+    # both carry tokenizer metadata
+    if ckpt is None or ("bpe" not in ckpt and "_r3_" not in ckpt):
         pytest.skip("bpe checkpoint not shipped in this tree")
     p = EncoderProvider(checkpoint=ckpt)
     # the checkpoint metadata names its BPE tokenizer -> auto-loaded

@@ -332,7 +332,8 @@ def test_seed_checkpoint_loads_if_present():
     cfg = CodeGraphConfig()
     cfg.embedding.provider = "encoder"
     p = create_provider(cfg)
-    assert p.dimension in (256, 384)  # seed checkpoint architecture
+    # shipped checkpoint architectures: 256/384 (r1/r2 seeds), 512 (r3)
+    assert p.dimension in (256, 384, 512)
     e = p.embed_texts(["def parse_file(path): ..."])
     assert e.shape == (1, p.dimension)
 
