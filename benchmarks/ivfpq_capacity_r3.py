@@ -41,21 +41,29 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 def synth_index_iota(nlist, cap, m, D):
     """Value-independent synthetic index, materialized at exactly its
-    resident size (no 4x randint transient: iota arithmetic, not RNG)."""
-    ci = jax.lax.broadcasted_iota(jnp.int32, (nlist, m, cap), 2)
-    mi = jax.lax.broadcasted_iota(jnp.int32, (nlist, m, cap), 1)
-    li = jax.lax.broadcasted_iota(jnp.int32, (nlist, m, cap), 0)
-    codes = ((ci * 31 + mi * 7 + li * 13) % 256).astype(jnp.uint8)
-    ids = jax.lax.broadcasted_iota(
-        jnp.int32, (nlist, cap), 0) * cap + jax.lax.broadcasted_iota(
-        jnp.int32, (nlist, cap), 1)
-    bias = jnp.zeros((nlist, cap), jnp.float32)
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
-    cents = l2_normalize(jax.random.normal(k1, (nlist, D), jnp.float32))
-    dsub = D // m
-    books = jax.random.normal(k2, (m, 256, dsub), jnp.float32) * 0.05
-    return codes, ids, bias, cents, books
+    resident size. The whole synthesis is ONE jit so XLA fuses the
+    iota arithmetic into the u8 output — op-by-op eager execution
+    materializes each int32 intermediate at 4 bytes/element (~4 GB
+    apiece at 10M rows, ~20 GB total: instant OOM on a 16 GB chip)."""
+
+    @jax.jit
+    def _build():
+        ci = jax.lax.broadcasted_iota(jnp.int32, (nlist, m, cap), 2)
+        mi = jax.lax.broadcasted_iota(jnp.int32, (nlist, m, cap), 1)
+        li = jax.lax.broadcasted_iota(jnp.int32, (nlist, m, cap), 0)
+        codes = ((ci * 31 + mi * 7 + li * 13) % 256).astype(jnp.uint8)
+        ids = jax.lax.broadcasted_iota(
+            jnp.int32, (nlist, cap), 0) * cap + jax.lax.broadcasted_iota(
+            jnp.int32, (nlist, cap), 1)
+        bias = jnp.zeros((nlist, cap), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        cents = l2_normalize(jax.random.normal(k1, (nlist, D), jnp.float32))
+        dsub = D // m
+        books = jax.random.normal(k2, (m, 256, dsub), jnp.float32) * 0.05
+        return codes, ids, bias, cents, books
+
+    return _build()
 
 
 def pipelined(run_fn, qs, R):
@@ -70,12 +78,24 @@ def pipelined(run_fn, qs, R):
     return time.perf_counter() - t0
 
 
+def _flush():
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+
+
 def bench(tag, nlist, cap, m, D, B, nprobes, R=8):
     n_rows = nlist * cap
     print(f"--- {tag}: {n_rows/1e6:.1f}M padded rows, m={m} "
           f"({nlist*m*cap/2**30:.2f} GiB codes)", flush=True)
-    codes, ids, bias, cents, books = synth_index_iota(nlist, cap, m, D)
-    jax.block_until_ready(codes)
+    try:
+        codes, ids, bias, cents, books = synth_index_iota(nlist, cap, m, D)
+        jax.block_until_ready(codes)
+    except Exception as e:
+        RESULTS[f"{tag}_synth"] = {"error": str(e).split(chr(10))[0][:300]}
+        print(tag, "synth FAIL:", str(e)[:200], flush=True)
+        _flush()
+        return
     rng = np.random.default_rng(7)
     qs = l2_normalize(jnp.asarray(
         rng.standard_normal((R + 1, B, D)).astype(np.float32)))
@@ -96,6 +116,7 @@ def bench(tag, nlist, cap, m, D, B, nprobes, R=8):
         except Exception as e:
             RESULTS[name] = {"error": str(e).split(chr(10))[0][:300]}
             print(name, "FAIL:", str(e)[:200], flush=True)
+        _flush()
     # free HBM before the next (bigger) config
     del codes, ids, bias, cents, books
 

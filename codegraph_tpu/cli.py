@@ -114,9 +114,14 @@ def _make_server(cfg: CodeGraphConfig):
     queries = GraphQueries(indexer.store)
     cross_encoder = None
     if cfg.search.reranker == "cross_encoder":
-        from codegraph_tpu.models.cross_encoder import CrossEncoder
+        from codegraph_tpu.models.cross_encoder import (
+            CrossEncoder,
+            default_cross_encoder_checkpoint,
+        )
 
-        cross_encoder = CrossEncoder()
+        # shipped trained checkpoint when present; random-init otherwise
+        cross_encoder = CrossEncoder(
+            checkpoint=default_cross_encoder_checkpoint())
     from codegraph_tpu.search.reranker import RerankerConfig
 
     rr_cfg = RerankerConfig(stage1_k=cfg.search.rerank_candidates)

@@ -27,6 +27,7 @@ class CrossEncoder:
         max_len: int = 256,
         checkpoint: Optional[str] = None,
         seed: int = 0,
+        tokenizer=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -44,14 +45,16 @@ class CrossEncoder:
             vocab_size=VOCAB_SIZE, hidden=hidden, n_layers=n_layers,
             n_heads=n_heads, max_len=max_len, pooling="cls",
         )
-        self.tokenizer = ByteTokenizer(max_len=max_len)
+        self.tokenizer = tokenizer or ByteTokenizer(max_len=max_len)
         self._encode = encode_jit
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         if checkpoint and os.path.exists(checkpoint):
-            from codegraph_tpu.models.providers import load_encoder_checkpoint
+            from codegraph_tpu.models.providers import (
+                load_encoder_checkpoint_ex,
+            )
 
-            blob = load_encoder_checkpoint(checkpoint)
+            blob, meta = load_encoder_checkpoint_ex(checkpoint)
             self.params = blob["encoder"]
             self.head = blob["head"]
             # the checkpoint's array shapes dictate the architecture —
@@ -61,13 +64,27 @@ class CrossEncoder:
             hidden = int(tok_emb.shape[1])
             n_layers = int(self.params["layers"]["wqkv"].shape[0])
             max_len = int(self.params["pos_emb"].shape[0])
-            n_heads = next(h for h in (8, 4, 2, 1) if hidden % h == 0)
+            n_heads = int((meta or {}).get("n_heads") or next(
+                h for h in (8, 4, 2, 1) if hidden % h == 0))
             self.cfg = EncoderConfig(
                 vocab_size=int(tok_emb.shape[0]), hidden=hidden,
                 n_layers=n_layers, n_heads=n_heads, max_len=max_len,
                 pooling="cls",
             )
-            self.tokenizer = ByteTokenizer(max_len=max_len)
+            if tokenizer is None and meta and meta.get("tokenizer"):
+                # the checkpoint names its training tokenizer; resolve
+                # next to the checkpoint file (as EncoderProvider does)
+                from codegraph_tpu.models.bpe import make_tokenizer
+
+                tok_path = os.path.join(os.path.dirname(checkpoint),
+                                        meta["tokenizer"])
+                if os.path.exists(tok_path):
+                    self.tokenizer = make_tokenizer(tok_path,
+                                                    max_len=max_len)
+                else:
+                    self.tokenizer = ByteTokenizer(max_len=max_len)
+            elif tokenizer is None:
+                self.tokenizer = ByteTokenizer(max_len=max_len)
         else:
             self.params = init_encoder_params(k1, self.cfg)
             self.head = {
@@ -76,9 +93,32 @@ class CrossEncoder:
                 "b": jnp.zeros((), jnp.float32),
             }
 
-    def _pair_text(self, query: str, doc: str) -> str:
-        # byte-level: a rare separator byte sequence marks the boundary
-        return f"{query}\x1e{doc}"
+    # query token budget inside the joint pair; the trainer
+    # (benchmarks/train_cross_encoder_r3.py --q-len) must match
+    Q_LEN = 64
+
+    def _raw_ids(self, text: str):
+        ids_fn = getattr(self.tokenizer, "ids", None)
+        if ids_fn is not None:  # BPE: unframed subword ids
+            return list(ids_fn(text))
+        return list(text.encode("utf-8", errors="replace"))
+
+    def _encode_pairs(self, query: str, docs: Sequence[str]):
+        """[CLS] query[:Q_LEN] [SEP] doc [SEP] at the token-id level —
+        the same framing the trainer uses (a \\x1e text separator would
+        re-tokenize across the boundary and shift every doc token)."""
+        tok = self.tokenizer
+        L = self.cfg.max_len
+        q = self._raw_ids(query)[: min(self.Q_LEN, max(L - 3, 1))]
+        n = len(docs)
+        ids = np.full((n, L), tok.pad_id, np.int32)
+        mask = np.zeros((n, L), np.bool_)
+        for r, d in enumerate(docs):
+            body = self._raw_ids(d)[: max(L - len(q) - 3, 0)]
+            seq = [tok.cls_id, *q, tok.sep_id, *body, tok.sep_id]
+            ids[r, : len(seq)] = seq
+            mask[r, : len(seq)] = True
+        return ids, mask
 
     def score_pairs(self, query: str, docs: Sequence[str]) -> np.ndarray:
         """-> [n_docs] f32 relevance scores (one device dispatch)."""
@@ -86,8 +126,7 @@ class CrossEncoder:
 
         if not docs:
             return np.zeros((0,), np.float32)
-        texts = [self._pair_text(query, d) for d in docs]
-        ids, mask = self.tokenizer.encode_batch(texts)
+        ids, mask = self._encode_pairs(query, docs)
         cls = self._encode(
             self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg,
             normalize=False,
@@ -121,10 +160,28 @@ class CrossEncoder:
         return out
 
 
-def save_cross_encoder(path: str, ce: CrossEncoder) -> None:
+def save_cross_encoder(path: str, ce: CrossEncoder,
+                       tokenizer_file: Optional[str] = None) -> None:
     from codegraph_tpu.models.providers import save_encoder_checkpoint
 
-    save_encoder_checkpoint(path, {"encoder": ce.params, "head": ce.head})
+    save_encoder_checkpoint(path, {"encoder": ce.params, "head": ce.head},
+                            cfg=ce.cfg, tokenizer_file=tokenizer_file)
 
 
-__all__ = ["CrossEncoder", "save_cross_encoder"]
+def default_cross_encoder_checkpoint() -> Optional[str]:
+    """The shipped cross-encoder reranker checkpoint, if present
+    (trained by benchmarks/train_cross_encoder_r3.py). Mirrors
+    providers._default_checkpoint for the bi-encoder: the reference
+    ships a usable cross-encoder default the same way
+    (reranker.rs:170)."""
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for name in ("cross_encoder_r3.npz",):
+        path = os.path.join(here, "checkpoints", name)
+        if os.path.exists(path):
+            return path
+    return None
+
+
+__all__ = ["CrossEncoder", "save_cross_encoder",
+           "default_cross_encoder_checkpoint"]

@@ -269,15 +269,21 @@ def test_cross_encoder_training_learns(tmp_path):
         make_cross_encoder_train_step,
     )
 
+    import numpy as np
+
     ce = CrossEncoder(hidden=32, n_layers=1, max_len=48)
-    # synthetic relevance: (query, matching doc) = 1, mismatched = 0
-    pairs, labels = [], []
+    # synthetic relevance: (query, matching doc) = 1, mismatched = 0;
+    # pairs use the model's own [CLS] q [SEP] doc [SEP] framing
+    ids_parts, mask_parts, labels = [], [], []
     verbs = ["parse", "render", "cache", "merge"]
     for v in verbs:
-        for w in verbs:
-            pairs.append(ce._pair_text(f"{v} the data", f"def {w}_data(x)"))
-            labels.append(1 if v == w else 0)
-    ids, mask = ce.tokenizer.encode_batch(pairs)
+        i, m = ce._encode_pairs(f"{v} the data",
+                                [f"def {w}_data(x)" for w in verbs])
+        ids_parts.append(i)
+        mask_parts.append(m)
+        labels.extend(1 if v == w else 0 for w in verbs)
+    ids = np.concatenate(ids_parts)
+    mask = np.concatenate(mask_parts)
     batch = {"pair_ids": jnp.asarray(ids), "pair_mask": jnp.asarray(mask),
              "labels": jnp.asarray(labels)}
 
@@ -407,5 +413,38 @@ def test_cross_encoder_checkpoint_roundtrip_nondefault(tmp_path):
     ce2 = CrossEncoder(checkpoint=path)  # default ctor args differ
     assert ce2.cfg.hidden == 64 and ce2.cfg.n_layers == 2
     s2 = ce2.score_pairs("find config", ["loads the config", "renders html"])
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cross_encoder_checkpoint_carries_bpe_tokenizer(tmp_path):
+    """A cross-encoder saved with tokenizer_file metadata must reload
+    its BPE tokenizer from the file next to the checkpoint (the framing
+    used at train time must survive into serving)."""
+    from codegraph_tpu.models.bpe import BPETokenizer, train_bpe
+    from codegraph_tpu.models.cross_encoder import (
+        CrossEncoder,
+        save_cross_encoder,
+    )
+
+    tok = train_bpe(["def parse_config(x): return x"] * 4, n_merges=16,
+                    max_len=48)
+    tok_path = str(tmp_path / "bpe_tiny.json")
+    tok.save(tok_path)
+    ce = CrossEncoder(hidden=32, n_layers=1, max_len=48, tokenizer=tok)
+    # architecture must match the tokenizer's vocab for save/load parity
+    from codegraph_tpu.models.encoder import EncoderConfig, init_encoder_params
+    import jax
+
+    ce.cfg = EncoderConfig(vocab_size=tok.vocab_size, hidden=32, n_layers=1,
+                           n_heads=8, max_len=48, pooling="cls")
+    ce.params = init_encoder_params(jax.random.PRNGKey(0), ce.cfg)
+    s1 = ce.score_pairs("parse config", ["def parse_config(x)", "html"])
+    path = str(tmp_path / "ce_bpe.npz")
+    save_cross_encoder(path, ce, tokenizer_file=tok_path)
+    ce2 = CrossEncoder(checkpoint=path)
+    assert isinstance(ce2.tokenizer, BPETokenizer)
+    assert ce2.tokenizer.vocab_size == tok.vocab_size
+    s2 = ce2.score_pairs("parse config", ["def parse_config(x)", "html"])
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
                                rtol=1e-5, atol=1e-5)
