@@ -1,0 +1,258 @@
+"""Agent-quality eval: does the TOOL/RAG layer preserve encoder quality?
+
+VERDICT r2 weak item 8 said: deepen the RAG/prompts tail only if an
+agent-quality eval shows it is the limiter — and no such eval existed.
+This harness measures the full agent-facing stack END TO END, on a repo
+the encoder never trained on (the reference's own Rust crates), against
+mechanically-derived ground truth:
+
+  1. Index /root/reference/crates with the REAL ProjectIndexer
+     (scanners -> analyzers -> edge resolution -> chunk -> embed ->
+     flat index -> BM25), using the shipped ensemble provider.
+  2. Harvest (file, fn-name, doc-comment) triples; the doc comment is
+     NOT part of the indexed node content, so doc->code retrieval is
+     honest (same protocol as benchmarks/crossrepo_eval.py, but scored
+     through the tool layer instead of raw embeddings).
+  3. Drive `semantic_code_search` through GraphToolExecutor (the exact
+     MCP entry point) under four conditions: plain, +cross-encoder
+     rerank, +path-prefix filter, and RAGSystem.process_query.
+     Success = the ground-truth (file, name) appears in the returned
+     hits/sources. Deltas vs the raw-encoder recall (crossrepo_eval)
+     attribute quality loss/gain to the pipeline itself.
+  4. Graph-tool answerability: for sampled resolved CALLS edges,
+     `get_reverse_dependencies(callee)` must surface the known caller;
+     plus a syntactic edge-precision proxy (callee name must appear in
+     the caller's source) over the resolution ladder's output.
+
+Reference roles measured: rag/* (rag_system.rs:62-546 pipeline),
+mcp/tools (tools.rs dispatch), reranker.rs:250 3-stage, and the
+resolution ladder (indexer.rs:2100-2400 fuzzy/semantic matching).
+
+Usage: python benchmarks/agent_eval_r3.py [--max-queries 300]
+Writes .bench/agent_eval_r3.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import re
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, ".bench", "agent_eval_r3.json")
+CORPUS = "/root/reference/crates"
+
+
+def harvest_truth(root: str, max_items: int = 600):
+    """(path, name, doc) for fns/methods with >=6-word doc comments.
+
+    The doc comment lives ABOVE the decl, outside node.content, so the
+    query text is never a substring of the indexed corpus row.
+    """
+    from codegraph_tpu.core.types import Language, NodeType
+    from codegraph_tpu.parser.extractors import extract_file
+
+    items = []
+    for p in sorted(pathlib.Path(root).rglob("*.rs")):
+        try:
+            text = p.read_text(errors="replace")
+        except OSError:
+            continue
+        lines = text.splitlines()
+        r = extract_file("ref", str(p), text, Language.RUST)
+        for node in r.nodes:
+            if node.node_type not in (NodeType.FUNCTION, NodeType.METHOD):
+                continue
+            start = node.location.start_line - 1
+            doc = []
+            i = start - 1
+            while i >= 0 and re.match(r"\s*///", lines[i]):
+                doc.append(re.sub(r"\s*///\s?", "", lines[i]))
+                i -= 1
+            doc.reverse()
+            desc = " ".join(doc).strip()
+            if len(desc.split()) < 6:
+                continue
+            items.append((str(p), node.name, desc[:300]))
+            if len(items) >= max_items:
+                return items
+    return items
+
+
+def hit_rank(results, path, name, key=lambda r: (r.file_path, r.name)):
+    for i, r in enumerate(results):
+        fp, nm = key(r)
+        if nm == name and fp == path:
+            return i
+    return -1
+
+
+def recalls_from_ranks(ranks):
+    n = max(1, len(ranks))
+    return {
+        "recall@1": round(sum(1 for r in ranks if 0 <= r < 1) / n, 4),
+        "recall@5": round(sum(1 for r in ranks if 0 <= r < 5) / n, 4),
+        "recall@10": round(sum(1 for r in ranks if 0 <= r < 10) / n, 4),
+        "n": len(ranks),
+    }
+
+
+def pct(vals, q):
+    return round(float(np.percentile(np.asarray(vals), q)), 2) if vals else 0.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-queries", type=int, default=300)
+    ap.add_argument("--rag-queries", type=int, default=100)
+    ap.add_argument("--edge-samples", type=int, default=200)
+    args = ap.parse_args()
+
+    from codegraph_tpu.core.config import CodeGraphConfig
+    from codegraph_tpu.graph.queries import GraphQueries
+    from codegraph_tpu.indexer.indexer import ProjectIndexer
+    from codegraph_tpu.mcp.tools import GraphToolExecutor
+    from codegraph_tpu.models.cross_encoder import (
+        CrossEncoder,
+        default_cross_encoder_checkpoint,
+    )
+    from codegraph_tpu.models.providers import (
+        EnsembleProvider,
+        _default_checkpoint,
+    )
+    from codegraph_tpu.rag.system import RAGConfig, RAGSystem
+    from codegraph_tpu.search.reranker import RerankerPipeline
+
+    results: dict = {"corpus": CORPUS}
+
+    cfg = CodeGraphConfig()
+    cfg.project_root = CORPUS
+    provider = EnsembleProvider(dimension=768, checkpoint=_default_checkpoint())
+    indexer = ProjectIndexer(cfg, provider=provider)
+
+    t0 = time.time()
+    stats = indexer.index_project(CORPUS, force=True)
+    results["index"] = {
+        "files": stats.files_parsed,
+        "nodes": stats.nodes,
+        "chunks": stats.chunks,
+        "edges_total": stats.edges_total,
+        "edges_exact": stats.edges_resolved_exact,
+        "edges_semantic": stats.edges_resolved_semantic,
+        "edges_unresolved": stats.edges_unresolved,
+        "build_s": round(time.time() - t0, 1),
+    }
+    print("index:", json.dumps(results["index"]), flush=True)
+
+    truth = harvest_truth(CORPUS, max_items=args.max_queries * 2)
+    # keep only truths whose node actually made it into the store
+    by_key = {(n.location.file_path, n.name) for n in indexer.store.nodes.values()}
+    truth = [t for t in truth if (t[0], t[1]) in by_key][: args.max_queries]
+    results["n_truth"] = len(truth)
+    print(f"{len(truth)} ground-truth queries", flush=True)
+
+    queries = GraphQueries(indexer.store)
+    rerank_pipe = RerankerPipeline(
+        provider,
+        cross_encoder=CrossEncoder(
+            checkpoint=default_cross_encoder_checkpoint()),
+    )
+    tools = GraphToolExecutor(queries, indexer.search, reranker=rerank_pipe,
+                              cache_size=4)  # tiny cache: eval never repeats
+
+    # -- condition 1..3: the MCP tool entry point --------------------------
+    conds = {
+        "tool_plain": lambda path, name, doc: {"query": doc, "limit": 10},
+        "tool_rerank": lambda path, name, doc: {
+            "query": doc, "limit": 10, "rerank": True},
+        "tool_path_filter": lambda path, name, doc: {
+            "query": doc, "limit": 10,
+            # crate-level prefix, e.g. .../crates/codegraph-vector
+            "path_prefixes": ["/".join(path.split("/")[:5])]},
+    }
+    for cond, make_params in conds.items():
+        ranks, lat = [], []
+        for path, name, doc in truth:
+            t0 = time.perf_counter()
+            out = tools.execute("semantic_code_search", make_params(path, name, doc))
+            lat.append((time.perf_counter() - t0) * 1000)
+            rows = out.get("results", [])
+            rank = -1
+            for i, r in enumerate(rows):
+                if r.get("name") == name and r.get("file_path") == path:
+                    rank = i
+                    break
+            ranks.append(rank)
+        results[cond] = recalls_from_ranks(ranks)
+        results[cond]["p50_ms"] = pct(lat, 50)
+        results[cond]["p95_ms"] = pct(lat, 95)
+        print(cond, json.dumps(results[cond]), flush=True)
+
+    # -- condition 4: full RAG pipeline (no LLM available -> template) -----
+    rag = RAGSystem(indexer.search, indexer.store,
+                    config=RAGConfig(latency_budget_ms=1000.0))
+    ranks, lat, degraded = [], [], 0
+    for path, name, doc in truth[: args.rag_queries]:
+        t0 = time.perf_counter()
+        ans = rag.process_query(doc)
+        lat.append((time.perf_counter() - t0) * 1000)
+        degraded += int(ans.degraded)
+        rank = -1
+        for i, s in enumerate(ans.response.sources):
+            if s.get("name") == name and s.get("file") == path:
+                rank = i
+                break
+        ranks.append(rank)
+    results["rag_pipeline"] = recalls_from_ranks(ranks)
+    results["rag_pipeline"].update(
+        {"p50_ms": pct(lat, 50), "p95_ms": pct(lat, 95), "degraded": degraded})
+    print("rag_pipeline", json.dumps(results["rag_pipeline"]), flush=True)
+
+    # -- graph-tool answerability over resolved CALLS edges ----------------
+    from codegraph_tpu.core.types import EdgeType
+
+    store = indexer.store
+    calls = [e for e in store.edges
+             if e.edge_type == EdgeType.CALLS and e.resolved
+             and e.src in store.nodes and e.dst in store.nodes
+             and e.src != e.dst]
+    rng = np.random.default_rng(0)
+    sample = [calls[i] for i in
+              rng.choice(len(calls), size=min(args.edge_samples, len(calls)),
+                         replace=False)] if calls else []
+    answered = precise = 0
+    for e in sample:
+        caller, callee = store.nodes[e.src], store.nodes[e.dst]
+        # syntactic precision proxy: the callee's name must occur in the
+        # caller's source for the resolved edge to be plausible
+        if re.search(r"\b%s\b" % re.escape(callee.name), caller.content):
+            precise += 1
+        out = tools.execute("get_reverse_dependencies",
+                            {"node": callee.id, "max_depth": 1})
+        deps = out.get("dependents", [])
+        if any(d.get("name") == caller.name for d in deps):
+            answered += 1
+    results["graph_tools"] = {
+        "calls_edges_total": len(calls),
+        "sampled": len(sample),
+        "reverse_dep_answered": round(answered / max(1, len(sample)), 4),
+        "edge_precision_proxy": round(precise / max(1, len(sample)), 4),
+    }
+    print("graph_tools", json.dumps(results["graph_tools"]), flush=True)
+
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", OUT, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,8 @@ BLOCKS = {
                                "benchmarks/train_cross_encoder_r3.py"),
     "rerank_eval": ("rerank_eval_r3.json",
                     "benchmarks/rerank_eval_r3.py"),
+    "agent_eval": ("agent_eval_r3.json",
+                   "benchmarks/agent_eval_r3.py"),
 }
 
 NOTES = {
@@ -59,7 +61,22 @@ NOTES = {
         "open-loop Poisson B=1 arrivals; latency includes queueing "
         "from scheduled arrival time. The ~30 ms/dispatch dev-tunnel "
         "floor bounds p50 from below; production direct-attached TPU "
-        "removes it."),
+        "removes it. The *_tuned blocks (workers=8, max_batch=64, "
+        "max_wait 3 ms) show batching policy is PER-TIER: small "
+        "batches win for IVF-PQ, whose per-flush cost scales with "
+        "batch (rate-3000 p50 3248->270 ms), but LOSE for the int8 "
+        "full-scan tier, whose per-flush cost is corpus-bound, so "
+        "fewer larger flushes are strictly better (rate-200 p50 "
+        "120->294 ms). QueryService takes both policies; deploy one "
+        "service per tier."),
+    "agent_eval": (
+        "end-to-end agent-layer quality on an unseen repo (the "
+        "reference's Rust crates, indexed by the REAL ProjectIndexer): "
+        "doc->code retrieval scored through the MCP tool entry point "
+        "(plain / +cross-encoder rerank / +path filter) and the full "
+        "RAG pipeline; graph-tool answerability over resolved CALLS "
+        "edges. Deltas vs crossrepo_eval's raw-encoder recall "
+        "attribute quality change to the pipeline itself."),
 }
 
 
