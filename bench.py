@@ -21,12 +21,48 @@ of 2-5 ms/query (README.md:425, CHANGELOG.md:840) -> midpoint 3.5 ms
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 BASELINE_QPS = 1000.0 / 3.5  # reference HNSW midpoint, ~285.7 QPS
 
+# The axon relay wedges for 5-15 min after any crashed/killed TPU
+# process (CLAUDE.md); a claim attempted in that window dies with
+# "UNAVAILABLE: TPU backend setup/compile error". jax caches the failed
+# backend for the life of the process, so retry by RE-EXEC, not loop.
+MAX_ATTEMPTS = 4
+RETRY_WAIT_S = 300.0
+
+
+def _attempt() -> int:
+    try:
+        return int(os.environ.get("BENCH_ATTEMPT", "1"))
+    except ValueError:
+        return 1
+
+
+def _retry_or_raise(exc: BaseException) -> None:
+    msg = str(exc)
+    transient = "UNAVAILABLE" in msg or "backend" in msg.lower()
+    att = _attempt()
+    if not transient or att >= MAX_ATTEMPTS:
+        raise exc
+    print(f"# claim failed (attempt {att}/{MAX_ATTEMPTS}): "
+          f"{msg.splitlines()[0][:120]}; retrying in {RETRY_WAIT_S:.0f}s",
+          file=sys.stderr, flush=True)
+    time.sleep(RETRY_WAIT_S)
+    os.environ["BENCH_ATTEMPT"] = str(att + 1)
+    os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
 
 def main() -> None:
+    # make an explicit JAX_PLATFORMS=cpu win over the sitecustomize
+    # TPU plugin (hermetic smoke runs must never claim the chip)
+    from codegraph_tpu.core.config import apply_platform_env
+
+    apply_platform_env()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -86,4 +122,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as exc:  # wedged-relay claim failure
+        _retry_or_raise(exc)
+    except Exception as exc:
+        # jax.errors.JaxRuntimeError subclasses vary by version; match
+        # on the transient-claim signature, re-raise everything else
+        _retry_or_raise(exc)
