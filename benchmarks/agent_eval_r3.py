@@ -116,7 +116,11 @@ def main():
     ap.add_argument("--edge-samples", type=int, default=200)
     args = ap.parse_args()
 
-    from codegraph_tpu.core.config import CodeGraphConfig
+    from codegraph_tpu.core.config import CodeGraphConfig, apply_platform_env
+
+    # honor an explicit JAX_PLATFORMS=cpu (quality numbers are
+    # hardware-independent; the TPU only makes this faster)
+    apply_platform_env()
     from codegraph_tpu.graph.queries import GraphQueries
     from codegraph_tpu.indexer.indexer import ProjectIndexer
     from codegraph_tpu.mcp.tools import GraphToolExecutor
