@@ -88,10 +88,20 @@ def main() -> None:
                     "overlap it)",
         "headline": None,  # filled from kernel_pipelined below
     }
+    # .bench/ is gitignored and does not survive a host change; fall back
+    # to the already-committed block so re-assembly never erases results.
+    prior = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prior = json.load(f)
     for name, (fname, script) in BLOCKS.items():
         path = os.path.join(BENCH, fname)
         if not os.path.exists(path):
-            report[name] = {"status": "missing", "script": script}
+            kept = prior.get(name)
+            if isinstance(kept, dict) and kept.get("status") != "missing":
+                report[name] = kept
+            else:
+                report[name] = {"status": "missing", "script": script}
             continue
         with open(path) as f:
             data = json.load(f)

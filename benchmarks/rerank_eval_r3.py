@@ -77,11 +77,23 @@ def main():
     if ckpt:
         ce = CrossEncoder(checkpoint=ckpt)
         t0 = time.time()
-        reranked = []
+        reranked, blended_rows = [], []
+        a = ce.BLEND_RETRIEVAL
         for i in range(n):
             cand = retrieved[i]
             scores = ce.score_pairs(descs[i], [codes[j] for j in cand])
             reranked.append(cand[np.argsort(-scores)])
+            # what serving does (CrossEncoder.rerank_batch): blend
+            # min-max-normalized retrieval + cross-encoder scores
+            base = sims[i, cand]
+
+            def _norm(v):
+                span = v.max() - v.min()
+                return (v - v.min()) / span if span > 0 else np.zeros_like(v)
+
+            blend = a * _norm(base) + (1 - a) * _norm(
+                scores.astype(np.float64))
+            blended_rows.append(cand[np.argsort(-blend)])
             if (i + 1) % 64 == 0:
                 print(f"  reranked {i+1}/{n} "
                       f"({(time.time()-t0)/(i+1):.2f}s/q)", flush=True)
@@ -91,6 +103,11 @@ def main():
         }
         print("cross_encoder_rerank:", results["cross_encoder_rerank"],
               flush=True)
+        results["blended_rerank"] = {
+            **recalls(blended_rows, n),
+            "blend_retrieval_weight": a,
+        }
+        print("blended_rerank:", results["blended_rerank"], flush=True)
 
     lex = CrossScorerReranker()
     lex_ranked = []

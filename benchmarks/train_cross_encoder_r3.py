@@ -7,13 +7,19 @@ the lexical-overlap scorer. This trains a real one on the round-3 pair
 corpus (.bench/pairs_r3.jsonl.gz, built by train_encoder_r3.py — NO
 pairs from /root/reference, the held-out eval repo):
 
-  batch = Q queries x (1 positive + K-1 negatives), binary CE
-  (models/training.py cross_encoder_loss). Negatives mix HARD (code
+  batch = Q queries x (1 positive + K negatives), LISTWISE softmax-CE
+  over each candidate group (models/training.py cross_encoder_loss
+  group_size=1+K — the first round-3 run used pointwise sigmoid BCE,
+  whose "accuracy" an all-negative predictor passes at (G-1)/G; that
+  checkpoint ranked no better than random). Negatives mix HARD (code
   sharing a name verb/noun with the query's positive — forces reading
   past topic words, the failure mode a reranker exists to fix) and
   random. Pairs are assembled at the TOKEN-ID level
   ([CLS] desc [SEP] code [SEP]) from pre-tokenized halves, so the
   per-step host cost is numpy concatenation, not BPE re-encoding.
+  A held-out split (never trained on) is ranked at every eval point:
+  each held query scores its positive among 15 random held codes, so
+  the printed held_rank@1 is true ranking skill (chance 1/16).
 
 Eval: cross-repo (reference Rust doc->code, crossrepo_eval.harvest) —
 retrieve top-20 with the shipped bi-encoder ensemble, rerank with the
@@ -74,7 +80,14 @@ def main():
         rec = json.load(f)
     pairs = [tuple(p) for p in rec["python"] + rec["c_cpp"] + rec["synthetic"]]
     rng.shuffle(pairs)
-    print(f"{len(pairs)} (code, desc) pairs", flush=True)
+    # held-out ranking split: never sampled into training batches; the
+    # printed held_rank@1 (positive vs 15 random held codes, chance
+    # 1/16) is the go/no-go signal before shipping the checkpoint
+    n_held = 512
+    held_idx = list(range(n_held))
+    train_idx = list(range(n_held, len(pairs)))
+    print(f"{len(pairs)} (code, desc) pairs "
+          f"({len(train_idx)} train / {n_held} held)", flush=True)
 
     from codegraph_tpu.models.bpe import BPETokenizer
 
@@ -89,6 +102,8 @@ def main():
 
     buckets = {}
     for i, (_, d) in enumerate(pairs):
+        if i < n_held:  # held pairs never appear in training batches
+            continue
         for t in name_tokens(d):
             buckets.setdefault(t, []).append(i)
     buckets = {k: v for k, v in buckets.items() if len(v) >= 4}
@@ -132,19 +147,53 @@ def main():
                "b": jnp.zeros((), jnp.float32)}
 
     step_fn, optimizer = make_cross_encoder_train_step(
-        ce.cfg, TrainConfig(learning_rate=args.lr))
+        ce.cfg, TrainConfig(learning_rate=args.lr),
+        group_size=1 + args.negs)
     state = ((ce.params, ce.head), optimizer.init((ce.params, ce.head)))
 
-    n_pairs = len(pairs)
+    # ---- held-out ranking eval: fixed candidate groups, jitted scorer
+    from codegraph_tpu.models.encoder import encode as encode_fn
+
+    @jax.jit
+    def score_chunk(params, head, ids, mask):
+        cls = encode_fn(params, ids, mask, ce.cfg, normalize=False)
+        return cls @ head["w"] + head["b"]
+
+    G_EVAL = 16
+    ev_rng = np.random.default_rng(7)
+    ev_pidx = []
+    for qi in held_idx:
+        cands = [qi] + [int(c) for c in ev_rng.choice(held_idx, G_EVAL - 1)
+                        if int(c) != qi][: G_EVAL - 1]
+        while len(cands) < G_EVAL:
+            c = int(ev_rng.choice(held_idx))
+            if c != qi:
+                cands.append(c)
+        ev_pidx.extend((qi, ci) for ci in cands)
+    ev_ids, ev_mask = assemble_pairs(tok, d_ids, c_ids, ev_pidx,
+                                     args.max_len, args.q_len)
+
+    def held_rank_at1(state):
+        (params, head), _ = state
+        out = []
+        for a in range(0, len(ev_ids), 1024):
+            out.append(np.asarray(score_chunk(
+                params, head, jnp.asarray(ev_ids[a:a+1024]),
+                jnp.asarray(ev_mask[a:a+1024]))))
+        sc = np.concatenate(out).reshape(-1, G_EVAL)
+        return round(float((sc.argmax(axis=1) == 0).mean()), 4)
+
+    n_train = len(train_idx)
+    train_arr = np.asarray(train_idx)
     np_rng = np.random.default_rng(0)
     B = args.queries * (1 + args.negs)
     labels_np = np.zeros((args.queries, 1 + args.negs), np.float32)
     labels_np[:, 0] = 1.0
     labels_np = labels_np.reshape(-1)
-    losses = []
+    losses, evals = [], []
     t0 = time.time()
     for step in range(args.steps):
-        qs = np_rng.choice(n_pairs, args.queries, replace=False)
+        qs = train_arr[np_rng.choice(n_train, args.queries, replace=False)]
         pidx = []
         for qi in qs:
             pidx.append((qi, qi))  # positive
@@ -158,7 +207,7 @@ def main():
                     if n_hard else []:
                 pidx.append((qi, hard[int(h)]))
             while len(pidx) % (1 + args.negs) != 0:
-                ci = int(np_rng.integers(n_pairs))
+                ci = int(train_arr[np_rng.integers(n_train)])
                 if ci != qi:
                     pidx.append((qi, ci))
         ids, mask = assemble_pairs(tok, d_ids, c_ids, pidx,
@@ -175,6 +224,10 @@ def main():
                   f"acc {losses[-1]['acc']} "
                   f"({(time.time()-t0)/(step+1):.2f}s/step)", flush=True)
         if (step + 1) % args.eval_every == 0 or step + 1 == args.steps:
+            hr1 = held_rank_at1(state)
+            evals.append({"step": step + 1, "held_rank@1": hr1})
+            print(f"  held_rank@1 {hr1} (chance {1.0/G_EVAL:.3f})",
+                  flush=True)
             (ce.params, ce.head), _ = state
             save_cross_encoder(args.out, ce, tokenizer_file=args.bpe)
     train_s = time.time() - t0
@@ -187,7 +240,8 @@ def main():
     with open(".bench/train_cross_r3.json", "w") as f:
         json.dump({
             "steps": args.steps, "train_s": round(train_s, 1),
-            "losses": losses,
+            "losses": losses, "held_rank_evals": evals,
+            "objective": f"listwise softmax-CE, group={1 + args.negs}",
             "config": {"hidden": args.hidden, "layers": args.layers,
                        "max_len": args.max_len, "q_len": args.q_len,
                        "queries": args.queries, "negs": args.negs,

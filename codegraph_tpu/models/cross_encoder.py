@@ -66,10 +66,22 @@ class CrossEncoder:
             max_len = int(self.params["pos_emb"].shape[0])
             n_heads = int((meta or {}).get("n_heads") or next(
                 h for h in (8, 4, 2, 1) if hidden % h == 0))
+            # architecture VARIANTS (norm style, activation, attention
+            # biases, eps) also come from the checkpoint meta — the
+            # shipped checkpoint happens to match EncoderConfig
+            # defaults, but e.g. a post-LN HF-derived cross-encoder
+            # would silently run through the wrong graph otherwise
+            extra = {k: meta[k] for k in
+                     ("norm_style", "attn_bias", "act", "eps")
+                     if meta and k in meta}
+            if "b_qkv" in self.params["layers"]:
+                extra.setdefault("attn_bias", True)
             self.cfg = EncoderConfig(
                 vocab_size=int(tok_emb.shape[0]), hidden=hidden,
                 n_layers=n_layers, n_heads=n_heads, max_len=max_len,
-                pooling="cls",
+                mlp_ratio=int(self.params["layers"]["w_up"].shape[2]
+                              // hidden),
+                pooling="cls", **extra,
             )
             if tokenizer is None and meta and meta.get("tokenizer"):
                 # the checkpoint names its training tokenizer; resolve
@@ -144,18 +156,39 @@ class CrossEncoder:
 
         return scorer
 
+    # retrieval-score weight in the blended rerank; mirrors the lexical
+    # stage's 0.7/0.3 convention (search/reranker.py CrossScorerReranker)
+    BLEND_RETRIEVAL = 0.7
+
     def rerank_batch(self, query: str, results: List, k: int) -> List:
-        """Batched rerank over SearchResult-like items (uses .snippet/.name)."""
+        """Batched rerank over SearchResult-like items (uses .snippet/.name).
+
+        The final order BLENDS the incoming retrieval score with the
+        cross-encoder score (both min-max normalized within the
+        candidate list) instead of replacing it: the bi-encoder score
+        carries real evidence the joint scorer should refine, not
+        discard — and a misbehaving scorer can then only perturb the
+        ranking, not erase it (the round-3 BCE-trained checkpoint
+        scored noise cross-domain; replacement dropped recall@1 from
+        0.738 to 0.053 on the cross-repo eval)."""
         if not results:
             return results
-        scores = self.score_pairs(
+        ce = self.score_pairs(
             query, [f"{r.name} {r.snippet}" for r in results]
-        )
-        order = np.argsort(-scores)[:k]
+        ).astype(np.float64)
+        base = np.array([float(r.score) for r in results], np.float64)
+
+        def _norm(v):
+            span = v.max() - v.min()
+            return (v - v.min()) / span if span > 0 else np.zeros_like(v)
+
+        a = self.BLEND_RETRIEVAL
+        blended = a * _norm(base) + (1.0 - a) * _norm(ce)
+        order = np.argsort(-blended)[:k]
         out = []
         for idx in order:
             r = results[int(idx)]
-            r.score = float(scores[int(idx)])
+            r.score = float(blended[int(idx)])
             out.append(r)
         return out
 

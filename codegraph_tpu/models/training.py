@@ -133,24 +133,46 @@ def make_sharded_train_step(
 
 
 def cross_encoder_loss(
-    params, head, batch: Dict[str, jax.Array], cfg: EncoderConfig
+    params, head, batch: Dict[str, jax.Array], cfg: EncoderConfig,
+    group_size: int = 0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Pairwise binary cross-entropy for the cross-encoder reranker
-    (models/cross_encoder.py): batch carries tokenized (query+doc) pairs
-    and 0/1 relevance labels."""
+    """Loss for the cross-encoder reranker (models/cross_encoder.py):
+    batch carries tokenized (query+doc) pairs and 0/1 relevance labels.
+
+    With group_size G > 0 the batch is G consecutive candidates per
+    query (positive first) and the loss is LISTWISE softmax-CE over
+    each group — the objective a reranker is actually used under
+    (argmax within a candidate list, reranker.rs:170). `accuracy` is
+    then group-argmax==positive (chance = 1/G).
+
+    With group_size == 0 it falls back to pointwise sigmoid BCE.
+    That objective is miscalibrated for 1-in-G training data: an
+    all-negative predictor already scores (G-1)/G "accuracy" (the
+    round-3 checkpoint trained this way ranked no better than random
+    cross-domain), so groups are the default for the shipped trainer."""
     cls = encode(params, batch["pair_ids"], batch["pair_mask"], cfg,
                  normalize=False)
     logits = cls @ head["w"] + head["b"]
     labels = batch["labels"].astype(jnp.float32)
-    loss = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
-    acc = jnp.mean(((logits > 0) == (labels > 0.5)).astype(jnp.float32))
+    if group_size and group_size > 1:
+        g = logits.reshape(-1, group_size)
+        pos = labels.reshape(-1, group_size).argmax(axis=1)
+        logp = jax.nn.log_softmax(g, axis=1)
+        loss = -jnp.mean(jnp.take_along_axis(logp, pos[:, None], axis=1))
+        acc = jnp.mean((g.argmax(axis=1) == pos).astype(jnp.float32))
+    else:
+        loss = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+        acc = jnp.mean(((logits > 0) == (labels > 0.5)).astype(jnp.float32))
     return loss, {"loss": loss, "accuracy": acc}
 
 
-def make_cross_encoder_train_step(cfg: EncoderConfig, tcfg: TrainConfig):
+def make_cross_encoder_train_step(cfg: EncoderConfig, tcfg: TrainConfig,
+                                  group_size: int = 0):
     """Single-host train step over (encoder params, head). Returns
     (step_fn, optimizer) — step_fn(state, batch) -> (state, metrics)
-    where state = ((params, head), opt_state)."""
+    where state = ((params, head), opt_state). group_size > 0 trains
+    listwise over groups of G consecutive candidates per query (see
+    cross_encoder_loss)."""
     optimizer = make_optimizer(tcfg)
 
     @jax.jit
@@ -158,7 +180,8 @@ def make_cross_encoder_train_step(cfg: EncoderConfig, tcfg: TrainConfig):
         (params, head), opt_state = state
 
         def loss_fn(ph):
-            return cross_encoder_loss(ph[0], ph[1], batch, cfg)
+            return cross_encoder_loss(ph[0], ph[1], batch, cfg,
+                                      group_size=group_size)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             (params, head)

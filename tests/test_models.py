@@ -259,6 +259,42 @@ def test_cross_encoder_scores_and_rerank(tmp_path):
     np.testing.assert_allclose(scores[:1], scores3, atol=1e-4)
 
 
+def test_cross_encoder_checkpoint_restores_arch_variants(tmp_path):
+    """A checkpoint trained with non-default architecture knobs
+    (norm style, activation, mlp_ratio) must reload onto the SAME
+    graph — scores must match exactly, not run through the defaults."""
+    import jax
+
+    from codegraph_tpu.models.cross_encoder import (
+        CrossEncoder,
+        save_cross_encoder,
+    )
+    from codegraph_tpu.models.encoder import (
+        EncoderConfig,
+        init_encoder_params,
+    )
+
+    ce = CrossEncoder(hidden=32, n_layers=2, max_len=64)
+    ce.cfg = EncoderConfig(
+        vocab_size=ce.cfg.vocab_size, hidden=32, n_layers=2, n_heads=4,
+        max_len=64, pooling="cls", norm_style="post", act="gelu_exact",
+        mlp_ratio=2, eps=1e-5,
+    )
+    ce.params = init_encoder_params(jax.random.PRNGKey(1), ce.cfg)
+    docs = ["def parse_file(p)", "class HttpServer"]
+    before = ce.score_pairs("parse the file", docs)
+
+    path = str(tmp_path / "ce_variant.npz")
+    save_cross_encoder(path, ce)
+    ce2 = CrossEncoder(checkpoint=path)  # ctor defaults must not leak in
+    assert ce2.cfg.norm_style == "post"
+    assert ce2.cfg.act == "gelu_exact"
+    assert ce2.cfg.mlp_ratio == 2
+    assert ce2.cfg.eps == 1e-5
+    after = ce2.score_pairs("parse the file", docs)
+    np.testing.assert_allclose(before, after, atol=1e-4)
+
+
 def test_cross_encoder_training_learns(tmp_path):
     import jax
     import jax.numpy as jnp
@@ -301,6 +337,66 @@ def test_cross_encoder_training_learns(tmp_path):
     s_match = ce.score_pairs("parse the data", ["def parse_data(x)"])[0]
     s_mismatch = ce.score_pairs("parse the data", ["def cache_data(x)"])[0]
     assert s_match > s_mismatch
+
+
+def test_cross_encoder_listwise_objective():
+    """group_size>0 trains LISTWISE: accuracy is group-argmax (chance
+    1/G), so the (G-1)/G all-negative shortcut that the pointwise BCE
+    objective rewards cannot score well here (the round-3 shipped
+    reranker failed exactly that way)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from codegraph_tpu.models.cross_encoder import CrossEncoder
+    from codegraph_tpu.models.training import (
+        TrainConfig,
+        cross_encoder_loss,
+        make_cross_encoder_train_step,
+    )
+
+    ce = CrossEncoder(hidden=32, n_layers=1, max_len=48)
+    verbs = ["parse", "render", "cache", "merge"]
+    ids_parts, mask_parts, labels = [], [], []
+    for gi, v in enumerate(verbs):
+        # positive at position gi (groups need not be positive-first;
+        # a constant scorer must not win ties via argmax position 0)
+        negs = [w for w in verbs if w != v]
+        docs = [f"def {w}_data(x)" for w in negs]
+        docs.insert(gi, f"def {v}_data(x)")
+        i, m = ce._encode_pairs(f"{v} the data", docs)
+        ids_parts.append(i)
+        mask_parts.append(m)
+        lab = [0, 0, 0, 0]
+        lab[gi] = 1
+        labels.extend(lab)
+    batch = {
+        "pair_ids": jnp.asarray(np.concatenate(ids_parts)),
+        "pair_mask": jnp.asarray(np.concatenate(mask_parts)),
+        "labels": jnp.asarray(labels),
+    }
+
+    # an all-negative scorer: BCE "accuracy" rewards it at (G-1)/G,
+    # the listwise objective scores it at chance
+    zero_head = {"w": jnp.zeros_like(ce.head["w"]),
+                 "b": jnp.asarray(-10.0)}
+    _, m_bce = cross_encoder_loss(ce.params, zero_head, batch, ce.cfg)
+    assert float(m_bce["accuracy"]) == 0.75  # the shortcut BCE rewards
+    _, m_list = cross_encoder_loss(ce.params, zero_head, batch, ce.cfg,
+                                   group_size=4)
+    # constant scores: argmax ties to position 0; only the one group
+    # whose positive sits there gets credit (chance-level, not 0.75)
+    assert float(m_list["accuracy"]) == 0.25
+
+    step, opt = make_cross_encoder_train_step(
+        ce.cfg, TrainConfig(learning_rate=3e-3), group_size=4)
+    state = ((ce.params, ce.head), opt.init((ce.params, ce.head)))
+    for _ in range(80):
+        state, metrics = step(state, batch)
+    assert float(metrics["accuracy"]) == 1.0  # every group ranked right
+    (ce.params, ce.head), _ = state
+    s = ce.score_pairs("render the data",
+                       [f"def {w}_data(x)" for w in verbs])
+    assert int(np.argmax(s)) == 1  # render wins its candidate list
 
 
 def test_encoder_provider_infers_config_from_checkpoint(tmp_path):
