@@ -111,28 +111,16 @@ class CodeGraph:
     def serve(self, transport: str = "stdio") -> None:
         from codegraph_tpu.mcp.server import MCPServer
         from codegraph_tpu.mcp.tools import GraphToolExecutor
-        from codegraph_tpu.search.reranker import (
-            RerankerConfig,
-            RerankerPipeline,
-        )
+        from codegraph_tpu.search.reranker import make_reranker_pipeline
 
-        # same construction as the CLI (cli._make_server): a duplicated
-        # path silently dropped the cross_encoder wiring, so identical
-        # configs ranked differently between `codegraph start` and the
-        # library API
-        cross_encoder = None
-        if self.config.search.reranker == "cross_encoder":
-            from codegraph_tpu.models.cross_encoder import CrossEncoder
-
-            cross_encoder = CrossEncoder()
+        # shared construction with the CLI (cli._make_server): the
+        # previously-duplicated builds diverged twice (dropped
+        # cross_encoder wiring; random-init scorer without the shipped
+        # checkpoint)
         tools = GraphToolExecutor(
             self.graph, self.indexer.search,
-            RerankerPipeline(
-                self.indexer.provider,
-                config=RerankerConfig(
-                    stage1_k=self.config.search.rerank_candidates),
-                cross_encoder=cross_encoder,
-            ),
+            make_reranker_pipeline(self.indexer.provider,
+                                   self.config.search),
         )
         server = MCPServer(tools, self.config)
         if transport == "http":

@@ -108,25 +108,11 @@ def _make_server(cfg: CodeGraphConfig):
     from codegraph_tpu.graph.queries import GraphQueries
     from codegraph_tpu.mcp.server import MCPServer
     from codegraph_tpu.mcp.tools import GraphToolExecutor
-    from codegraph_tpu.search.reranker import RerankerPipeline
+    from codegraph_tpu.search.reranker import make_reranker_pipeline
 
     indexer = _build_indexer(cfg)
     queries = GraphQueries(indexer.store)
-    cross_encoder = None
-    if cfg.search.reranker == "cross_encoder":
-        from codegraph_tpu.models.cross_encoder import (
-            CrossEncoder,
-            default_cross_encoder_checkpoint,
-        )
-
-        # shipped trained checkpoint when present; random-init otherwise
-        cross_encoder = CrossEncoder(
-            checkpoint=default_cross_encoder_checkpoint())
-    from codegraph_tpu.search.reranker import RerankerConfig
-
-    rr_cfg = RerankerConfig(stage1_k=cfg.search.rerank_candidates)
-    reranker = RerankerPipeline(indexer.provider, config=rr_cfg,
-                                cross_encoder=cross_encoder)
+    reranker = make_reranker_pipeline(indexer.provider, cfg.search)
     tools = GraphToolExecutor(queries, indexer.search, reranker)
     return MCPServer(tools, cfg)
 

@@ -247,6 +247,10 @@ _ENV_OVERRIDES: Dict[str, str] = {
     "CODEGRAPH_GRAPH_BOOST_WEIGHT": "search.graph_boost_weight",
     "CODEGRAPH_SEARCH_LIMIT": "search.default_limit",
     "CODEGRAPH_RERANK": "search.rerank",
+    # reranker backend selection (embedding | cross_encoder | none);
+    # the reference selects its rerank provider via env the same way
+    # (JINA_ENABLE_RERANKING/model vars, config_manager.rs:730-760)
+    "CODEGRAPH_RERANKER": "search.reranker",
     "CODEGRAPH_INDEX_TIER": "indexing.tier",
     "CODEGRAPH_WORKERS": "indexing.workers",
     "CODEGRAPH_BATCH_SIZE": "indexing.batch_size",

@@ -172,10 +172,33 @@ class RerankerPipeline:
         return out
 
 
+def make_reranker_pipeline(provider, search_cfg, llm=None) -> RerankerPipeline:
+    """The ONE serving construction path for the rerank pipeline
+    (CLI `codegraph start`, the library API, service hosts). Duplicated
+    builds have twice diverged — one dropped the cross_encoder wiring
+    entirely, another constructed it without the shipped checkpoint
+    (a random-init scorer blending noise into every ranking)."""
+    cross_encoder = None
+    if getattr(search_cfg, "reranker", None) == "cross_encoder":
+        from codegraph_tpu.models.cross_encoder import (
+            CrossEncoder,
+            default_cross_encoder_checkpoint,
+        )
+
+        cross_encoder = CrossEncoder(
+            checkpoint=default_cross_encoder_checkpoint())
+    return RerankerPipeline(
+        provider, llm=llm,
+        config=RerankerConfig(stage1_k=search_cfg.rerank_candidates),
+        cross_encoder=cross_encoder,
+    )
+
+
 __all__ = [
     "RerankerConfig",
     "EmbeddingReranker",
     "CrossScorerReranker",
     "LLMReranker",
     "RerankerPipeline",
+    "make_reranker_pipeline",
 ]

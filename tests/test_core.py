@@ -72,11 +72,13 @@ def test_config_env_overrides(monkeypatch):
     monkeypatch.setenv("CODEGRAPH_INDEX_KIND", "ivf")
     monkeypatch.setenv("CODEGRAPH_VECTOR_WEIGHT", "0.8")
     monkeypatch.setenv("CODEGRAPH_RERANK", "true")
+    monkeypatch.setenv("CODEGRAPH_RERANKER", "cross_encoder")
     cfg = load_config(path="/nonexistent/config.toml")
     assert cfg.embedding.dimension == 768
     assert cfg.index.kind == "ivf"
     assert cfg.search.vector_weight == pytest.approx(0.8)
     assert cfg.search.rerank is True
+    assert cfg.search.reranker == "cross_encoder"
 
 
 def test_config_validation_clamps():

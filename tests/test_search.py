@@ -210,6 +210,37 @@ def test_reranker_pipeline_with_cross_encoder():
     assert all(hasattr(r, "score") for r in out)
 
 
+def test_make_reranker_pipeline_loads_shipped_checkpoint():
+    """The shared serving factory must load the SHIPPED cross-encoder
+    checkpoint (regression: api.serve built CrossEncoder() without one
+    — a random-init scorer blending noise into every ranking). Proof of
+    load: the shipped checkpoint names a BPE tokenizer; a bare
+    CrossEncoder() falls back to the byte tokenizer."""
+    import os
+
+    from codegraph_tpu.core.config import SearchConfig
+    from codegraph_tpu.models.cross_encoder import (
+        default_cross_encoder_checkpoint,
+    )
+    from codegraph_tpu.search.reranker import make_reranker_pipeline
+
+    store, index, provider, bm25 = build_corpus()
+
+    cfg = SearchConfig()
+    assert cfg.reranker != "cross_encoder"  # default stays embedding
+    pipe = make_reranker_pipeline(provider, cfg)
+    assert pipe.cross_encoder is None
+
+    if not (default_cross_encoder_checkpoint()
+            and os.path.exists(default_cross_encoder_checkpoint())):
+        return  # shipped checkpoint absent in this checkout
+    cfg.reranker = "cross_encoder"
+    pipe = make_reranker_pipeline(provider, cfg)
+    assert pipe.cross_encoder is not None
+    assert type(pipe.cross_encoder.tokenizer).__name__ != "ByteTokenizer"
+    assert pipe.config.stage1_k == cfg.rerank_candidates
+
+
 def test_bm25_native_matches_python_idf():
     """Native and Python BM25 must rank identically — regression: the
     native path derived n_docs from the query's max doc id, collapsing
