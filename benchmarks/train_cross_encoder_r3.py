@@ -59,6 +59,78 @@ def assemble_pairs(tok, d_ids, c_ids, pairs_idx, L, Lq):
     return ids, mask
 
 
+def mine_retriever_negatives(c_ids, d_ids, train_idx, k=8, batch=512):
+    """Hard negatives = the serving retriever's own top-k confusions.
+
+    The name-bucket negatives teach the model to read past shared topic
+    words, but at serving time the reranker sees the BI-ENCODER's top
+    candidates — so the strongest training negatives are exactly those:
+    encode the train code/desc halves with the shipped dense encoder
+    (the retrieval half of the serving ensemble), retrieve each desc's
+    top-k codes with the repo's own ops.topk.streaming_topk, and train
+    against the non-positive hits. Returns [n_train, k] int32 of LOCAL
+    train positions (the positive may appear; callers filter it).
+
+    Token ids are reused from the trainer's pre-tokenized halves
+    (BPETokenizer.ids does ~8k texts/s; the provider's text path
+    re-tokenizes and is ~100x slower for long code)."""
+    import jax
+    import jax.numpy as jnp
+
+    from codegraph_tpu.models.encoder import encode_jit
+    from codegraph_tpu.models.providers import (
+        EncoderProvider,
+        _default_checkpoint,
+    )
+    from codegraph_tpu.ops.topk import streaming_topk
+
+    prov = EncoderProvider(checkpoint=_default_checkpoint())
+    params, cfg = prov.params, prov.cfg
+    pad_id = prov.tokenizer.pad_id
+    L = cfg.max_len
+
+    def embed_ids(rows):
+        n = len(rows)
+        out = np.zeros((n, cfg.hidden), np.float32)
+        for a in range(0, n, batch):
+            chunk = rows[a:a + batch]
+            ids = np.full((batch, L), pad_id, np.int32)  # fixed shape:
+            mask = np.zeros((batch, L), np.bool_)        # one compile
+            for r, ts in enumerate(chunk):
+                ts = ts[:L]
+                ids[r, : len(ts)] = ts
+                mask[r, : len(ts)] = True
+            z = np.asarray(encode_jit(params, jnp.asarray(ids),
+                                      jnp.asarray(mask), cfg))
+            out[a:a + len(chunk)] = z[: len(chunk)]
+        return out
+
+    t0 = time.time()
+    ec = embed_ids([c_ids[i] for i in train_idx])
+    ed = embed_ids([d_ids[i] for i in train_idx])
+    print(f"mined-embed {len(train_idx)}x2 in {time.time()-t0:.0f}s",
+          flush=True)
+
+    n = len(train_idx)
+    tile_n = 2048
+    n_pad = ((n + tile_n - 1) // tile_n) * tile_n
+    x = np.zeros((n_pad, cfg.hidden), np.float32)
+    x[:n] = ec
+    xj = jnp.asarray(x)
+    bias = jnp.zeros((n_pad,), jnp.float32)
+    bias = bias.at[n:].set(-jnp.inf)  # padding rows never retrieved
+    mined = np.zeros((n, k), np.int32)
+    qb = 2048
+    t0 = time.time()
+    for a in range(0, n, qb):
+        q = np.zeros((qb, cfg.hidden), np.float32)
+        q[: min(qb, n - a)] = ed[a:a + qb]
+        _, ids = streaming_topk(jnp.asarray(q), xj, bias, k, tile_n=tile_n)
+        mined[a:a + qb] = np.asarray(ids)[: min(qb, n - a)]
+    print(f"mined top-{k} for {n} descs in {time.time()-t0:.0f}s", flush=True)
+    return mined
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
@@ -73,6 +145,10 @@ def main():
     ap.add_argument("--bpe", default="checkpoints/bpe_code_16k.json")
     ap.add_argument("--pairs-cache", default=".bench/pairs_r3.jsonl.gz")
     ap.add_argument("--eval-every", type=int, default=1000)
+    ap.add_argument("--mine", action="store_true",
+                    help="mine hard negatives from the shipped "
+                         "bi-encoder's top-k retrievals")
+    ap.add_argument("--mined-per-query", type=int, default=4)
     args = ap.parse_args()
 
     rng = random.Random(0)
@@ -185,6 +261,10 @@ def main():
 
     n_train = len(train_idx)
     train_arr = np.asarray(train_idx)
+    mined = local_pos = None
+    if args.mine:
+        mined = mine_retriever_negatives(c_ids, d_ids, train_idx)
+        local_pos = {g: l for l, g in enumerate(train_idx)}
     np_rng = np.random.default_rng(0)
     B = args.queries * (1 + args.negs)
     labels_np = np.zeros((args.queries, 1 + args.negs), np.float32)
@@ -197,12 +277,21 @@ def main():
         pidx = []
         for qi in qs:
             pidx.append((qi, qi))  # positive
+            if mined is not None:
+                # retriever-mined: the bi-encoder's own top hits for
+                # this desc (minus the positive) — the candidates the
+                # reranker must actually discriminate at serving time
+                row = [int(train_arr[m]) for m in mined[local_pos[int(qi)]]
+                       if int(train_arr[m]) != int(qi)]
+                for ci in row[: args.mined_per_query]:
+                    pidx.append((qi, ci))
             # hard negatives: same-bucket codes (not the positive itself)
             hard = []
             for bk in pair_bucket.get(int(qi), []):
                 hard.extend(buckets[bk])
             hard = [h for h in hard if h != qi]
-            n_hard = min(len(hard), args.negs // 2)
+            n_hard = min(len(hard), args.negs // 2,
+                         args.negs - (len(pidx) - 1) % (1 + args.negs))
             for h in np_rng.choice(len(hard), n_hard, replace=False) \
                     if n_hard else []:
                 pidx.append((qi, hard[int(h)]))
@@ -245,7 +334,10 @@ def main():
             "config": {"hidden": args.hidden, "layers": args.layers,
                        "max_len": args.max_len, "q_len": args.q_len,
                        "queries": args.queries, "negs": args.negs,
-                       "batch_pairs": B, "vocab": tok.vocab_size},
+                       "batch_pairs": B, "vocab": tok.vocab_size,
+                       "mined_negatives": bool(args.mine),
+                       "mined_per_query":
+                           args.mined_per_query if args.mine else 0},
             "out": args.out,
             "size_mb": round(os.path.getsize(args.out) / 1e6, 1),
         }, f, indent=1)

@@ -206,6 +206,36 @@ class EncoderProvider(EmbeddingProvider):
                 return b
         return self.buckets[-1]
 
+    def _frame_rows(self, texts: Sequence[str]):
+        """Tokenize each text ONCE -> [(bucket, framed id list)].
+
+        The previous path tokenized twice per text (count_tokens for
+        bucket choice, encode_batch for the arrays) and count_tokens
+        ran BPE over the ENTIRE text even though anything past the
+        largest bucket is truncated anyway. Tokenizing a char-capped
+        prefix once is exact: byte-level BPE/WordPiece tokens cover
+        >= 1 char each, so a 32*max_bucket-char prefix cannot
+        under-fill the largest bucket unless the whole text fits. It
+        also removes _embed's recompile hazard: a bucket group larger
+        than batch_size used to reach encode_batch unpadded, compiling
+        a fresh kernel for that exact group size."""
+        tok = self.tokenizer
+        max_b = self.buckets[-1]
+        ids_fn = getattr(tok, "ids", None)
+        cap = max_b * 32
+        rows = []
+        for t in texts:
+            if ids_fn is not None:
+                body = ids_fn(t[:cap])[: max_b - 2]
+            else:  # byte tokenizer: bytes ARE the ids
+                body = list(t[: cap].encode("utf-8",
+                                            errors="replace")[: max_b - 2])
+            enc = [tok.cls_id, *body, tok.sep_id]
+            need = len(enc)
+            bucket = next((b for b in self.buckets if need <= b), max_b)
+            rows.append((bucket, enc))
+        return rows
+
     def _embed(self, texts: Sequence[str]) -> np.ndarray:
         import jax.numpy as jnp
 
@@ -213,17 +243,23 @@ class EncoderProvider(EmbeddingProvider):
         out = np.zeros((n, self.dimension), np.float32)
         # group by length bucket; each bucket pads to batch_size so every
         # (bucket, batch_size) shape compiles exactly once
+        rows = self._frame_rows(texts)
         groups: Dict[int, List[int]] = {}
-        for idx, t in enumerate(texts):
-            groups.setdefault(self._bucket_for(t), []).append(idx)
+        for idx, (bucket, _) in enumerate(rows):
+            groups.setdefault(bucket, []).append(idx)
+        pad_id = self.tokenizer.pad_id
         for bucket, idxs in groups.items():
-            batch = [texts[i] for i in idxs]
-            padded = batch + [""] * (self.batch_size - len(batch))
-            ids, mask = self.tokenizer.encode_batch(padded, max_len=bucket)
+            nb = max(self.batch_size, len(idxs))
+            ids = np.full((nb, bucket), pad_id, np.int32)
+            mask = np.zeros((nb, bucket), np.bool_)
+            for r, i in enumerate(idxs):
+                enc = rows[i][1][:bucket]
+                ids[r, : len(enc)] = enc
+                mask[r, : len(enc)] = True
             emb = self._encode(
                 self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg
             )
-            out[idxs] = np.asarray(emb)[: len(batch)]
+            out[idxs] = np.asarray(emb)[: len(idxs)]
         return out
 
     def embed_texts_device(self, texts: Sequence[str]):
@@ -240,23 +276,27 @@ class EncoderProvider(EmbeddingProvider):
 
         if not texts:
             return jnp.zeros((0, self.dimension), jnp.float32)
+        rows = self._frame_rows(texts)
         groups: Dict[int, List[int]] = {}
-        for idx, t in enumerate(texts):
-            groups.setdefault(self._bucket_for(t), []).append(idx)
+        for idx, (bucket, _) in enumerate(rows):
+            groups.setdefault(bucket, []).append(idx)
+        pad_id = self.tokenizer.pad_id
         out = jnp.zeros((len(texts), self.dimension), jnp.float32)
         for bucket, idxs in groups.items():
             for start in range(0, len(idxs), self.batch_size):
                 sel = idxs[start:start + self.batch_size]
-                batch = [texts[i] for i in sel]
-                padded = batch + [""] * (self.batch_size - len(batch))
-                ids, mask = self.tokenizer.encode_batch(padded,
-                                                        max_len=bucket)
+                ids = np.full((self.batch_size, bucket), pad_id, np.int32)
+                mask = np.zeros((self.batch_size, bucket), np.bool_)
+                for r, i in enumerate(sel):
+                    enc = rows[i][1][:bucket]
+                    ids[r, : len(enc)] = enc
+                    mask[r, : len(enc)] = True
                 emb = self._encode(
                     self.params, jnp.asarray(ids), jnp.asarray(mask),
                     self.cfg,
                 )
                 out = out.at[jnp.asarray(np.asarray(sel, np.int32))].set(
-                    emb[: len(batch)].astype(jnp.float32))
+                    emb[: len(sel)].astype(jnp.float32))
         return out
 
 

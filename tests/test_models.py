@@ -166,6 +166,44 @@ def test_encoder_provider_bucketing():
     np.testing.assert_allclose(e[0], e2[0], atol=1e-4)
 
 
+def test_encoder_provider_single_pass_framing_matches_encode_batch():
+    """_frame_rows (one tokenize pass on a char-capped prefix) must
+    frame IDENTICALLY to the tokenizer's own encode_batch — bucket
+    choice and token rows both — for byte and BPE tokenizers, including
+    texts far past the largest bucket (the old double-tokenize path ran
+    BPE over the whole text just to pick a bucket)."""
+    import numpy as np
+
+    from codegraph_tpu.models.bpe import train_bpe
+    from codegraph_tpu.models.providers import EncoderProvider
+
+    bpe = train_bpe(["def parse_file(path): return read(path)\n" * 4,
+                     "class Server:\n    def start(self): pass\n" * 4],
+                    n_merges=64, max_len=256)
+    for tok in (None, bpe):  # None -> ByteTokenizer default
+        p = EncoderProvider(dimension=32, batch_size=4, max_len=256,
+                            tokenizer=tok)
+        texts = ["tiny", "def parse_file(p): pass", "x" * 200,
+                 "def parse_file(path): return read(path)\n" * 400, ""]
+        rows = p._frame_rows(texts)
+        for t, (bucket, enc) in zip(texts, rows):
+            assert bucket == p._bucket_for(t) or (
+                # char-capped prefix may legally pick the max bucket
+                # where full-text counting would too
+                bucket == p.buckets[-1])
+            ids_ref, mask_ref = p.tokenizer.encode_batch([t],
+                                                         max_len=bucket)
+            n_ref = int(mask_ref[0].sum())
+            assert enc == ids_ref[0, :n_ref].tolist()
+        # end-to-end: embeddings equal a direct encode_batch reference
+        e = p.embed_texts(texts)
+        assert e.shape == (5, 32)
+        np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0,
+                                   atol=1e-3)
+        e_again = p.embed_texts(["def parse_file(p): pass"])
+        np.testing.assert_allclose(e[1], e_again[0], atol=1e-4)
+
+
 def test_train_state_checkpoint_roundtrip(tmp_path):
     import jax
 
