@@ -204,6 +204,11 @@ def main():
     ap.add_argument("--bpe-out", default="checkpoints/bpe_code_16k.json")
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--harvest-only", action="store_true")
+    ap.add_argument("--mine", action="store_true",
+                    help="hard in-batch companions mined from the "
+                         "shipped encoder's own top-k retrievals")
+    ap.add_argument("--schedule", default="const",
+                    choices=("const", "cosine"))
     ap.add_argument("--pairs-cache", default=".bench/pairs_r3.jsonl.gz")
     args = ap.parse_args()
 
@@ -288,6 +293,20 @@ def main():
     bucket_keys = list(buckets.keys())
     print(f"{len(bucket_keys)} hard-negative buckets", flush=True)
 
+    mined_tr = None
+    if args.mine:
+        # retriever-mined batch-mates: each training pair's top-k
+        # retrieved codes under the CURRENT shipped encoder become its
+        # in-batch companions, so InfoNCE's denominators carry the
+        # confusions the previous model actually made (static mining —
+        # one pass with the shipped checkpoint before training starts)
+        from train_cross_encoder_r3 import mine_retriever_negatives
+
+        rows_c = [list(ids[m]) for ids, m in zip(tr_c_ids, tr_c_mask)]
+        rows_d = [list(ids[m]) for ids, m in zip(tr_d_ids, tr_d_mask)]
+        mined_tr = mine_retriever_negatives(
+            rows_c, rows_d, list(range(len(rows_c))))
+
     cfg = EncoderConfig(
         vocab_size=tok.vocab_size, hidden=args.hidden, n_layers=args.layers,
         n_heads=next(h for h in (16, 12, 8, 4, 2, 1)
@@ -296,7 +315,9 @@ def main():
     )
     mesh = make_mesh((1, 1), ("dp", "tp"))
     step_fn, init_fn = make_sharded_train_step(
-        mesh, cfg, TrainConfig(learning_rate=args.lr, temperature=0.05))
+        mesh, cfg, TrainConfig(learning_rate=args.lr, temperature=0.05,
+                               schedule=args.schedule,
+                               total_steps=args.steps))
     params, opt_state = init_fn(jax.random.PRNGKey(0))
 
     def eval_recall(params, ce, de, bs=256):
@@ -325,12 +346,22 @@ def main():
     t0 = time.time()
     for step in range(args.steps):
         # easy half: uniform; hard half: a few buckets' members together
+        # (or, with --mine, retriever-confusable clusters)
         sel = list(np_rng.choice(n_train, args.batch - n_hard,
                                  replace=False))
-        while len(sel) < args.batch:
-            b = buckets[bucket_keys[np_rng.integers(len(bucket_keys))]]
-            take = min(8, args.batch - len(sel))
-            sel.extend(np_rng.choice(b, min(take, len(b)), replace=False))
+        seen = set(sel)  # duplicate rows would be false negatives of
+        while len(sel) < args.batch:  # their own positives under InfoNCE
+            if mined_tr is not None:
+                s = int(np_rng.integers(n_train))
+                group = [s] + [int(m) for m in mined_tr[s] if int(m) != s][:7]
+            else:
+                b = buckets[bucket_keys[np_rng.integers(len(bucket_keys))]]
+                group = list(np_rng.choice(b, min(8, len(b)),
+                                           replace=False))
+            for g in group:
+                if g not in seen and len(sel) < args.batch:
+                    seen.add(g)
+                    sel.append(g)
         sel = np.asarray(sel[:args.batch])
         out = step_fn(params, opt_state, {
             "anchor_ids": tr_c_ids[sel], "anchor_mask": tr_c_mask[sel],
@@ -372,7 +403,9 @@ def main():
             "heldout": held_m, "crossrepo_rust": xr_m,
             "config": {"hidden": args.hidden, "layers": args.layers,
                        "max_len": args.max_len, "vocab": tok.vocab_size,
-                       "batch": args.batch, "hard_frac": args.hard_frac},
+                       "batch": args.batch, "hard_frac": args.hard_frac,
+                       "mined": bool(args.mine),
+                       "schedule": args.schedule},
             "out": args.out,
             "size_mb": round(os.path.getsize(args.out) / 1e6, 1),
         }, f, indent=1)

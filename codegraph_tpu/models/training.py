@@ -34,12 +34,28 @@ class TrainConfig:
     weight_decay: float = 0.01
     temperature: float = 0.05
     grad_clip: float = 1.0
+    # "const" | "cosine" (linear warmup -> cosine decay to lr/10; set
+    # total_steps for the decay horizon). Long runs on this stack train
+    # measurably better with decay; short probe runs keep const.
+    schedule: str = "const"
+    total_steps: int = 0
+    warmup_steps: int = 200
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    if tcfg.schedule == "cosine" and tcfg.total_steps > 0:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=tcfg.learning_rate / 25.0,
+            peak_value=tcfg.learning_rate,
+            warmup_steps=min(tcfg.warmup_steps, max(1, tcfg.total_steps // 10)),
+            decay_steps=tcfg.total_steps,
+            end_value=tcfg.learning_rate / 10.0,
+        )
+    else:
+        lr = tcfg.learning_rate
     return optax.chain(
         optax.clip_by_global_norm(tcfg.grad_clip),
-        optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay),
+        optax.adamw(lr, weight_decay=tcfg.weight_decay),
     )
 
 

@@ -204,6 +204,30 @@ def test_encoder_provider_single_pass_framing_matches_encode_batch():
         np.testing.assert_allclose(e[1], e_again[0], atol=1e-4)
 
 
+def test_optimizer_cosine_schedule():
+    """schedule="cosine" warms up then decays; updates stay finite and
+    the optimizer still applies (a mis-built schedule would throw at
+    the first update)."""
+    import jax.numpy as jnp
+    import optax
+
+    from codegraph_tpu.models.training import TrainConfig, make_optimizer
+
+    tcfg = TrainConfig(learning_rate=1e-3, schedule="cosine",
+                       total_steps=100, warmup_steps=10)
+    opt = make_optimizer(tcfg)
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    state = opt.init(params)
+    for _ in range(3):
+        grads = {"w": jnp.full((4,), 0.5, jnp.float32)}
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert bool(jnp.isfinite(params["w"]).all())
+    # const fallback unchanged
+    opt2 = make_optimizer(TrainConfig(learning_rate=1e-3))
+    assert opt2.init(params) is not None
+
+
 def test_train_state_checkpoint_roundtrip(tmp_path):
     import jax
 
