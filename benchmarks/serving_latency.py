@@ -42,11 +42,14 @@ def drive_threaded(service, queries, rate, duration):
     result() walk overstating tails."""
     import threading
 
+    from codegraph_tpu.search.service import ServiceOverloaded
+
     rng = np.random.default_rng(1234 + rate)
     t_start = time.perf_counter()
     deadline = t_start + duration
     done_lat = []
     n_skip = [0]
+    n_shed = 0
     lock = threading.Lock()
 
     def make_cb(sched):
@@ -66,9 +69,13 @@ def drive_threaded(service, queries, rate, duration):
         now = time.perf_counter()
         if now < next_t:
             time.sleep(next_t - now)
-        fut = service.submit(queries[i % len(queries)])
-        fut.add_done_callback(make_cb(next_t))
-        n_sub += 1
+        try:
+            fut = service.submit(queries[i % len(queries)])
+            fut.add_done_callback(make_cb(next_t))
+            n_sub += 1
+        except ServiceOverloaded:
+            # shed at admission: an instant 429, not a latency sample
+            n_shed += 1
         next_t += rng.exponential(1.0 / rate)
         i += 1
     # drain: wait for every submitted future to resolve
@@ -80,13 +87,45 @@ def drive_threaded(service, queries, rate, duration):
         if done >= n_sub:
             break
         time.sleep(0.05)
-    return np.sort(np.asarray(done_lat)), n_sub, t_end - t_start
+    return np.sort(np.asarray(done_lat)), n_sub, t_end - t_start, n_shed
 
 
 def pct(lat, p):
     if lat.size == 0:
         return None
     return float(lat[min(int(p / 100.0 * lat.size), lat.size - 1)])
+
+
+def run_tier(svc, queries, rates, duration, label):
+    """Drive one tier across rates; per-rate stats are reset so
+    avg_batch/shed are per-rate, not cumulative (r3's were cumulative)."""
+    from codegraph_tpu.search.service import ServiceStats
+
+    tier = {}
+    for rate in rates:
+        time.sleep(1.0)  # settle: no queue bleed between rates
+        svc.stats = ServiceStats()
+        lat, n_sub, wall, n_shed = drive_threaded(svc, queries, rate,
+                                                  duration)
+        tier[f"rate_{rate}"] = {
+            "submitted": int(n_sub),
+            "shed": int(n_shed),
+            "completed": int(lat.size),
+            "qps": round(lat.size / max(wall - WARMUP_S, 1e-9), 1),
+            "p50_ms": round(pct(lat, 50) * 1e3, 2) if lat.size else None,
+            "p90_ms": round(pct(lat, 90) * 1e3, 2) if lat.size else None,
+            "p99_ms": round(pct(lat, 99) * 1e3, 2) if lat.size else None,
+            "avg_batch": round(svc.stats.avg_batch, 1),
+            "expired": int(svc.stats.expired),
+        }
+        print(label, rate, tier[f"rate_{rate}"], flush=True)
+    tier["note"] = (
+        "completed < submitted = warmup-window arrivals excluded from "
+        "percentiles plus any unresolved drain tail at the 120 s cap; "
+        "the arrival schedule is shared across tiers (fixed seed per "
+        "rate). shed = admission-control rejections (instant 429s, not "
+        "latency samples).")
+    return tier
 
 
 def main():
@@ -99,6 +138,12 @@ def main():
     ap.add_argument("--duration", type=float, default=DURATION_S)
     ap.add_argument("--max-batch", type=int, default=MAX_BATCH)
     ap.add_argument("--max-wait-ms", type=float, default=MAX_WAIT_MS)
+    ap.add_argument("--auto", action="store_true",
+                    help="use QueryService.auto() per-tier policies "
+                         "(overrides --workers/--max-batch/--max-wait-ms)")
+    ap.add_argument("--max-pending", type=int, default=None,
+                    help="admission bound (default: QueryService's "
+                         "8*max_batch*workers)")
     ap.add_argument("--suffix", default=SUFFIX,
                     help="append to result keys; merges into existing json")
     args = ap.parse_args()
@@ -121,6 +166,8 @@ def main():
             results = json.load(f)
     results["config" + SUFFIX] = {"N": N, "D": D, "rates": RATES,
                                   "duration_s": DURATION_S,
+                                  "auto_policy": bool(args.auto),
+                                  "max_pending": args.max_pending,
                                   "workers": WORKERS,
                                   "max_batch": MAX_BATCH,
                                   "max_wait_ms": MAX_WAIT_MS}
@@ -149,25 +196,18 @@ def main():
     del idx8
     print("int8 shm published + attached", flush=True)
 
-    svc = QueryService(served8, k=10, max_batch=MAX_BATCH,
-                       max_wait_ms=MAX_WAIT_MS, workers=WORKERS)
+    if args.auto:
+        svc = QueryService.auto(served8, k=10, max_pending=args.max_pending)
+        results["config" + SUFFIX]["int8_policy"] = QueryService.policy_for(
+            served8)
+    else:
+        svc = QueryService(served8, k=10, max_batch=MAX_BATCH,
+                           max_wait_ms=MAX_WAIT_MS, workers=WORKERS,
+                           max_pending=args.max_pending)
     # warm the ONE padded batch shape before driving
     np.asarray(svc.search(queries[0])[0])
-    tier = {}
-    for rate in RATES:
-        time.sleep(1.0)  # settle: no queue bleed between rates
-        lat, n_sub, wall = drive_threaded(svc, queries, rate, DURATION_S)
-        tier[f"rate_{rate}"] = {
-            "submitted": int(n_sub),
-            "completed": int(lat.size),
-            "qps": round(lat.size / max(wall - WARMUP_S, 1e-9), 1),
-            "p50_ms": round(pct(lat, 50) * 1e3, 2) if lat.size else None,
-            "p90_ms": round(pct(lat, 90) * 1e3, 2) if lat.size else None,
-            "p99_ms": round(pct(lat, 99) * 1e3, 2) if lat.size else None,
-            "avg_batch": round(svc.stats.avg_batch, 1),
-        }
-        print("int8", rate, tier[f"rate_{rate}"], flush=True)
-    results["int8_shm_served" + SUFFIX] = tier
+    results["int8_shm_served" + SUFFIX] = run_tier(
+        svc, queries, RATES, DURATION_S, "int8")
     svc.close()
     served8.close()
     pub8.close()
@@ -185,24 +225,17 @@ def main():
     del idxpq
     print("ivfpq shm published + attached", flush=True)
 
-    svc = QueryService(servedpq, k=10, max_batch=MAX_BATCH,
-                       max_wait_ms=MAX_WAIT_MS, workers=WORKERS)
+    if args.auto:
+        svc = QueryService.auto(servedpq, k=10, max_pending=args.max_pending)
+        results["config" + SUFFIX]["ivfpq_policy"] = QueryService.policy_for(
+            servedpq)
+    else:
+        svc = QueryService(servedpq, k=10, max_batch=MAX_BATCH,
+                           max_wait_ms=MAX_WAIT_MS, workers=WORKERS,
+                           max_pending=args.max_pending)
     np.asarray(svc.search(queries[0])[0])
-    tier = {}
-    for rate in RATES:
-        time.sleep(1.0)
-        lat, n_sub, wall = drive_threaded(svc, queries, rate, DURATION_S)
-        tier[f"rate_{rate}"] = {
-            "submitted": int(n_sub),
-            "completed": int(lat.size),
-            "qps": round(lat.size / max(wall - WARMUP_S, 1e-9), 1),
-            "p50_ms": round(pct(lat, 50) * 1e3, 2) if lat.size else None,
-            "p90_ms": round(pct(lat, 90) * 1e3, 2) if lat.size else None,
-            "p99_ms": round(pct(lat, 99) * 1e3, 2) if lat.size else None,
-            "avg_batch": round(svc.stats.avg_batch, 1),
-        }
-        print("ivfpq", rate, tier[f"rate_{rate}"], flush=True)
-    results["ivfpq_shm_served" + SUFFIX] = tier
+    results["ivfpq_shm_served" + SUFFIX] = run_tier(
+        svc, queries, RATES, DURATION_S, "ivfpq")
     svc.close()
     servedpq.close()
     pubpq.close()

@@ -27,11 +27,21 @@ CONFIG_PATH = CONFIG_DIR / "config.toml"
 class EmbeddingConfig:
     """Embedding provider + dimensions (reference: embedding_config.rs)."""
 
-    provider: str = "hash"  # hash | encoder | openai | jina | ollama | lmstudio
+    # Default = the TRAINED quality path, matching the reference's
+    # out-of-the-box behavior (embedding.rs:160,366 auto-selects a real
+    # model; local_provider.rs:53-63 defaults to all-MiniLM-L6-v2): the
+    # ensemble provider (shipped r3 encoder checkpoint + its BPE
+    # tokenizer via checkpoint meta, concat-mixed with the lexical hash
+    # half) — measured cross-repo recall@1 0.738 vs 0.375 for hash-only
+    # (.bench/crossrepo_eval.json). When no checkpoint ships (stripped
+    # install), create_provider falls back down `fallbacks` to hash.
+    provider: str = "ensemble"  # ensemble | encoder | hash | openai | jina | ollama | lmstudio
     model: str = "minilm-l6"
     # "byte" (default) | path to a trained BPE .json | HF dir / vocab.txt
+    # ("byte" defers to the checkpoint's embedded tokenizer reference
+    # when one is present — the shipped r3 checkpoint names its BPE-16k)
     tokenizer: str = "byte"
-    dimension: int = 384
+    dimension: int = 768
     batch_size: int = 256
     max_chunk_tokens: int = 512
     chunk_overlap_tokens: int = 64

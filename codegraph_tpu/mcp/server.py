@@ -89,6 +89,9 @@ class MCPServer:
         self.tier = ContextTier.from_context_window(self.config.llm.context_window)
         self.initialized = False
         self._startup: Optional[str] = None
+        # optional pre-built MetricsRegistry (serving wires QueryService
+        # sources in before handing the registry to make_http_server)
+        self.metrics_registry = None
         import os
 
         self.architecture = os.environ.get(
@@ -399,15 +402,28 @@ class MCPServer:
           `data:` events, followed by the final JSON-RPC response.
         * DELETE /mcp — explicit session termination.
         * GET /mcp — 405 (no server-initiated stream; allowed by spec).
+        * GET /metrics — Prometheus text exposition (reference ships the
+          prometheus crate for its HTTP server, Cargo.toml:219); exports
+          tool call counts, cache hit rates, perfmon windows, graph and
+          index sizes via utils/metrics.py. Unauthenticated by design
+          (scrapers don't carry MCP bearer tokens; no request data is
+          exposed).
         * Optional bearer auth: `auth_token` or CODEGRAPH_HTTP_TOKEN.
         """
         import os
         import uuid
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+        from codegraph_tpu.utils.metrics import (
+            MetricsRegistry,
+            make_server_source,
+        )
+
         server = self
         token = auth_token or os.environ.get("CODEGRAPH_HTTP_TOKEN", "")
         sessions: Dict[str, Dict[str, Any]] = {}
+        registry = self.metrics_registry or MetricsRegistry()
+        registry.register("mcp_server", make_server_source(self))
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
@@ -494,6 +510,15 @@ class MCPServer:
                     self.send_error(404)
 
             def do_GET(self):
+                if self.path.split("?")[0].rstrip("/") == "/metrics":
+                    body = registry.render().encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 self.send_error(405)
 
             def log_message(self, *args):
@@ -501,6 +526,7 @@ class MCPServer:
 
         httpd = ThreadingHTTPServer((host, port), Handler)
         httpd._mcp_sessions = sessions  # test introspection
+        httpd._metrics_registry = registry
         return httpd
 
     def serve_http(self, host: str = "127.0.0.1", port: int = 3003,

@@ -45,6 +45,12 @@ TOOL_SCHEMAS: Dict[str, Dict[str, Any]] = {
                 "query": {"type": "string", "description": "natural language or code query"},
                 "limit": _int_schema("max results", 10, 1, 100),
                 "rerank": {"type": "boolean", "default": False},
+                "model": {
+                    "type": "string",
+                    "description": "route to a named index backend in a "
+                                   "multi-model deployment (omit for the "
+                                   "default)",
+                },
                 # SearchFilters (reference: search.rs:23-28 + the
                 # metadata-filtered KNN, surrealdb_storage.rs:331)
                 "languages": {
@@ -170,10 +176,16 @@ class GraphToolExecutor:
         reranker: Optional[RerankerPipeline] = None,
         cache_size: int = 256,
         debug: Optional[DebugLogger] = None,
+        router=None,
     ):
+        """router: optional search.router.IndexRouter for multi-model
+        deployments — the `model` tool parameter routes the query to the
+        named backend (reference: per-dimension column routing,
+        surrealdb_storage.rs:1932)."""
         self.queries = queries
         self.search = hybrid_search
         self.reranker = reranker
+        self.router = router
         self.cache = SearchCache(max_size=cache_size, ttl_s=120.0)
         self.debug = debug or DebugLogger()
         self.call_counts: Dict[str, int] = {}
@@ -218,9 +230,15 @@ class GraphToolExecutor:
                     metadata=p.get("metadata"),
                     soft=(p.get("filter_mode") == "soft"),
                 )
-            results = self.search.search_text(
-                p["query"], int(p.get("limit", 10)), filters=filters
-            )
+            if p.get("model") and self.router is not None:
+                results = self.router.search_text(
+                    p["query"], int(p.get("limit", 10)),
+                    model=p["model"], filters=filters,
+                )
+            else:
+                results = self.search.search_text(
+                    p["query"], int(p.get("limit", 10)), filters=filters
+                )
             if p.get("rerank") and self.reranker is not None:
                 results = self.reranker.rerank(p["query"], results)
             return {"count": len(results),

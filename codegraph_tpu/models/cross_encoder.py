@@ -7,6 +7,15 @@ transformer encoder over the concatenated pair `[CLS] query [SEP] doc
 [SEP]` with a scalar scoring head on the CLS position; all candidate
 pairs for a query score as ONE batch (B = n_candidates), so the rerank
 is a single device dispatch.
+
+Measured retrieval lift (round 4, .bench/rerank_eval_r3.json, 512
+cross-repo Rust doc->code pairs): the trained r3 checkpoint does NOT
+transfer — retrieval-only recall@1 0.738 vs 0.227 pure cross-encoder
+rerank and 0.723 blended; train-time pair-accuracy (0.90 on held-out
+training pairs) did not predict cross-domain rerank quality. The
+cross-encoder therefore stays OPT-IN (SearchConfig.rerank defaults to
+False, reranker to "embedding"); do not default it into serving until
+a rerank_eval block shows recall@1 at or above retrieval-only.
 """
 
 from __future__ import annotations

@@ -617,6 +617,13 @@ def make_provider(name: str, ecfg: EmbeddingConfig) -> EmbeddingProvider:
                 "your own weights)", ecfg.model,
             )
             ckpt = _default_checkpoint()
+        if ckpt is None:
+            # no shipped checkpoint (stripped install): a random-weight
+            # encoder would silently serve garbage embeddings — rotate
+            # the create_provider fallback chain to hash instead
+            raise ProviderUnavailable(
+                f"provider {name!r} needs a trained checkpoint and none "
+                "is shipped under checkpoints/; set embedding.model")
         tok = None
         tok_spec = getattr(ecfg, "tokenizer", "byte")
         if tok_spec and tok_spec != "byte":

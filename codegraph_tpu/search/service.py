@@ -25,14 +25,61 @@ class ServiceStats:
     queries: int = 0
     batches: int = 0
     max_batch_seen: int = 0
+    shed: int = 0      # rejected at admission (queue full)
+    expired: int = 0   # dropped at flush (exceeded queue deadline)
 
     @property
     def avg_batch(self) -> float:
         return self.queries / self.batches if self.batches else 0.0
 
 
+class ServiceOverloaded(RuntimeError):
+    """Admission control rejected the query: the pending queue is at
+    max_pending. The HTTP layer maps this to 429; callers should back
+    off. Bounding the queue bounds worst-case latency to roughly
+    max_pending / capacity instead of letting p99 grow without limit
+    (reference target: bounded latency at 1k->2k QPS sustained,
+    performance_monitor.rs:68)."""
+
+
 class QueryService:
     """Wraps any index with search(queries [B, D], k) in a batch collector."""
+
+    #: per-tier batching policies, from the measured round-3/4 serving
+    #: sweeps (BENCH_SWEEP_TPU_r3.json serving_latency + *_tuned): a
+    #: corpus-bound full scan (flat/int8) pays the same HBM read per
+    #: flush regardless of batch size, so capacity = max_batch /
+    #: flush_time — big batches win and small ones collapse under load
+    #: (tuned max_batch=64 drove int8 rate-3000 p50 from 1.6 s to 5 s).
+    #: IVF-PQ's flush cost is smaller and less batch-sensitive, so small
+    #: batches + more in-flight workers win latency there (rate-3000
+    #: p50 3248 -> 270 ms in the same sweep).
+    POLICIES = {
+        "scan": dict(max_batch=1024, max_wait_ms=2.0, workers=4),
+        "ivf": dict(max_batch=64, max_wait_ms=2.0, workers=8),
+    }
+
+    @classmethod
+    def policy_for(cls, index) -> dict:
+        """Pick the batching policy from the index tier, so operators
+        don't have to transcribe bench notes into flags. ShmServedIndex
+        and sharded wrappers are unwrapped to the underlying tier."""
+        inner = index
+        for attr in ("_idx", "index", "base"):
+            nxt = getattr(inner, attr, None)
+            if nxt is not None and nxt is not inner:
+                inner = nxt
+        name = type(inner).__name__.lower()
+        if "ivf" in name:
+            return dict(cls.POLICIES["ivf"])
+        return dict(cls.POLICIES["scan"])
+
+    @classmethod
+    def auto(cls, index, k: int = 10, **overrides) -> "QueryService":
+        """QueryService with the measured per-tier default policy."""
+        kw = cls.policy_for(index)
+        kw.update(overrides)
+        return cls(index, k=k, **kw)
 
     def __init__(
         self,
@@ -42,6 +89,8 @@ class QueryService:
         max_wait_ms: float = 2.0,
         pad_to_max: bool = True,
         workers: int = 1,
+        max_pending: Optional[int] = None,
+        queue_timeout_ms: Optional[float] = None,
     ):
         """pad_to_max: zero-pad every flushed batch to max_batch rows so
         the jitted index kernels compile for exactly ONE batch shape.
@@ -60,16 +109,30 @@ class QueryService:
         per-call transport overhead overlaps with device compute
         instead of serializing behind it. A semaphore bounds in-flight
         flushes at R, so overload back-pressures into larger batches
-        rather than an unbounded dispatch queue."""
+        rather than an unbounded dispatch queue.
+
+        max_pending: admission bound — submits beyond this many queued
+        queries raise ServiceOverloaded (shed, counted in stats.shed).
+        Default = 8 * max_batch * workers, roughly 8 full rounds of
+        capacity, which caps queueing delay at ~8 flush times.
+
+        queue_timeout_ms: optional per-query deadline — queries older
+        than this at flush time fail with TimeoutError instead of
+        occupying batch rows their caller has long stopped waiting for.
+        """
         self.index = index
         self.k = int(k)
         self.max_batch = int(max_batch)
         self.max_wait_s = max_wait_ms / 1000.0
         self.pad_to_max = bool(pad_to_max)
         self.workers = max(1, int(workers))
+        self.max_pending = (int(max_pending) if max_pending is not None
+                            else 8 * self.max_batch * self.workers)
+        self.queue_timeout_s = (queue_timeout_ms / 1000.0
+                                if queue_timeout_ms else None)
         self.stats = ServiceStats()
         self._lock = threading.Lock()
-        self._pending: List[Tuple[np.ndarray, Future]] = []
+        self._pending: List[Tuple[np.ndarray, Future, float]] = []
         self._wake = threading.Event()
         self._stop = threading.Event()
         self._pool = (
@@ -82,14 +145,24 @@ class QueryService:
         self._thread.start()
 
     def submit(self, query: np.ndarray) -> Future:
-        """Enqueue one query vector; resolves to (scores [k], rows [k])."""
+        """Enqueue one query vector; resolves to (scores [k], rows [k]).
+        Raises ServiceOverloaded when the pending queue is full."""
         fut: Future = Future()
         with self._lock:
-            self._pending.append((np.asarray(query, np.float32), fut))
+            if len(self._pending) >= self.max_pending:
+                self.stats.shed += 1
+                raise ServiceOverloaded(
+                    f"pending queue full ({self.max_pending}); retry later")
+            self._pending.append(
+                (np.asarray(query, np.float32), fut, time.monotonic()))
         # always wake: the collector blocks indefinitely while idle and
         # only uses the max_wait timeout between first enqueue and flush
         self._wake.set()
         return fut
+
+    def queue_depth(self) -> int:
+        with self._lock:
+            return len(self._pending)
 
     def search(self, query: np.ndarray, timeout: Optional[float] = 30.0):
         """Synchronous convenience wrapper."""
@@ -109,27 +182,58 @@ class QueryService:
             if 0 < n < self.max_batch:
                 time.sleep(self.max_wait_s)
             self._wake.clear()
-            with self._lock:
-                batch = self._pending[: self.max_batch]
-                self._pending = self._pending[self.max_batch:]
-                if self._pending:  # leftovers: keep the loop hot
-                    self._wake.set()
-            if not batch:
-                continue
             if self._pool is not None:
-                self._inflight.acquire()  # backpressure: <= workers in flight
+                # acquire the in-flight slot BEFORE slicing the batch:
+                # while every worker is busy, new arrivals keep joining
+                # the queue, so the batch taken when a slot frees is as
+                # full as possible. Slicing first (as round 3 did) froze
+                # half-full batches during the semaphore wait — measured
+                # as avg_batch 117 of max 256 at overload, i.e. half the
+                # capacity thrown away (padded rows cost the same HBM
+                # scan as real ones).
+                self._inflight.acquire()
+                batch = self._take_batch()
+                if not batch:
+                    self._inflight.release()
+                    continue
                 self._pool.submit(self._flush_release, batch)
             else:
-                self._flush(batch)
+                batch = self._take_batch()
+                if batch:
+                    self._flush(batch)
 
-    def _flush_release(self, batch: List[Tuple[np.ndarray, Future]]) -> None:
+    def _take_batch(self) -> List[Tuple[np.ndarray, Future, float]]:
+        with self._lock:
+            batch = self._pending[: self.max_batch]
+            self._pending = self._pending[self.max_batch:]
+            if self._pending:  # leftovers: keep the loop hot
+                self._wake.set()
+        return batch
+
+    def _flush_release(
+            self, batch: List[Tuple[np.ndarray, Future, float]]) -> None:
         try:
             self._flush(batch)
         finally:
             self._inflight.release()
 
-    def _flush(self, batch: List[Tuple[np.ndarray, Future]]) -> None:
-        queries = np.stack([q for q, _ in batch])
+    def _flush(self, batch: List[Tuple[np.ndarray, Future, float]]) -> None:
+        if self.queue_timeout_s is not None:
+            now = time.monotonic()
+            live = []
+            for q, fut, t in batch:
+                if now - t > self.queue_timeout_s:
+                    with self._lock:
+                        self.stats.expired += 1
+                    if not fut.cancelled():
+                        fut.set_exception(TimeoutError(
+                            f"query queued > {self.queue_timeout_s:.3f}s"))
+                else:
+                    live.append((q, fut, t))
+            batch = live
+            if not batch:
+                return
+        queries = np.stack([q for q, _, _ in batch])
         if self.pad_to_max and queries.shape[0] < self.max_batch:
             queries = np.concatenate([
                 queries,
@@ -139,7 +243,7 @@ class QueryService:
         try:
             scores, rows = self.index.search(queries, self.k)
         except Exception as exc:
-            for _, fut in batch:
+            for _, fut, _ in batch:
                 if not fut.cancelled():
                     fut.set_exception(exc)
             return
@@ -148,7 +252,7 @@ class QueryService:
             self.stats.batches += 1
             self.stats.max_batch_seen = max(self.stats.max_batch_seen,
                                             len(batch))
-        for i, (_, fut) in enumerate(batch):
+        for i, (_, fut, _) in enumerate(batch):
             if not fut.cancelled():
                 fut.set_result((scores[i], rows[i]))
 
@@ -261,4 +365,5 @@ class ShmServedIndex:
                 self._store = None
 
 
-__all__ = ["QueryService", "ServiceStats", "ShmServedIndex"]
+__all__ = ["QueryService", "ServiceOverloaded", "ServiceStats",
+           "ShmServedIndex"]

@@ -97,3 +97,67 @@ def test_http_transport_end_to_end(tmp_path):
     payload = json.loads(call["result"]["content"][0]["text"])
     assert payload["count"] >= 1
     assert payload["results"][0]["name"] == "handle_request"
+
+
+def test_metrics_endpoint(tmp_path):
+    """GET /metrics serves Prometheus text with tool/cache/graph gauges
+    (reference ships prometheus for its HTTP server, Cargo.toml:219)."""
+    (tmp_path / "m.py").write_text("def compute_total(x):\n    return x\n")
+    cfg = make_cfg(tmp_path)
+    indexer = ProjectIndexer(cfg)
+    indexer.index_project(str(tmp_path))
+    tools = GraphToolExecutor(GraphQueries(indexer.store), indexer.search)
+    server = MCPServer(tools, cfg)
+    tools.execute("semantic_code_search", {"query": "compute total"})
+
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = server.make_http_server("127.0.0.1", port)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=10) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            text = resp.read().decode()
+        assert "# TYPE codegraph_tool_calls_total counter" in text
+        assert 'codegraph_tool_calls_total{tool="semantic_code_search"} 1' \
+            in text
+        assert "codegraph_graph_nodes " in text
+        assert "codegraph_index_rows " in text
+        assert "codegraph_search_cache_" in text
+    finally:
+        httpd.shutdown()
+
+
+def test_metrics_registry_service_source():
+    """QueryService stats (incl. shed/queue depth) export via the
+    registry; broken sources don't take down the scrape."""
+    import numpy as np
+
+    from codegraph_tpu.index.flat import FlatIndex
+    from codegraph_tpu.search.service import QueryService
+    from codegraph_tpu.utils.metrics import (
+        MetricsRegistry,
+        make_service_source,
+    )
+
+    index = FlatIndex(16, tile_n=128, backend="xla")
+    index.add(np.eye(16, dtype=np.float32))
+    svc = QueryService(index, k=2, max_batch=4, max_wait_ms=1.0)
+    try:
+        svc.search(np.eye(16, dtype=np.float32)[0])
+        reg = MetricsRegistry()
+        reg.register("qsvc", make_service_source(svc))
+        reg.register("broken", lambda: 1 / 0)
+        text = reg.render()
+        assert "codegraph_service_queries_total 1" in text
+        assert "codegraph_service_shed_total 0" in text
+        assert "codegraph_service_queue_depth 0" in text
+        assert 'codegraph_source_error{source="broken"} 1' in text
+    finally:
+        svc.close()

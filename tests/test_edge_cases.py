@@ -93,6 +93,6 @@ def test_config_env_override_bad_values(monkeypatch):
     monkeypatch.setenv("CODEGRAPH_IVF_NPROBE", "99999")
     monkeypatch.setenv("CODEGRAPH_INDEX_KIND", "hnsw")  # unknown -> flat
     cfg = load_config()
-    assert cfg.embedding.dimension == 384  # bad int ignored
+    assert cfg.embedding.dimension == 768  # bad int ignored (default kept)
     assert cfg.index.kind == "flat"
     assert cfg.index.nprobe <= cfg.index.nlist  # clamped

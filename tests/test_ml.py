@@ -148,3 +148,91 @@ def test_mann_whitney_midranks_on_ties():
     u, p = t.mann_whitney("a", "b")
     assert abs(u - 18.0) < 1e-9  # na*nb/2 = 6*6/2
     assert p > 0.9
+
+
+def test_ml_lifecycle_facade(tmp_path):
+    """MLLifecycle composes registry/inference/AB/features/drift behind
+    the reference's MLPipeline surface (pipeline.rs:202-660)."""
+    import numpy as np
+
+    from codegraph_tpu.ml.pipeline import MLLifecycle, PipelineStatus
+    from codegraph_tpu.models.providers import HashProvider
+
+    life = MLLifecycle()
+    life.register_model("a", HashProvider(32))
+    life.register_model("b", HashProvider(64))
+
+    # inference + registry validation
+    e = life.predict("a", "def f(): pass")
+    assert e.shape == (32,)
+    assert life.predict_batch("b", ["x", "y"]).shape == (2, 64)
+    with pytest.raises(KeyError):
+        life.predict("missing", "x")
+
+    # A/B: sticky assignment, recorded outcomes, analyzable
+    life.start_ab_test("exp", ["a", "b"])
+    arm1, emb = life.predict_with_ab_test("exp", "user-1", ["q"])
+    arm2, _ = life.predict_with_ab_test("exp", "user-1", ["q"])
+    assert arm1 == arm2 and arm1 in ("a", "b")
+    life.record_ab("exp", arm1, 0.5)
+    rep = life.analyze_ab_test("exp")
+    assert rep["arms"][arm1]["n"] == 1
+
+    # pause/resume gates inference
+    life.pause()
+    assert life.get_status() == PipelineStatus.PAUSED
+    with pytest.raises(RuntimeError):
+        life.predict("a", "x")
+    life.resume()
+    assert life.get_status() == PipelineStatus.READY
+
+    # train_model: success registers; failure -> ERROR state
+    life.train_model("c", lambda: HashProvider(16))
+    assert life.predict("c", "x").shape == (16,)
+    with pytest.raises(ValueError):
+        life.train_model("d", lambda: (_ for _ in ()).throw(ValueError("x")))
+    assert life.get_status() == PipelineStatus.ERROR
+    assert "ValueError" in life.get_context()["error"]
+
+    # performance monitoring pulls provider metrics
+    perf = life.monitor_performance()
+    assert perf["a"]["texts"] >= 1
+
+
+def test_ml_lifecycle_drift_retrain():
+    import numpy as np
+
+    from codegraph_tpu.ml.drift import DriftThresholds
+    from codegraph_tpu.ml.pipeline import MLLifecycle, RetrainPolicy
+
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((512, 16)).astype(np.float32)
+    calls = []
+
+    life = MLLifecycle(
+        drift_reference=ref,
+        retrain_fn=lambda s: (calls.append(len(s)), True)[1],
+        policy=RetrainPolicy(consecutive_drifted=2, cooldown_s=0.0,
+                             min_samples=64),
+    )
+    # drifted batches: shifted distribution
+    for _ in range(3):
+        life.observe(rng.standard_normal((128, 16)).astype(np.float32) + 4.0)
+    assert calls, "retrain should have fired on sustained drift"
+    assert life.get_context()["drift"]["retrains"] >= 1
+
+
+def test_ml_lifecycle_model_save_load(tmp_path):
+    from codegraph_tpu.ml.pipeline import MLLifecycle
+    from codegraph_tpu.models.providers import EncoderProvider
+
+    life = MLLifecycle()
+    life.register_model("enc", EncoderProvider(dimension=64, max_len=32))
+    path = str(tmp_path / "enc.npz")
+    life.save_model("enc", path)
+    life.load_model("enc2", path)
+    a = life.predict("enc", "def f(): pass")
+    b = life.predict("enc2", "def f(): pass")
+    import numpy as np
+
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -606,3 +606,46 @@ def test_cross_encoder_checkpoint_carries_bpe_tokenizer(tmp_path):
     s2 = ce2.score_pairs("parse config", ["def parse_config(x)", "html"])
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_default_config_resolves_to_trained_ensemble():
+    """VERDICT r3 item 2: a fresh default-config create_provider() must
+    resolve to the TRAINED quality path (ensemble: r3 encoder checkpoint
+    + its BPE tokenizer from the checkpoint meta + lexical hash half),
+    not the hash baseline — matching the reference's out-of-the-box
+    model auto-selection (embedding.rs:160,366; local_provider.rs:53)."""
+    from codegraph_tpu.core.config import CodeGraphConfig
+    from codegraph_tpu.models.providers import (
+        EnsembleProvider,
+        HybridEmbeddingPipeline,
+        _default_checkpoint,
+        create_provider,
+    )
+
+    if _default_checkpoint() is None:
+        pytest.skip("no checkpoint shipped in this tree")
+    p = create_provider(CodeGraphConfig())
+    primary = p.providers[0] if isinstance(p, HybridEmbeddingPipeline) else p
+    assert isinstance(primary, EnsembleProvider)
+    # r3 checkpoint is 512-wide -> ensemble = 512 encoder + 256 hash
+    assert primary.encoder.dimension == 512
+    assert primary.dimension == 768
+    # the checkpoint meta names its training tokenizer (BPE-16k), which
+    # must override the "byte" config default
+    assert primary.tokenizer is not None
+    assert getattr(primary.tokenizer, "vocab_size", 0) > 256
+    e = primary.embed_texts(["fn parse(x: &str) -> Ast"])
+    assert e.shape == (1, 768)
+
+
+def test_default_provider_falls_back_to_hash_without_checkpoint(monkeypatch):
+    """A stripped install (no checkpoints/) must degrade to hash via the
+    fallback chain instead of serving a random-weight encoder."""
+    import codegraph_tpu.models.providers as providers_mod
+    from codegraph_tpu.core.config import CodeGraphConfig
+
+    monkeypatch.setattr(providers_mod, "_default_checkpoint", lambda: None)
+    p = providers_mod.create_provider(CodeGraphConfig())
+    assert p.name == "hash"
+    e = p.embed_texts(["a"])
+    assert e.shape[0] == 1

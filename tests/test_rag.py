@@ -105,3 +105,99 @@ def test_insights_generator(indexed):
     kinds = {i.kind for i in insights}
     assert "relevant_code" in kinds
     assert all(isinstance(i.to_dict(), dict) for i in insights)
+
+
+def _mk_result(name="compute_invoice", score=0.9, file="billing.py",
+               snippet="def compute_invoice(items): ..."):
+    from codegraph_tpu.core.types import SearchResult
+
+    return SearchResult(node_id="n1", chunk_id="c1", score=score, name=name,
+                        node_type="function", file_path=file, start_line=3,
+                        snippet=snippet)
+
+
+def test_generator_synthesis_ladder():
+    """Intent templates fire on pattern queries; extractive otherwise;
+    quoting when extractive is disabled (response_generator.rs:246-264)."""
+    from codegraph_tpu.rag.generator import (
+        GenerationConfig,
+        GenerationMethod,
+        ResponseGenerator,
+    )
+
+    qp = QueryProcessor()
+    results = [_mk_result(), _mk_result(name="apply_tax", score=0.7)]
+    gen = ResponseGenerator()
+
+    r = gen.generate(qp.process("how is the invoice computed?"), results)
+    assert r.method == GenerationMethod.TEMPLATE
+    assert "compute_invoice" in r.answer and "billing.py:3" in r.answer
+    assert "apply_tax" in r.answer  # related items attached
+    assert r.valid and r.confidence > 0.3
+    assert r.sources[0]["node_id"] == "n1"
+
+    r2 = gen.generate(qp.process("invoice computation paths"), results)
+    assert r2.method == GenerationMethod.EXTRACTIVE
+
+    gen_q = ResponseGenerator(
+        config=GenerationConfig(use_extractive_synthesis=False))
+    r3 = gen_q.generate(qp.process("invoice computation paths"), results)
+    assert r3.method == GenerationMethod.QUOTE
+    assert '"' in r3.answer
+
+
+def test_generator_low_confidence_and_validation():
+    from codegraph_tpu.rag.generator import (
+        GenerationMethod,
+        ResponseGenerator,
+    )
+
+    qp = QueryProcessor()
+    gen = ResponseGenerator()
+    # all scores below the 0.3 threshold -> degraded-but-listed answer
+    weak = [_mk_result(score=0.1), _mk_result(name="apply_tax", score=0.05)]
+    r = gen.generate(qp.process("how is the invoice computed?"), weak)
+    assert r.method == GenerationMethod.DEGRADED
+    assert r.validation.get("low_confidence")
+    assert "compute_invoice" in r.answer  # still surfaces what was found
+
+    # validation: per-check detail on a strong answer
+    r2 = gen.generate(qp.process("how is the invoice computed?"),
+                      [_mk_result()])
+    assert r2.validation["nonempty"] and r2.validation["cites_source"]
+    assert r2.validation["query_overlap"] and r2.validation["grounded"]
+
+    # no results at all
+    r3 = gen.generate(qp.process("quantum flux capacitor"), [])
+    assert not r3.valid
+
+
+def test_generator_from_contexts():
+    """generate_from_contexts scores context relevance first and drops
+    irrelevant ones (response_generator.rs:146-218,508-545)."""
+    from codegraph_tpu.rag.generator import ResponseGenerator
+
+    gen = ResponseGenerator()
+    r = gen.generate_from_contexts(
+        "invoice tax calculation",
+        ["the invoice tax calculation multiplies price by the rate",
+         "completely unrelated text about weather patterns"],
+    )
+    assert r.valid
+    assert "invoice" in r.answer
+    assert len(r.sources) == 1  # the weather context was dropped
+    assert r.confidence > 0.3
+
+    r2 = gen.generate_from_contexts("invoice", [])
+    assert not r2.valid
+
+
+def test_generator_truncation():
+    from codegraph_tpu.rag.generator import GenerationConfig, ResponseGenerator
+
+    gen = ResponseGenerator(config=GenerationConfig(max_response_length=80))
+    qp = QueryProcessor()
+    r = gen.generate(qp.process("how is the invoice computed?"),
+                     [_mk_result(snippet="x" * 500)])
+    assert len(r.answer) <= 80
+    assert r.answer.endswith("...")

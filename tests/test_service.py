@@ -69,3 +69,95 @@ def test_query_service_sync_and_error(rng):
             svc.search(np.zeros(8, np.float32), timeout=30)
     finally:
         svc.close()
+
+
+def test_query_service_admission_control(rng):
+    """Submits beyond max_pending shed with ServiceOverloaded and are
+    counted; queued queries still complete."""
+    import threading
+
+    from codegraph_tpu.search.service import ServiceOverloaded
+
+    release = threading.Event()
+
+    class SlowIndex:
+        def search(self, q, k):
+            release.wait(10)
+            return (np.zeros((q.shape[0], k), np.float32),
+                    np.zeros((q.shape[0], k), np.int32))
+
+    svc = QueryService(SlowIndex(), k=3, max_batch=4, max_wait_ms=1.0,
+                       max_pending=6)
+    try:
+        futures = []
+        shed = 0
+        for _ in range(40):
+            try:
+                futures.append(svc.submit(np.zeros(8, np.float32)))
+            except ServiceOverloaded:
+                shed += 1
+        assert shed > 0
+        assert svc.stats.shed == shed
+        assert svc.queue_depth() <= 6
+        release.set()
+        for f in futures:
+            f.result(timeout=30)
+    finally:
+        release.set()
+        svc.close()
+
+
+def test_query_service_queue_deadline(rng):
+    """Queries older than queue_timeout_ms fail with TimeoutError at
+    flush instead of occupying batch rows."""
+    import threading
+    import time as _time
+
+    gate = threading.Event()
+
+    class GatedIndex:
+        def search(self, q, k):
+            return (np.zeros((q.shape[0], k), np.float32),
+                    np.zeros((q.shape[0], k), np.int32))
+
+    svc = QueryService(GatedIndex(), k=3, max_batch=4, max_wait_ms=80.0,
+                       queue_timeout_ms=10.0)
+    try:
+        fut = svc.submit(np.zeros(8, np.float32))
+        # the collector sleeps max_wait (80 ms) before flushing a
+        # non-full batch, so the 10 ms deadline has long passed
+        with pytest.raises(TimeoutError):
+            fut.result(timeout=30)
+        assert svc.stats.expired == 1
+    finally:
+        svc.close()
+
+
+def test_query_service_auto_policy(rng):
+    """auto() picks the measured per-tier policy: big batches for
+    corpus-bound scans, small batches + more workers for IVF tiers."""
+    D = 32
+    x = rng.standard_normal((256, D)).astype(np.float32)
+    flat = FlatIndex(D, tile_n=128, backend="xla")
+    rows = flat.add(x)
+    svc = QueryService.auto(flat, k=5)
+    try:
+        assert svc.max_batch == QueryService.POLICIES["scan"]["max_batch"]
+        scores, got = svc.search(x[3])
+        assert got[0] == rows[3]
+    finally:
+        svc.close()
+
+    from codegraph_tpu.index.ivf import IVFIndex
+
+    ivf = IVFIndex(D, nlist=8, nprobe=4)
+    pol = QueryService.policy_for(ivf)
+    assert pol == QueryService.POLICIES["ivf"]
+
+    # ShmServedIndex-style wrappers unwrap to the underlying tier
+    class Wrapper:
+        def __init__(self, idx):
+            self._idx = idx
+
+    assert QueryService.policy_for(Wrapper(ivf)) == \
+        QueryService.POLICIES["ivf"]
