@@ -399,6 +399,32 @@ def _truncate_topk(s_np, i_np, k: int):
             np.take_along_axis(i_np, order, axis=1))
 
 
+@jax.jit
+def _quantize_rows_device(v: jax.Array):
+    """Per-row symmetric int8 on device: (int8 [n, D], f32 scales [n, 1]).
+    Stays device-resident — the whole point of refine="int8_device" is
+    that rows never visit the host."""
+    scale = jnp.maximum(jnp.max(jnp.abs(v), axis=1, keepdims=True),
+                        1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(v / scale), -127, 127).astype(jnp.int8)
+    return q8, scale.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _refine_device_kernel(q, raw, scales, s_cand, i_cand, k: int):
+    """Exact on-device rescore of PQ candidates: gather int8 rows by
+    global id, dequantize, f32 dot, re-top-k. [B, R, D] gather traffic
+    = B*R*D bytes (126 MB at B=1024, R=40, D=768) — tiny next to a scan."""
+    safe = jnp.maximum(i_cand, 0)                        # [B, R]
+    rows = jnp.take(raw, safe, axis=0).astype(jnp.float32)   # [B, R, D]
+    sc = jnp.take(scales[:, 0], safe, axis=0)            # [B, R]
+    exact = jnp.einsum("bd,brd->br", q, rows,
+                       preferred_element_type=jnp.float32) * sc
+    exact = jnp.where(i_cand >= 0, exact, NEG_INF)
+    s_top, pos = jax.lax.top_k(exact, k)
+    return s_top, jnp.take_along_axis(i_cand, pos, axis=1)
+
+
 class IVFPQIndex(IVFIndex):
     """IVF cells storing m-byte residual PQ codes instead of vectors.
 
@@ -435,10 +461,19 @@ class IVFPQIndex(IVFIndex):
         distortion ~ the neighbor margins), and the refine stage
         restores fine ranking (the FAISS-refine / DiskANN recipe).
         int8 rescoring resolves margins down to ~4e-3 of the score
-        scale; use f32 when neighbor margins are tighter than that."""
+        scale; use f32 when neighbor margins are tighter than that.
+
+        refine="int8_device" banks the int8 rows + scales in HBM
+        (N*(D+4) device bytes — 7.7 GB at 10M x 768, fits one chip next
+        to the codes) and rescores with an on-device gather + f32 dot:
+        no host round-trip at ADD time (the host modes fetch every row
+        over the transport — prohibitive on a remote-attached chip) and
+        no host einsum at query time. This is the production 10M-tier
+        configuration (BENCH_SWEEP r4 ivfpq_operating_point); beyond
+        HBM (100M), fall back to refine="int8" host banking."""
         if dim % m != 0:
             raise ValueError(f"dim={dim} not divisible by m={m}")
-        if refine not in ("none", "int8", "f32"):
+        if refine not in ("none", "int8", "f32", "int8_device"):
             raise ValueError(f"unknown refine mode {refine!r}")
         super().__init__(
             dim, nlist=nlist, nprobe=nprobe, metric=metric, dtype="float32",
@@ -460,6 +495,8 @@ class IVFPQIndex(IVFIndex):
         self._books: Optional[jax.Array] = None  # [m, ksub, dsub]
         self._raw_chunks: list = []              # host int8 rows (refine)
         self._raw_scales: list = []              # host f32 per-row scales
+        self._dev_chunks: list = []              # device int8 rows (refine)
+        self._dev_scales: list = []              # device f32 scales [n, 1]
 
     # -- build -------------------------------------------------------------
 
@@ -533,6 +570,10 @@ class IVFPQIndex(IVFIndex):
                 np.clip(np.round(vn / scale), -127, 127).astype(np.int8)
             )
             self._raw_scales.append(scale.astype(np.float32))
+        elif self.refine == "int8_device":
+            q8, sc = _quantize_rows_device(v)
+            self._dev_chunks.append(q8)
+            self._dev_scales.append(sc)
         elif self.refine == "f32":
             vn = np.asarray(v, np.float32)
             self._raw_chunks.append(vn)
@@ -593,7 +634,8 @@ class IVFPQIndex(IVFIndex):
         if self.metric == "cosine":
             q = l2_normalize(q)
         np_eff = min(nprobe or self.nprobe, self.nlist)
-        use_refine = self.refine != "none" and self._raw_chunks
+        use_refine = self.refine != "none" and (
+            self._raw_chunks or self._dev_chunks)
         k_fetch = max(k, min(k * self.refine_factor,
                              self.list_cap * np_eff)) if use_refine else k
         if extra_bias is not None:
@@ -610,6 +652,14 @@ class IVFPQIndex(IVFIndex):
                 q, self._centroids, self._x, self._ids, self._bias,
                 self._books, k_fetch, np_eff,
             )
+        if use_refine and self.refine == "int8_device" \
+                and extra_bias is None:
+            # device path: candidates never leave the chip before the
+            # exact rescore (one extra fetch of [B, k] only)
+            raw, scales = self._dev_bank()
+            s, i = _refine_device_kernel(q, raw, scales, s, i, k)
+            s_np, i_np = np.asarray(s), np.asarray(i)
+            return s_np, np.where(s_np <= float(NEG_INF) / 2, -1, i_np)
         s_np, i_np = np.asarray(s), np.asarray(i)
         dead = s_np <= float(NEG_INF) / 2
         i_np = np.where(dead, -1, i_np)
@@ -619,7 +669,21 @@ class IVFPQIndex(IVFIndex):
             if k_fetch > k:
                 s_np, i_np = _truncate_topk(s_np, i_np, k)
             return s_np, i_np
+        if self.refine == "int8_device":
+            raw, scales = self._dev_bank()
+            s2, i2 = _refine_device_kernel(
+                q, raw, scales, jnp.asarray(s_np), jnp.asarray(i_np), k)
+            s_np, i_np = np.asarray(s2), np.asarray(i2)
+            return s_np, np.where(s_np <= float(NEG_INF) / 2, -1, i_np)
         return self._refine_host(np.asarray(q), s_np, i_np, k)
+
+    def _dev_bank(self):
+        """Consolidate device refine chunks into one [N, D] bank (one
+        concat copy, HBM-local; lazily on first refined search)."""
+        if len(self._dev_chunks) > 1:
+            self._dev_chunks = [jnp.concatenate(self._dev_chunks)]
+            self._dev_scales = [jnp.concatenate(self._dev_scales)]
+        return self._dev_chunks[0], self._dev_scales[0]
 
     def _refine_host(
         self, qnp: np.ndarray, s_np: np.ndarray, i_np: np.ndarray, k: int
@@ -677,7 +741,8 @@ class IVFPQIndex(IVFIndex):
         cells_u = np.full((u_pad,), self.nlist, np.int32)  # pad never matches
         cells_u[: uniq.size] = uniq
 
-        use_refine = self.refine != "none" and self._raw_chunks
+        use_refine = self.refine != "none" and (
+            self._raw_chunks or self._dev_chunks)
         k_fetch = max(k, min(k * self.refine_factor,
                              self.list_cap * np_eff)) if use_refine else k
         if extra_bias is not None:
@@ -688,6 +753,12 @@ class IVFPQIndex(IVFIndex):
             self._bias, self._centroids, self._books, k_fetch,
             tile_u=tile_u,
         )
+        if use_refine and self.refine == "int8_device" \
+                and extra_bias is None:
+            raw, scales = self._dev_bank()
+            s, i = _refine_device_kernel(q, raw, scales, s, i, k)
+            s_np, i_np = np.asarray(s), np.asarray(i)
+            return s_np, np.where(s_np <= float(NEG_INF) / 2, -1, i_np)
         s_np, i_np = np.asarray(s), np.asarray(i)
         dead = s_np <= float(NEG_INF) / 2
         i_np = np.where(dead, -1, i_np)
@@ -697,6 +768,12 @@ class IVFPQIndex(IVFIndex):
             if k_fetch > k:
                 s_np, i_np = _truncate_topk(s_np, i_np, k)
             return s_np, i_np
+        if self.refine == "int8_device":
+            raw, scales = self._dev_bank()
+            s2, i2 = _refine_device_kernel(
+                q, raw, scales, jnp.asarray(s_np), jnp.asarray(i_np), k)
+            s_np, i_np = np.asarray(s2), np.asarray(i2)
+            return s_np, np.where(s_np <= float(NEG_INF) / 2, -1, i_np)
         return self._refine_host(np.asarray(q), s_np, i_np, k)
 
     # -- state -------------------------------------------------------------
@@ -709,7 +786,10 @@ class IVFPQIndex(IVFIndex):
             "bytes_per_row": self.m + 4 + 4,  # codes + id + bias (HBM)
             "refine": self.refine,
             "host_bytes_per_row": {"none": 0, "int8": self.dim + 4,
-                                   "f32": self.dim * 4}[self.refine],
+                                   "f32": self.dim * 4,
+                                   "int8_device": 0}[self.refine],
+            "hbm_refine_bytes_per_row": (
+                self.dim + 4 if self.refine == "int8_device" else 0),
         })
         return st
 

@@ -205,3 +205,47 @@ def test_ivfpq_pallas_routing_flag(rng):
     assert (i_x == i_p).all()
     np.testing.assert_allclose(s_x, s_p, rtol=1e-4, atol=1e-4)
     assert (i_p[:, 0] == np.arange(5)).all()
+
+
+def test_ivfpq_device_refine_matches_host_int8(rng):
+    """refine="int8_device" (HBM-resident rows + on-device rescore) must
+    rank like the host int8 refine — same quantizer, different venue —
+    across both the per-query and batch-shared paths, incremental adds,
+    and deletes."""
+    x = clustered_data(rng, 32, 64, 48)  # 2048 points
+    q = x[rng.choice(len(x), 8, replace=False)] + 0.01
+    _, ref_i = cosine_oracle(q, x, 10)
+
+    host = IVFPQIndex(48, nlist=32, nprobe=8, m=12, kmeans_iters=8,
+                      pq_iters=8, refine="int8", refine_factor=16)
+    host.train(x)
+    host.add(x)
+    s_h, i_h = host.search(q, 10)
+
+    dev = IVFPQIndex(48, nlist=32, nprobe=8, m=12, kmeans_iters=8,
+                     pq_iters=8, refine="int8_device", refine_factor=16)
+    dev.train(x)
+    dev.add(x[:1024])  # incremental adds -> multiple device chunks
+    dev.add(x[1024:])
+    s_d, i_d = dev.search(q, 10)
+
+    assert recall_at_k(i_d, ref_i) >= recall_at_k(i_h, ref_i) - 0.05
+    # same quantizer -> (near-)identical candidate rankings
+    agree = np.mean([len(set(a) & set(b)) / 10.0
+                     for a, b in zip(i_d, i_h)])
+    assert agree >= 0.9
+    st = dev.stats()
+    assert st["host_bytes_per_row"] == 0
+    assert st["hbm_refine_bytes_per_row"] == 52
+
+    # batch-shared path returns the same thing
+    s_b, i_b = dev.search_batch(q, 10)
+    agree_b = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(i_b, i_d)])
+    assert agree_b >= 0.9
+
+    # deletes: tombstoned rows never resurface through the refine gather
+    victim = int(i_d[0, 0])
+    dev.delete(np.array([victim]))
+    _, i_after = dev.search(q, 10)
+    assert victim not in i_after[0]
