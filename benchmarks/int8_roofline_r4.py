@@ -1,0 +1,293 @@
+"""int8 scan roofline: measure every ceiling, then attack the gap.
+
+VERDICT r3 item 4: int8 yields 92.8k QPS at 1M x 768 (1.47x over bf16)
+where the arithmetic says ~2x; quantify bytes-in-flight vs measured HBM
+bandwidth, fix what's fixable, and commit either >=120k QPS or a
+written roofline analysis with numbers.
+
+Decomposition (all PIPELINED, R=8 distinct query batches — single
+dispatches on this transport carry ~30 ms fixed cost and a result
+cache, so only pipelined numbers mean anything):
+
+  bw_stream   corpus-only VPU max-reduce     -> achieved HBM read GB/s
+  mxu         int8 matmul + 1-op fold-max    -> effective MXU Tops
+  epi         + f32 cast * qs * xs + bias    -> epilogue VPU cost
+  epinoqs     epilogue WITHOUT the per-query scale (qs > 0 is constant
+              per score row, so it cannot change that row's ranking —
+              apply it to the final [B, k] instead of [B, N])
+  full        shipped kernel (sanity: ~92.8k)
+  fullnoqs    shipped merge + deferred-qs epilogue
+  qres_*      query-resident variants: the [B, D] query block gets a
+              CONSTANT index map, so Mosaic loads it once per dispatch
+              instead of once per grid step — removes the N/tile_n x
+              B x D re-fetch (1.5 GB/dispatch at B=4096, ~2x the
+              corpus bytes)
+
+Run ON TPU: python benchmarks/int8_roofline_r4.py
+Writes .bench/int8_roofline_r4.json (flushed per config).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".bench", "int8_roofline_r4.json")
+
+RESULTS: dict = {}
+
+
+def _flush():
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from codegraph_tpu.ops.quantize import (
+        quantize_rows, streaming_topk_int8_qmajor)
+    from codegraph_tpu.ops.topk import LANE, NEG_INF, _lane_merge, _round_up
+
+    N, D, B, K = 999424, 768, 4096, 10
+    R = 8
+    k_pad = _round_up(K, LANE)
+
+    key = jax.random.PRNGKey(0)
+    kx, kq = jax.random.split(key)
+    x = jax.random.normal(kx, (N, D), jnp.float32)
+    x = x * jax.lax.rsqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True),
+                                      1e-12))
+    xq, xs = quantize_rows(x)
+    del x
+    bias = jnp.zeros((N,), jnp.float32)
+    qs_all = jax.random.normal(kq, (R + 1, B, D), jnp.float32)
+    qs_all = qs_all * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(qs_all * qs_all, -1, keepdims=True), 1e-12))
+    qv_all, qsc_all = [], []
+    for i in range(R + 1):
+        qv, qsc = quantize_rows(qs_all[i])
+        qv_all.append(qv)
+        qsc_all.append(qsc)
+    jax.block_until_ready(qv_all[-1])
+    print("corpus + queries quantized on-device", flush=True)
+
+    def pipelined(fn, args_per_rep):
+        """R async dispatches with distinct inputs, drained on fetches."""
+        np.asarray(fn(*args_per_rep[R]))  # warm/compile
+        t0 = time.perf_counter()
+        outs = [fn(*args_per_rep[r]) for r in range(R)]
+        for o in outs:
+            np.asarray(o)
+        return (time.perf_counter() - t0) / R
+
+    def record(name, dt_per_call, extra=None):
+        r = {"ms_per_call": round(dt_per_call * 1e3, 2),
+             "qps": round(B / dt_per_call, 1)}
+        if extra:
+            r.update(extra)
+        RESULTS[name] = r
+        print(name, r, flush=True)
+        _flush()
+
+    # ---- 1. HBM read bandwidth: stream the int8 corpus, 1-op fold ----
+    def _bw_kernel(salt_ref, xv_ref, out_ref, *, tile_n):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = salt_ref[:]
+
+        m = jnp.max(xv_ref[:], axis=0).reshape(D // LANE, LANE)
+        out_ref[:] = jnp.maximum(out_ref[:], m.astype(jnp.float32))
+
+    @functools.partial(jax.jit, static_argnames=("tile_n",))
+    def bw_stream(salt, tile_n=8192):
+        return pl.pallas_call(
+            functools.partial(_bw_kernel, tile_n=tile_n),
+            grid=(N // tile_n,),
+            in_specs=[
+                pl.BlockSpec((D // LANE, LANE), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, D), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((D // LANE, LANE), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((D // LANE, LANE), jnp.float32),
+        )(salt, xq)
+
+    salts = [jnp.full((D // LANE, LANE), float(r), jnp.float32)
+             for r in range(R + 1)]
+    try:
+        dt = pipelined(bw_stream, [(s,) for s in salts])
+        gbps = N * D / dt / 1e9
+        RESULTS["bw_stream"] = {"ms_per_call": round(dt * 1e3, 2),
+                                "achieved_read_gbps": round(gbps, 1),
+                                "bytes_per_call": N * D}
+        print("bw_stream", RESULTS["bw_stream"], flush=True)
+        _flush()
+    except Exception as e:
+        RESULTS["bw_stream"] = {"error": str(e).split(chr(10))[0][:200]}
+        _flush()
+
+    # ---- 2-4. decomposition + variant kernels --------------------------
+    def _probe_kernel(qv_ref, qs_ref, xv_ref, xs_ref, bias_ref,
+                      out_s_ref, out_i_ref, acc_s, acc_i, *,
+                      mode, qres, tile_n, tile_b):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        n_i = pl.num_programs(0)
+        row = pl.ds(j * tile_b, tile_b)
+
+        @pl.when(i == 0)
+        def _():
+            acc_s[row, :] = jnp.full((tile_b, k_pad), NEG_INF, jnp.float32)
+            acc_i[row, :] = jnp.full((tile_b, k_pad), -1, jnp.int32)
+
+        qv = qv_ref[row, :] if qres else qv_ref[:]
+        raw = jax.lax.dot_general(
+            qv, xv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        if mode == "mxu":
+            # 1-op fold so the matmul isn't dead code; no epilogue
+            s128 = jnp.max(
+                raw.reshape(tile_b, tile_n // LANE, LANE), axis=1
+            ).astype(jnp.float32)
+            acc_s[row, :LANE] = jnp.maximum(acc_s[row, :LANE], s128)
+        else:
+            s = raw.astype(jnp.float32) * xs_ref[:] + bias_ref[:]
+            if mode in ("epi", "full"):      # per-query scale in-kernel
+                qsc = qs_ref[row, :] if qres else qs_ref[:]
+                s = s * qsc
+            if mode.startswith("epi"):
+                s128 = jnp.max(
+                    s.reshape(tile_b, tile_n // LANE, LANE), axis=1)
+                acc_s[row, :LANE] = jnp.maximum(acc_s[row, :LANE], s128)
+            else:
+                new_s, new_i = _lane_merge(
+                    s, i * tile_n, acc_s[row, :], acc_i[row, :], K, k_pad)
+                acc_s[row, :] = new_s
+                acc_i[row, :] = new_i
+
+        @pl.when(i == n_i - 1)
+        def _():
+            out_s_ref[:] = acc_s[row, :]
+            out_i_ref[:] = acc_i[row, :]
+
+    @functools.partial(jax.jit,
+                       static_argnames=("mode", "qres", "tile_n", "tile_b"))
+    def probe(qv, qsc, mode, qres, tile_n, tile_b):
+        grid = (N // tile_n, B // tile_b)
+        if qres:
+            q_spec = pl.BlockSpec((B, D), lambda i, j: (0, 0),
+                                  memory_space=pltpu.VMEM)
+            qs_spec = pl.BlockSpec((B, 1), lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM)
+        else:
+            q_spec = pl.BlockSpec((tile_b, D), lambda i, j: (j, 0),
+                                  memory_space=pltpu.VMEM)
+            qs_spec = pl.BlockSpec((tile_b, 1), lambda i, j: (j, 0),
+                                   memory_space=pltpu.VMEM)
+        kern = functools.partial(_probe_kernel, mode=mode, qres=qres,
+                                 tile_n=tile_n, tile_b=tile_b)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                q_spec,
+                qs_spec,
+                pl.BlockSpec((tile_n, D), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile_b, k_pad), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_b, k_pad), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, k_pad), jnp.float32),
+                jax.ShapeDtypeStruct((B, k_pad), jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((B, k_pad), jnp.float32),
+                pltpu.VMEM((B, k_pad), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * N * D,
+                bytes_accessed=B * D + N * D + N * 8 + 2 * B * k_pad * 4,
+                transcendentals=0,
+            ),
+        )(qv, qsc.reshape(B, 1), xq, xs.reshape(1, N), bias.reshape(1, N))
+
+    def run_probe(name, mode, qres, tn, tb):
+        try:
+            fn = lambda qv, qsc: probe(qv, qsc, mode, qres, tn, tb)[0]
+            dt = pipelined(fn, [(qv_all[r], qsc_all[r])
+                                for r in range(R + 1)])
+            tops = 2 * B * N * D / dt / 1e12
+            record(name, dt, {"effective_tops": round(tops, 1)})
+        except Exception as e:
+            RESULTS[name] = {"error": str(e).split(chr(10))[0][:200]}
+            print(name, "FAIL:", str(e)[:160], flush=True)
+            _flush()
+
+    # shipped-kernel sanity anchor (same protocol as the r3 headline)
+    try:
+        fn = lambda qv, qsc: streaming_topk_int8_qmajor(
+            qv, qsc, xq, xs, bias, K, tile_n=2048, tile_b=256)[0]
+        dt = pipelined(fn, [(qv_all[r], qsc_all[r]) for r in range(R + 1)])
+        record("shipped_tn2048_tb256", dt)
+    except Exception as e:
+        RESULTS["shipped_tn2048_tb256"] = {"error": str(e)[:200]}
+        _flush()
+
+    for tn, tb in ((2048, 256), (1024, 256)):
+        run_probe(f"mxu_tn{tn}_tb{tb}", "mxu", False, tn, tb)
+        run_probe(f"epi_tn{tn}_tb{tb}", "epi", False, tn, tb)
+        run_probe(f"epinoqs_tn{tn}_tb{tb}", "epinoqs", False, tn, tb)
+        run_probe(f"full_tn{tn}_tb{tb}", "full", False, tn, tb)
+        run_probe(f"fullnoqs_tn{tn}_tb{tb}", "fullnoqs", False, tn, tb)
+        run_probe(f"qres_full_tn{tn}_tb{tb}", "full", True, tn, tb)
+        run_probe(f"qres_fullnoqs_tn{tn}_tb{tb}", "fullnoqs", True, tn, tb)
+
+    # bigger corpus tiles (the r3 VMEM-OOM shapes, retried at smaller
+    # tile_b so the [tile_b, tile_n] f32 score tile fits)
+    for tn, tb in ((4096, 128), (4096, 64), (8192, 64)):
+        run_probe(f"fullnoqs_tn{tn}_tb{tb}", "fullnoqs", False, tn, tb)
+        run_probe(f"qres_fullnoqs_tn{tn}_tb{tb}", "fullnoqs", True, tn, tb)
+
+    # ---- roofline statement --------------------------------------------
+    corpus_bytes = N * D
+    qrefetch = {tn: (N // tn) * B * D for tn in (1024, 2048, 4096, 8192)}
+    RESULTS["model"] = {
+        "B": B, "N": N, "D": D, "k": K, "k_pad": k_pad,
+        "flops_per_call": 2 * B * N * D,
+        "corpus_bytes_per_call": corpus_bytes,
+        "query_refetch_bytes_per_call_by_tile_n": qrefetch,
+        "qres_query_bytes_per_call": B * D,
+        "accumulator": "VMEM scratch [B, k_pad] f32+i32 (no HBM traffic)",
+        "epilogue_ops_per_element": {
+            "cast+xs_mul+bias_add+qs_mul": 4, "lane_merge": "~5"},
+    }
+    _flush()
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -410,6 +410,18 @@ def _quantize_rows_device(v: jax.Array):
     return q8, scale.astype(jnp.float32)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _bank_write(bank, scales, q8, sc, off):
+    """In-place (donated) write of a row block into the preallocated
+    refine bank at dynamic offset `off`. Donation lets XLA reuse the
+    bank buffer: without it every chunked add would allocate a second
+    full-size bank (2x7.7GB transient at 10M x 768)."""
+    return (
+        jax.lax.dynamic_update_slice(bank, q8, (off, 0)),
+        jax.lax.dynamic_update_slice(scales, sc, (off, 0)),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _refine_device_kernel(q, raw, scales, s_cand, i_cand, k: int):
     """Exact on-device rescore of PQ candidates: gather int8 rows by
@@ -497,8 +509,45 @@ class IVFPQIndex(IVFIndex):
         self._raw_scales: list = []              # host f32 per-row scales
         self._dev_chunks: list = []              # device int8 rows (refine)
         self._dev_scales: list = []              # device f32 scales [n, 1]
+        # True once _dev_reserve preallocated the bank: adds then write
+        # in place (donated dynamic_update_slice) at offset n_rows
+        # instead of appending chunks for a lazy concat — the concat
+        # briefly holds old+new banks (2x7.7GB at 10M x 768), which is
+        # an HBM OOM next to the 2GB code tensor on a 16GB chip
+        self._dev_prealloc = False
 
     # -- build -------------------------------------------------------------
+
+    def reserve(self, n_rows: int) -> None:
+        """Preallocate cell storage (inherited) AND, for
+        refine="int8_device", the [n_rows, D] int8 bank + scales, so a
+        chunked 10M build allocates each HBM tenant exactly once.
+        Without this the bank grows by lazy chunk-concat, whose final
+        consolidation holds two full banks at once."""
+        super().reserve(n_rows)
+        if self.refine == "int8_device":
+            self._dev_reserve(n_rows)
+
+    def _dev_reserve(self, cap_rows: int) -> None:
+        cap_rows = int(cap_rows)
+        if self._dev_chunks:
+            # consolidate any append-mode chunks first (no-op once in
+            # prealloc mode: the list is always length 1 there)
+            have_bank, have_scales = self._dev_bank()
+        else:
+            have_bank = have_scales = None
+        have = 0 if have_bank is None else int(have_bank.shape[0])
+        if self._dev_prealloc and have >= cap_rows:
+            return
+        rows = max(cap_rows, have, 1)
+        bank = jnp.zeros((rows, self.dim), jnp.int8)
+        scales = jnp.ones((rows, 1), jnp.float32)
+        if have:
+            bank, scales = _bank_write(
+                bank, scales, have_bank, have_scales, jnp.int32(0))
+        self._dev_chunks = [bank]
+        self._dev_scales = [scales]
+        self._dev_prealloc = True
 
     def train(self, vectors: np.ndarray) -> None:
         """Coarse k-means (inherited), then residual PQ codebooks on the
@@ -572,8 +621,19 @@ class IVFPQIndex(IVFIndex):
             self._raw_scales.append(scale.astype(np.float32))
         elif self.refine == "int8_device":
             q8, sc = _quantize_rows_device(v)
-            self._dev_chunks.append(q8)
-            self._dev_scales.append(sc)
+            if self._dev_prealloc:
+                # rows land at global ids [n_rows, n_rows+n): write in
+                # place at that offset (donated buffer, no copy)
+                need = self.n_rows + int(q8.shape[0])
+                if need > int(self._dev_chunks[0].shape[0]):
+                    self._dev_reserve(
+                        max(need, int(self._dev_chunks[0].shape[0] * 1.5)))
+                self._dev_chunks[0], self._dev_scales[0] = _bank_write(
+                    self._dev_chunks[0], self._dev_scales[0], q8, sc,
+                    jnp.int32(self.n_rows))
+            else:
+                self._dev_chunks.append(q8)
+                self._dev_scales.append(sc)
         elif self.refine == "f32":
             vn = np.asarray(v, np.float32)
             self._raw_chunks.append(vn)

@@ -152,6 +152,13 @@ def publish_index_shm(index, path: str, slack: float = 0.5):
         if index._raw_chunks:
             arrays["refine_rows"] = np.concatenate(index._raw_chunks)
             arrays["refine_scales"] = np.concatenate(index._raw_scales)
+        elif index._dev_chunks:
+            # int8_device: the bank lives in HBM; the published segment
+            # needs a host copy once (attachers re-upload lazily). Slice
+            # prealloc padding off so the segment is exactly n_rows.
+            bank, scales = index._dev_bank()
+            arrays["refine_rows"] = np.asarray(bank[: index.n_rows])
+            arrays["refine_scales"] = np.asarray(scales[: index.n_rows])
     elif isinstance(index, Int8FlatIndex):
         q, s, r, bias = index.arrays()
         if q is None:
@@ -233,8 +240,15 @@ def attach_index_shm(path: str, copy: bool = False):
         idx.n_rows = int(meta["n_rows"])
         idx.n_live = int(meta["n_live"])
         if "refine_rows" in arrs:
-            idx._raw_chunks = [np.asarray(arrs["refine_rows"])]
-            idx._raw_scales = [np.asarray(arrs["refine_scales"])]
+            if meta["refine"] == "int8_device":
+                idx._dev_chunks = [jnp.asarray(arrs["refine_rows"],
+                                               jnp.int8)]
+                idx._dev_scales = [jnp.asarray(arrs["refine_scales"],
+                                               jnp.float32)]
+                idx._dev_prealloc = True
+            else:
+                idx._raw_chunks = [np.asarray(arrs["refine_rows"])]
+                idx._raw_scales = [np.asarray(arrs["refine_scales"])]
         # attached copies are read-only serving replicas: _row_loc (the
         # row -> (cell, pos) delete map) is not rebuilt — deletes belong
         # to the publisher, which republishes with a fresh generation

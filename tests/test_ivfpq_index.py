@@ -249,3 +249,67 @@ def test_ivfpq_device_refine_matches_host_int8(rng):
     dev.delete(np.array([victim]))
     _, i_after = dev.search(q, 10)
     assert victim not in i_after[0]
+
+
+def test_ivfpq_device_refine_prealloc_bank_matches_append(rng):
+    """reserve() preallocates the int8_device bank; in-place (donated)
+    writes at global-row offsets must produce the same refine results
+    as the append/lazy-concat path, across chunked adds, growth past
+    the reservation, deletes, and snapshot publish/attach."""
+    import os
+    import tempfile
+
+    from codegraph_tpu.index.snapshot import (
+        attach_index_shm, publish_index_shm)
+
+    x = clustered_data(rng, 32, 64, 48)  # 2048 points
+    q = x[rng.choice(len(x), 8, replace=False)] + 0.01
+
+    def build(prealloc_rows=None, chunks=(1024, 1024)):
+        idx = IVFPQIndex(48, nlist=32, nprobe=8, m=12, kmeans_iters=8,
+                         pq_iters=8, refine="int8_device",
+                         refine_factor=16)
+        idx.train(x)
+        if prealloc_rows is not None:
+            idx.reserve(prealloc_rows)
+            assert idx._dev_prealloc
+            assert idx._dev_chunks[0].shape[0] >= prealloc_rows
+        lo = 0
+        for n in chunks:
+            idx.add(x[lo:lo + n])
+            lo += n
+        return idx
+
+    base = build(None)                       # append mode (legacy)
+    pre = build(len(x))                      # exact reservation
+    grow = build(1024, chunks=(512, 512, 1024))  # overflows reservation
+
+    s0, i0 = base.search(q, 10)
+    for idx in (pre, grow):
+        assert len(idx._dev_chunks) == 1
+        s1, i1 = idx.search(q, 10)
+        np.testing.assert_array_equal(i1, i0)
+        np.testing.assert_allclose(s1, s0, rtol=1e-5, atol=1e-5)
+
+    # deletes still mask through the preallocated bank
+    victim = int(i0[0, 0])
+    pre.delete(np.array([victim]))
+    _, i_after = pre.search(q, 10)
+    assert victim not in i_after[0]
+
+    # publish slices prealloc padding off; attach restores the device
+    # bank (refine survives the shm round-trip)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "pq_dev.shm")
+        pub = publish_index_shm(grow, p)
+        att, _ = attach_index_shm(p)
+        try:
+            assert att._dev_prealloc and len(att._dev_chunks) == 1
+            assert int(att._dev_chunks[0].shape[0]) == grow.n_rows
+            s2, i2 = att.search(q, 10)
+            np.testing.assert_array_equal(i2, i0)
+        finally:
+            att_close = getattr(att, "close", None)
+            if att_close:
+                att_close()
+            pub.close()
