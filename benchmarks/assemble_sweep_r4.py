@@ -32,10 +32,10 @@ BLOCKS = {
     "agent_eval": ("agent_eval_r3.json", "benchmarks/agent_eval_r3.py"),
     "perlang_eval": ("perlang_eval_r4.json",
                      "benchmarks/perlang_eval_r4.py"),
-    "serving_latency_auto": ("serving_latency_r4.json",
+    "serving_latency_auto": ("serving_latency.json",
                              "benchmarks/serving_latency.py --auto"),
-    "ivfpq_operating_point": ("ivfpq_opoint_r4.json",
-                              "benchmarks/ivfpq_opoint_r4.py"),
+    "ivfpq_operating_point": ("ivfpq_operating_point_r4.json",
+                              "benchmarks/ivfpq_operating_point_r4.py"),
     "int8_roofline": ("int8_roofline_r4.json",
                       "benchmarks/int8_roofline_r4.py"),
 }
@@ -92,6 +92,12 @@ def main():
                 results[k] = r3[k]
                 if isinstance(results[k], dict):
                     results[k]["carried_from"] = "BENCH_SWEEP_TPU_r3.json"
+    # already-landed blocks survive a wiped .bench/ (results live in the
+    # committed sweep; the raw .bench files are gitignored scratch)
+    prev = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
     for name, (fname, script) in BLOCKS.items():
         path = os.path.join(BENCH, fname)
         block = {"script": script}
@@ -100,6 +106,8 @@ def main():
         if os.path.exists(path):
             with open(path) as f:
                 block["data"] = json.load(f)
+        elif "data" in prev.get(name, {}):
+            block["data"] = prev[name]["data"]
         else:
             block["status"] = "missing"
         results[name] = block

@@ -205,7 +205,7 @@ def main():
                            max_wait_ms=MAX_WAIT_MS, workers=WORKERS,
                            max_pending=args.max_pending)
     # warm the ONE padded batch shape before driving
-    np.asarray(svc.search(queries[0])[0])
+    np.asarray(svc.search(queries[0], timeout=900)[0])
     results["int8_shm_served" + SUFFIX] = run_tier(
         svc, queries, RATES, DURATION_S, "int8")
     svc.close()
@@ -233,7 +233,7 @@ def main():
         svc = QueryService(servedpq, k=10, max_batch=MAX_BATCH,
                            max_wait_ms=MAX_WAIT_MS, workers=WORKERS,
                            max_pending=args.max_pending)
-    np.asarray(svc.search(queries[0])[0])
+    np.asarray(svc.search(queries[0], timeout=900)[0])
     results["ivfpq_shm_served" + SUFFIX] = run_tier(
         svc, queries, RATES, DURATION_S, "ivfpq")
     svc.close()
