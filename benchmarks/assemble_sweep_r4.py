@@ -71,10 +71,18 @@ NOTES = {
     "serving_latency_auto": (
         "QueryService.auto() per-tier policies + admission control "
         "(max_pending shed -> 429) + late batch-slicing, re-measured "
-        "open-loop at 1M x 768 (VERDICT r3 item 5). shed = "
-        "admission-control rejections (instant, not latency samples); "
-        "completed < submitted = warmup exclusions + drain cap; the "
-        "arrival schedule is seed-shared across tiers."),
+        "open-loop at 1M x 768 (VERDICT r3 item 5). Two passes: the "
+        "un-suffixed first pass (pad every flush to max_batch=1024) "
+        "exposed the padded-query upload cost on this transport (p50 "
+        "492 ms at 200/s); the _buckets pass pads to the smallest of "
+        "(64, 256, 1024) compiled shapes instead. *_flush_cost blocks "
+        "are the synchronous per-shape floor (query upload + kernel + "
+        "result fetch over the dev tunnel) that lower-bounds any "
+        "single query's latency here; production direct-attached HBM "
+        "does not pay the upload. shed = admission-control rejections "
+        "(instant, not latency samples); completed < submitted = "
+        "warmup exclusions + drain cap; the arrival schedule is "
+        "seed-shared across tiers."),
 }
 
 

@@ -96,6 +96,29 @@ def pct(lat, p):
     return float(lat[min(int(p / 100.0 * lat.size), lat.size - 1)])
 
 
+def flush_cost_probe(svc, queries, reps=5):
+    """Synchronous per-bucket flush cost (query upload + kernel + result
+    fetch) straight against the index — the transport floor that bounds
+    any single query's latency through this service. Distinct query
+    slices per rep defeat the transport's result cache; min over reps
+    reports the floor, not scheduler noise."""
+    costs = {}
+    qs = np.asarray(queries, np.float32)
+    for b in svc.pad_buckets:
+        batch = np.concatenate([qs] * (-(-b // len(qs))))[:b]
+        np.asarray(svc.index.search(batch, svc.k)[0])  # warm shape
+        ts = []
+        for r in range(reps):
+            rb = np.roll(batch, r + 1, axis=0) * (1.0 + 1e-4 * (r + 1))
+            t0 = time.perf_counter()
+            np.asarray(svc.index.search(rb, svc.k)[0])
+            ts.append(time.perf_counter() - t0)
+        costs[f"B{b}"] = {"ms_min": round(min(ts) * 1e3, 1),
+                          "ms_med": round(sorted(ts)[len(ts) // 2] * 1e3,
+                                          1)}
+    return costs
+
+
 def run_tier(svc, queries, rates, duration, label):
     """Drive one tier across rates; per-rate stats are reset so
     avg_batch/shed are per-rate, not cumulative (r3's were cumulative)."""
@@ -205,7 +228,9 @@ def main():
                            max_wait_ms=MAX_WAIT_MS, workers=WORKERS,
                            max_pending=args.max_pending)
     # warm the ONE padded batch shape before driving
-    np.asarray(svc.search(queries[0], timeout=900)[0])
+    svc.warm(D)  # compile every pad-bucket shape before driving
+    results["config" + SUFFIX]["int8_flush_cost"] = flush_cost_probe(
+        svc, queries[:64])
     results["int8_shm_served" + SUFFIX] = run_tier(
         svc, queries, RATES, DURATION_S, "int8")
     svc.close()
@@ -233,7 +258,9 @@ def main():
         svc = QueryService(servedpq, k=10, max_batch=MAX_BATCH,
                            max_wait_ms=MAX_WAIT_MS, workers=WORKERS,
                            max_pending=args.max_pending)
-    np.asarray(svc.search(queries[0], timeout=900)[0])
+    svc.warm(D)
+    results["config" + SUFFIX]["ivfpq_flush_cost"] = flush_cost_probe(
+        svc, queries[:64])
     results["ivfpq_shm_served" + SUFFIX] = run_tier(
         svc, queries, RATES, DURATION_S, "ivfpq")
     svc.close()

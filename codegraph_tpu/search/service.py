@@ -55,8 +55,10 @@ class QueryService:
     #: batches + more in-flight workers win latency there (rate-3000
     #: p50 3248 -> 270 ms in the same sweep).
     POLICIES = {
-        "scan": dict(max_batch=1024, max_wait_ms=2.0, workers=4),
-        "ivf": dict(max_batch=64, max_wait_ms=2.0, workers=8),
+        "scan": dict(max_batch=1024, max_wait_ms=2.0, workers=4,
+                     pad_buckets=(64, 256, 1024)),
+        "ivf": dict(max_batch=64, max_wait_ms=2.0, workers=8,
+                    pad_buckets=(16, 64)),
     }
 
     @classmethod
@@ -91,6 +93,7 @@ class QueryService:
         workers: int = 1,
         max_pending: Optional[int] = None,
         queue_timeout_ms: Optional[float] = None,
+        pad_buckets: Optional[Tuple[int, ...]] = None,
     ):
         """pad_to_max: zero-pad every flushed batch to max_batch rows so
         the jitted index kernels compile for exactly ONE batch shape.
@@ -99,6 +102,17 @@ class QueryService:
         standing queue under load — measured as multi-second p50 at
         light arrival rates. The scan cost is corpus-dominated, so the
         padded rows are nearly free.
+
+        pad_buckets: optional ascending batch-shape buckets (each a
+        compiled kernel shape); a flush pads to the SMALLEST bucket that
+        fits instead of always to max_batch. Always padding to a big
+        max_batch makes every light-load flush carry the full padded
+        query upload — measured on the round-4 auto sweep as p50
+        492 ms at 200 arrivals/s (3.1 MB of 97% padding per flush over
+        the dev transport) vs ~120 ms with a 256-shape. Buckets keep
+        light load on small cheap shapes while overload still rides
+        full max_batch flushes; only len(pad_buckets) shapes ever
+        compile. The last bucket must equal max_batch.
 
         workers: number of concurrent flush workers. With 1 (default)
         the collector flushes inline, so each batch pays the full
@@ -125,6 +139,15 @@ class QueryService:
         self.max_batch = int(max_batch)
         self.max_wait_s = max_wait_ms / 1000.0
         self.pad_to_max = bool(pad_to_max)
+        if pad_buckets:
+            bks = sorted(int(b) for b in pad_buckets)
+            if bks[-1] != self.max_batch:
+                raise ValueError(
+                    f"pad_buckets last entry {bks[-1]} != "
+                    f"max_batch {self.max_batch}")
+            self.pad_buckets: Tuple[int, ...] = tuple(bks)
+        else:
+            self.pad_buckets = (self.max_batch,)
         self.workers = max(1, int(workers))
         self.max_pending = (int(max_pending) if max_pending is not None
                             else 8 * self.max_batch * self.workers)
@@ -163,6 +186,14 @@ class QueryService:
     def queue_depth(self) -> int:
         with self._lock:
             return len(self._pending)
+
+    def warm(self, dim: int) -> None:
+        """Compile every pad-bucket batch shape with one zero-query
+        search per bucket (directly against the index, bypassing the
+        queue). Call before serving traffic: an uncompiled shape hit
+        mid-load stalls its whole flush for the XLA compile."""
+        for b in self.pad_buckets:
+            self.index.search(np.zeros((b, dim), np.float32), self.k)
 
     def search(self, query: np.ndarray, timeout: Optional[float] = 30.0):
         """Synchronous convenience wrapper."""
@@ -234,12 +265,15 @@ class QueryService:
             if not batch:
                 return
         queries = np.stack([q for q, _, _ in batch])
-        if self.pad_to_max and queries.shape[0] < self.max_batch:
-            queries = np.concatenate([
-                queries,
-                np.zeros((self.max_batch - queries.shape[0],
-                          queries.shape[1]), queries.dtype),
-            ])
+        if self.pad_to_max:
+            shape = next(b for b in self.pad_buckets
+                         if b >= queries.shape[0])
+            if queries.shape[0] < shape:
+                queries = np.concatenate([
+                    queries,
+                    np.zeros((shape - queries.shape[0],
+                              queries.shape[1]), queries.dtype),
+                ])
         try:
             scores, rows = self.index.search(queries, self.k)
         except Exception as exc:

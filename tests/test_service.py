@@ -133,6 +133,44 @@ def test_query_service_queue_deadline(rng):
         svc.close()
 
 
+def test_query_service_pad_buckets(rng):
+    """Flushes pad to the SMALLEST bucket that fits (light load rides
+    cheap small shapes); warm() compiles every bucket; the last bucket
+    must equal max_batch."""
+    shapes = []
+
+    class RecordingIndex:
+        def search(self, q, k):
+            shapes.append(q.shape[0])
+            return (np.zeros((q.shape[0], k), np.float32),
+                    np.zeros((q.shape[0], k), np.int32))
+
+    svc = QueryService(RecordingIndex(), k=3, max_batch=32,
+                       max_wait_ms=30.0, pad_buckets=(4, 32))
+    try:
+        svc.warm(8)
+        assert shapes == [4, 32]
+        shapes.clear()
+        # 2 queries -> smallest bucket (4), not max_batch
+        futs = [svc.submit(np.zeros(8, np.float32)) for _ in range(2)]
+        for f in futs:
+            f.result(timeout=30)
+        assert shapes == [4]
+        shapes.clear()
+        # 10 queries -> next bucket up (32)
+        futs = [svc.submit(np.zeros(8, np.float32)) for _ in range(10)]
+        for f in futs:
+            f.result(timeout=30)
+        # every flush lands on a compiled bucket shape, never in between
+        assert shapes and set(shapes) <= {4, 32}
+    finally:
+        svc.close()
+
+    with pytest.raises(ValueError, match="pad_buckets"):
+        QueryService(RecordingIndex(), k=3, max_batch=32,
+                     pad_buckets=(4, 16))
+
+
 def test_query_service_auto_policy(rng):
     """auto() picks the measured per-tier policy: big batches for
     corpus-bound scans, small batches + more workers for IVF tiers."""
