@@ -59,6 +59,12 @@ def main() -> None:
                     help="tiny shapes, separate output: validates every "
                          "probe's Mosaic lowering in minutes before "
                          "paying full-size compiles")
+    ap.add_argument("--tiles", type=int, nargs="+", default=[2048, 1024],
+                    help="tile_n values for the decomposition family "
+                         "(drop 1024 to halve compile count when "
+                         "wall-clock is short)")
+    ap.add_argument("--skip-big", action="store_true",
+                    help="skip the retried big-corpus-tile probes")
     cli = ap.parse_args()
     global OUT
     if cli.smoke:
@@ -298,7 +304,7 @@ def main() -> None:
         RESULTS["shipped_tn2048_tb256"] = {"error": str(e)[:200]}
         _flush()
 
-    for tn, tb in ((2048, 256), (1024, 256)):
+    for tn, tb in [(t, 256) for t in cli.tiles]:
         run_probe(f"mxu_tn{tn}_tb{tb}", "mxu", False, tn, tb)
         run_probe(f"epi_tn{tn}_tb{tb}", "epi", False, tn, tb)
         run_probe(f"epinoqs_tn{tn}_tb{tb}", "epinoqs", False, tn, tb)
@@ -309,9 +315,11 @@ def main() -> None:
 
     # bigger corpus tiles (the r3 VMEM-OOM shapes, retried at smaller
     # tile_b so the [tile_b, tile_n] f32 score tile fits)
-    for tn, tb in ((4096, 128), (4096, 64), (8192, 64)):
-        run_probe(f"fullnoqs_tn{tn}_tb{tb}", "fullnoqs", False, tn, tb)
-        run_probe(f"qres_fullnoqs_tn{tn}_tb{tb}", "fullnoqs", True, tn, tb)
+    if not cli.skip_big:
+        for tn, tb in ((4096, 128), (4096, 64), (8192, 64)):
+            run_probe(f"fullnoqs_tn{tn}_tb{tb}", "fullnoqs", False, tn, tb)
+            run_probe(f"qres_fullnoqs_tn{tn}_tb{tb}", "fullnoqs", True,
+                      tn, tb)
 
     # ---- roofline statement --------------------------------------------
     corpus_bytes = N * D

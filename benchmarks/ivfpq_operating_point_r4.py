@@ -67,6 +67,11 @@ def main() -> None:
                     default=[0, 4, 8, 16])  # 0 = refine off (PQ-only)
     args = ap.parse_args()
 
+    # merge into prior partial runs (the sweep is resumable by config)
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            RESULTS.update(json.load(f))
+
     import jax
     import jax.numpy as jnp
 
