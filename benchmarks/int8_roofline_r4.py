@@ -86,6 +86,13 @@ def main() -> None:
     R = 8
     if cli.smoke:
         N, B, R = 16384, 512, 2
+    # tiles that don't divide N silently truncate the grid while
+    # effective_tops/qps still assume full N (ADVICE r4); non-multiples
+    # of LANE break _fold128
+    for t in cli.tiles:
+        if N % t != 0 or t % LANE != 0:
+            ap.error(f"--tiles {t}: must divide N={N} and be a multiple "
+                     f"of LANE={LANE}")
     k_pad = _round_up(K, LANE)
 
     key = jax.random.PRNGKey(0)

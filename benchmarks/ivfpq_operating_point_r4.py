@@ -68,9 +68,29 @@ def main() -> None:
     args = ap.parse_args()
 
     # merge into prior partial runs (the sweep is resumable by config)
+    # — but ONLY when the prior run's build config matches this one:
+    # stale np*_rf* entries from a different rows/m/nlist/sigma would
+    # silently compete in the operating_point selection (ADVICE r4).
+    cur_cfg = {
+        "rows": args.rows, "dim": args.dim, "m": args.m,
+        "nlist": args.nlist, "centers": args.centers,
+        "sigma": args.sigma, "queries": args.queries, "k": 10,
+    }
     if os.path.exists(OUT):
-        with open(OUT) as f:
-            RESULTS.update(json.load(f))
+        try:
+            with open(OUT) as f:
+                prior = json.load(f)
+        except (json.JSONDecodeError, OSError) as e:
+            print(f"# prior output unreadable ({e}); starting fresh",
+                  flush=True)
+            prior = {}
+        pc = prior.get("config", {})
+        if all(pc.get(kk) == vv for kk, vv in cur_cfg.items()):
+            RESULTS.update(prior)
+        elif prior:
+            print("# prior output has a different config "
+                  f"({ {kk: pc.get(kk) for kk in cur_cfg} } vs {cur_cfg}); "
+                  "starting fresh", flush=True)
 
     import jax
     import jax.numpy as jnp

@@ -49,7 +49,7 @@ from codegraph_tpu.core.errors import DimensionMismatch
 from codegraph_tpu.core.padding import LANE, round_up
 from codegraph_tpu.index.ivf import IVFIndex
 from codegraph_tpu.ops.kmeans import assign_clusters
-from codegraph_tpu.ops.pq import pq_encode, pq_train
+from codegraph_tpu.ops.pq import pq_encode
 from codegraph_tpu.ops.topk import (
     NEG_INF,
     _lane_merge_vids,
@@ -464,6 +464,8 @@ class IVFPQIndex(IVFIndex):
         train_sample: int = 262_144,
         refine: str = "none",
         refine_factor: int = 4,
+        opq: bool = False,
+        opq_iters: int = 6,
         seed: int = 0,
     ):
         """refine="int8" (N*(D+4) host bytes) or refine="f32" (N*D*4
@@ -474,6 +476,15 @@ class IVFPQIndex(IVFIndex):
         restores fine ranking (the FAISS-refine / DiskANN recipe).
         int8 rescoring resolves margins down to ~4e-3 of the score
         scale; use f32 when neighbor margins are tighter than that.
+
+        opq=True learns an orthogonal rotation (ops/opq.py, Ge et al.
+        OPQ) minimizing residual PQ distortion and applies it as a
+        GLOBAL pre-rotation of the index space: _prepare rotates every
+        incoming vector/query and the coarse centroids are rotated once
+        at train time, so all dot products — coarse, ADC, refine — are
+        preserved exactly and no kernel changes. The refine bank stores
+        rotated rows (scores unchanged; raw-vector reconstruction would
+        need rot.T, which the index does not expose).
 
         refine="int8_device" banks the int8 rows + scales in HBM
         (N*(D+4) device bytes — 7.7 GB at 10M x 768, fits one chip next
@@ -497,6 +508,9 @@ class IVFPQIndex(IVFIndex):
         self.pq_iters = int(pq_iters)
         self.refine = refine
         self.refine_factor = int(refine_factor)
+        self.opq = bool(opq)
+        self.opq_iters = int(opq_iters)
+        self._rot: Optional[jax.Array] = None    # [D, D]; x_rot = x @ rot
         # batches at least this large route to the batch-shared kernel
         # (decode each unique probed cell once; 3.6-14x measured on TPU)
         self.batch_share_threshold = 256
@@ -549,10 +563,25 @@ class IVFPQIndex(IVFIndex):
         self._dev_scales = [scales]
         self._dev_prealloc = True
 
+    def _prepare(self, vectors: np.ndarray) -> jax.Array:
+        v = super()._prepare(vectors)
+        if self._rot is not None:
+            # OPQ global pre-rotation: orthogonal, so every downstream
+            # dot product (coarse, ADC, refine) is score-identical
+            v = jax.lax.dot_general(
+                v, self._rot, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return v
+
     def train(self, vectors: np.ndarray) -> None:
         """Coarse k-means (inherited), then residual PQ codebooks on the
         same sample (persistent.rs:155-186 trains per-subspace k-means;
-        here it runs on cell residuals, the standard IVF-PQ recipe)."""
+        here it runs on cell residuals, the standard IVF-PQ recipe).
+        With opq=True the codebooks are trained jointly with an
+        orthogonal rotation (alternating minimization, ops/opq.py) that
+        is then folded into the index space: centroids rotate once here,
+        vectors/queries rotate in _prepare."""
+        self._rot = None          # retrain resets any previous rotation
         super().train(vectors)
         v = self._prepare(vectors)
         n = v.shape[0]
@@ -579,10 +608,31 @@ class IVFPQIndex(IVFIndex):
         nbits_eff = self.nbits
         while (1 << nbits_eff) > v.shape[0] and nbits_eff > 1:
             nbits_eff -= 1
-        self._books = pq_train(
-            residuals, self.m, nbits=nbits_eff, n_iters=self.pq_iters,
-            seed=self.seed,
-        ).centroids
+        if self.opq:
+            from codegraph_tpu.ops.opq import opq_train
+
+            rot, books = opq_train(
+                residuals, self.m, nbits=nbits_eff,
+                n_iters=self.opq_iters, pq_iters=2,
+                final_pq_iters=self.pq_iters, seed=self.seed,
+            )
+            self._books = books.centroids
+            # fold the rotation into the index space: from here on every
+            # vector and query rotates in _prepare, centroids rotate once
+            self._centroids = jax.lax.dot_general(
+                self._centroids, rot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            self._rot = rot
+        else:
+            from codegraph_tpu.ops.opq import pq_train_batched
+
+            # batched trainer: one vmapped Lloyd's program for all m
+            # subspaces instead of m sequential kmeans() dispatches
+            self._books = pq_train_batched(
+                residuals, self.m, nbits=nbits_eff, n_iters=self.pq_iters,
+                seed=self.seed,
+            ).centroids
 
     @property
     def is_trained(self) -> bool:
@@ -647,6 +697,15 @@ class IVFPQIndex(IVFIndex):
 
     # -- query -------------------------------------------------------------
 
+    def _maybe_rotate(self, q: jax.Array) -> jax.Array:
+        """Queries enter the OPQ-rotated index space (after
+        normalization — rotation preserves norms, order irrelevant)."""
+        if self._rot is None:
+            return q
+        return jax.lax.dot_general(
+            q, self._rot, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     def _pallas_mode(self) -> Optional[bool]:
         """Resolve use_pallas: True / False / "interpret" / None(auto)."""
         if self.use_pallas == "interpret":
@@ -693,6 +752,7 @@ class IVFPQIndex(IVFIndex):
                                      extra_bias=extra_bias)
         if self.metric == "cosine":
             q = l2_normalize(q)
+        q = self._maybe_rotate(q)
         np_eff = min(nprobe or self.nprobe, self.nlist)
         use_refine = self.refine != "none" and (
             self._raw_chunks or self._dev_chunks)
@@ -787,6 +847,7 @@ class IVFPQIndex(IVFIndex):
             raise DimensionMismatch(self.dim, q.shape[1])
         if self.metric == "cosine":
             q = l2_normalize(q)
+        q = self._maybe_rotate(q)
         np_eff = min(nprobe or self.nprobe, self.nlist)
 
         c_scores = jax.lax.dot_general(
@@ -843,6 +904,7 @@ class IVFPQIndex(IVFIndex):
         st.update({
             "m": self.m,
             "nbits": self.nbits,
+            "opq": self._rot is not None,
             "bytes_per_row": self.m + 4 + 4,  # codes + id + bias (HBM)
             "refine": self.refine,
             "host_bytes_per_row": {"none": 0, "int8": self.dim + 4,

@@ -149,6 +149,9 @@ def publish_index_shm(index, path: str, slack: float = 0.5):
             "books": np.asarray(index._books, np.float32),
             "fill": np.asarray(index._fill, np.int64),
         }
+        if index._rot is not None:
+            # OPQ pre-rotation: attachers must rotate queries the same way
+            arrays["opq_rot"] = np.asarray(index._rot, np.float32)
         if index._raw_chunks:
             arrays["refine_rows"] = np.concatenate(index._raw_chunks)
             arrays["refine_scales"] = np.concatenate(index._raw_scales)
@@ -235,6 +238,8 @@ def attach_index_shm(path: str, copy: bool = False):
         idx._ids = jnp.asarray(arrs["id_lists"])
         idx._bias = jnp.asarray(arrs["bias_lists"])
         idx._books = jnp.asarray(arrs["books"])
+        if "opq_rot" in arrs:
+            idx._rot = jnp.asarray(arrs["opq_rot"])
         idx._fill = np.asarray(arrs["fill"], np.int64).copy()
         idx.list_cap = int(meta["list_cap"])
         idx.n_rows = int(meta["n_rows"])

@@ -470,6 +470,9 @@ class ProjectIndexer:
                 meta["code_layout"] = "subspace_major"
                 arrays["code_lists"] = np.asarray(x)  # uint8
                 arrays["books"] = np.asarray(self.index._books, np.float32)
+                if self.index._rot is not None:  # OPQ pre-rotation
+                    arrays["opq_rot"] = np.asarray(
+                        self.index._rot, np.float32)
                 if self.index._raw_chunks:  # host refine store
                     arrays["refine_rows"] = np.concatenate(
                         self.index._raw_chunks)
@@ -520,6 +523,8 @@ class ProjectIndexer:
                         )
                     idx._x = jnp.asarray(codes)  # uint8
                     idx._books = jnp.asarray(arrays["books"])
+                    if "opq_rot" in arrays:
+                        idx._rot = jnp.asarray(arrays["opq_rot"])
                     if "refine_rows" in arrays:
                         idx._raw_chunks = [np.asarray(arrays["refine_rows"])]
                         idx._raw_scales = [

@@ -9,7 +9,7 @@ user-supplied HF model directories: config.json + model.safetensors /
 pytorch_model.bin (+ vocab.txt / tokenizer.json) map onto the native
 encoder's stacked-scan parameter layout with norm_style="post",
 attn_bias=True, act="gelu_exact" — numerically the BERT forward pass
-(verified against transformers.BertModel in tests/test_hf_import.py).
+(verified against transformers.BertModel in tests/test_bpe.py:125).
 
 Mapping (per layer i of bert.encoder.layer.{i}):
   attention.self.{query,key,value}    -> wqkv[:, [0H:1H, 1H:2H, 2H:3H]]

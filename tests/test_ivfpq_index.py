@@ -313,3 +313,75 @@ def test_ivfpq_device_refine_prealloc_bank_matches_append(rng):
             if att_close:
                 att_close()
             pub.close()
+
+
+def test_ivfpq_opq_scores_match_unrotated_exact(rng):
+    # OPQ is a global orthogonal pre-rotation: returned SCORES are still
+    # cosines in the ORIGINAL space (rotation preserves dot products),
+    # so top-1 self-hits and score values must line up with the oracle
+    x = rng.standard_normal((800, 64)).astype(np.float32)
+    q = x[:8] + rng.standard_normal((8, 64)).astype(np.float32) * 0.01
+    idx = IVFPQIndex(64, nlist=16, nprobe=16, m=16, kmeans_iters=5,
+                     pq_iters=4, opq=True, opq_iters=3,
+                     refine="f32", refine_factor=8)
+    idx.train(x)
+    idx.add(x)
+    s, i = idx.search(q, 10)
+    ref_s, ref_i = cosine_oracle(q, x, 10)
+    assert (i[:, 0] == np.arange(8)).all()
+    # refine=f32 rescores exactly (in rotated space == original space)
+    np.testing.assert_allclose(s[:, 0], ref_s[:, 0], atol=1e-3)
+    assert idx.stats()["opq"] is True
+
+
+def test_ivfpq_opq_improves_adc_on_anisotropic_residuals(rng):
+    # residuals with mixed, decaying variance: fixed subspaces lose
+    # ranking signal that the learned rotation recovers (ADC-only recall)
+    N, D = 4096, 64
+    centers = rng.standard_normal((8, D)).astype(np.float32) * 4
+    scale = np.exp(-np.arange(D) / 6.0).astype(np.float32)
+    mix = np.linalg.qr(rng.standard_normal((D, D)))[0].astype(np.float32)
+    noise = (rng.standard_normal((N, D)).astype(np.float32) * scale) @ mix
+    x = centers[rng.integers(0, 8, N)] + noise
+    q = x[rng.choice(N, 16, replace=False)] \
+        + 0.02 * (rng.standard_normal((16, D)).astype(np.float32)
+                  * scale) @ mix
+    _, ref_i = cosine_oracle(q, x, 10)
+
+    kw = dict(nlist=8, nprobe=8, m=16, nbits=4, kmeans_iters=6,
+              pq_iters=6, refine="none")
+    plain = IVFPQIndex(D, **kw)
+    plain.train(x)
+    plain.add(x)
+    opq = IVFPQIndex(D, opq=True, opq_iters=4, **kw)
+    opq.train(x)
+    opq.add(x)
+    r_plain = recall_at_k(plain.search(q, 10)[1], ref_i)
+    r_opq = recall_at_k(opq.search(q, 10)[1], ref_i)
+    assert r_opq >= r_plain  # rotation never hurts here, usually lifts
+
+
+def test_ivfpq_opq_shm_roundtrip_preserves_rotation(rng, tmp_path):
+    import os
+
+    from codegraph_tpu.index.snapshot import (
+        attach_index_shm, publish_index_shm)
+
+    x = rng.standard_normal((600, 32)).astype(np.float32)
+    q = x[:4] + 0.01
+    idx = IVFPQIndex(32, nlist=8, nprobe=8, m=8, nbits=4, kmeans_iters=4,
+                     pq_iters=3, opq=True, opq_iters=2)
+    idx.train(x)
+    idx.add(x)
+    s0, i0 = idx.search(q, 5)
+    p = os.path.join(tmp_path, "opq.shm")
+    pub = publish_index_shm(idx, p)
+    att, store = attach_index_shm(p)
+    try:
+        assert att._rot is not None
+        s1, i1 = att.search(q, 5)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, atol=1e-5)
+    finally:
+        store.close()
+        pub.close()

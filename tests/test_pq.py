@@ -75,3 +75,60 @@ def test_pq_encode_tiled_matches_flat(rng):
     flat = pq_encode(jnp.asarray(x), books, tile_n=1024)   # single tile
     tiled = pq_encode(jnp.asarray(x), books, tile_n=256)   # 3 tiles + pad
     np.testing.assert_array_equal(np.asarray(flat), np.asarray(tiled))
+
+
+# -- OPQ (ops/opq.py): learned rotation + vmapped subspace training ---------
+
+
+def test_pq_train_batched_matches_sequential_quality(rng):
+    from codegraph_tpu.ops.opq import pq_distortion, pq_train_batched
+
+    N, D, m = 2048, 64, 8
+    centers = rng.standard_normal((32, D)).astype(np.float32) * 2
+    x = jnp.asarray(centers[rng.integers(0, 32, N)] +
+                    rng.standard_normal((N, D)).astype(np.float32) * 0.3)
+    seq = pq_train(x, m=m, nbits=5, n_iters=6)
+    bat = pq_train_batched(x, m=m, nbits=5, n_iters=6, tile_n=512)
+    d_seq = pq_distortion(x, seq)
+    d_bat = pq_distortion(x, bat)
+    # same algorithm, different init draws: within 15% of each other
+    assert d_bat <= 1.15 * d_seq
+
+
+def test_pq_train_batched_pads_non_divisible_rows(rng):
+    from codegraph_tpu.ops.opq import pq_train_batched
+
+    x = jnp.asarray(rng.standard_normal((700, 32)).astype(np.float32))
+    books = pq_train_batched(x, m=4, nbits=4, n_iters=3, tile_n=256)
+    assert books.centroids.shape == (4, 16, 8)
+    assert bool(jnp.all(jnp.isfinite(books.centroids)))
+
+
+def test_opq_rotation_is_orthogonal(rng):
+    from codegraph_tpu.ops.opq import opq_train
+
+    x = jnp.asarray(rng.standard_normal((1024, 32)).astype(np.float32))
+    rot, books = opq_train(x, m=4, nbits=4, n_iters=3, pq_iters=2,
+                           final_pq_iters=3)
+    eye = np.asarray(rot.T @ rot)
+    np.testing.assert_allclose(eye, np.eye(32), atol=1e-4)
+    assert books.centroids.shape == (4, 16, 8)
+
+
+def test_opq_beats_plain_pq_on_anisotropic_data(rng):
+    from codegraph_tpu.ops.opq import opq_train, pq_distortion, \
+        pq_train_batched
+
+    # variance concentrated in a few mixed directions: fixed contiguous
+    # subspaces are the worst case, a rotation recovers most of it
+    N, D, m = 4096, 64, 8
+    z = rng.standard_normal((N, D)).astype(np.float32)
+    scale = np.exp(-np.arange(D) / 8.0).astype(np.float32)  # fast decay
+    mix = np.linalg.qr(rng.standard_normal((D, D)))[0].astype(np.float32)
+    x = jnp.asarray((z * scale) @ mix)
+    plain = pq_train_batched(x, m=m, nbits=4, n_iters=6, tile_n=512)
+    rot, books = opq_train(x, m=m, nbits=4, n_iters=4, pq_iters=2,
+                           final_pq_iters=6)
+    d_plain = pq_distortion(x, plain)
+    d_opq = pq_distortion(x @ rot, books)
+    assert d_opq < 0.9 * d_plain  # >=10% distortion cut
