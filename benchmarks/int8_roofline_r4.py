@@ -32,6 +32,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -41,11 +42,69 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 RESULTS: dict = {}
 
+# One mid-run broken pipe kills the per-process JAX client, so every
+# later probe in the same process dies too (that is exactly how the
+# first r4 run ended with 5 errors and one datum). Recovery = RE-EXEC
+# the whole script (bench.py pattern): the fresh process re-claims the
+# chip, merges the flushed JSON, SKIPS completed probes, and retries
+# transient-errored ones up to PROBE_RETRIES times each.
+MAX_PROC_ATTEMPTS = 8
+RETRY_WAIT_S = 240.0
+PROBE_RETRIES = 3
+
 
 def _flush():
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(RESULTS, f, indent=1)
+
+
+def _is_transient(e: BaseException) -> bool:
+    msg = str(e).lower()
+    return ("unavailable" in msg or "broken pipe" in msg
+            or "transport" in msg or "backend" in msg)
+
+
+def _probe_done(name: str) -> bool:
+    r = RESULTS.get(name)
+    if not isinstance(r, dict):
+        return False
+    if "error" not in r:
+        return True
+    # permanent errors (e.g. VMEM OOM at compile) are final; transient
+    # ones retry up to PROBE_RETRIES process generations. Entries from
+    # runs predating the retry bookkeeping classify by message.
+    err = str(r.get("error", "")).lower()
+    transient = r.get("transient",
+                      "unavailable" in err or "broken pipe" in err
+                      or "transport" in err)
+    return not transient or r.get("attempts", 1) >= PROBE_RETRIES
+
+
+def _record_failure(name: str, e: BaseException) -> None:
+    prior = RESULTS.get(name, {}) if isinstance(RESULTS.get(name), dict) \
+        else {}
+    RESULTS[name] = {
+        "error": str(e).split(chr(10))[0][:200],
+        "transient": _is_transient(e),
+        "attempts": prior.get("attempts", 0) + 1,
+    }
+    print(name, "FAIL:", str(e)[:160], flush=True)
+    _flush()
+    if _is_transient(e):
+        _reexec()
+
+
+def _reexec() -> None:
+    att = int(os.environ.get("ROOFLINE_ATTEMPT", "1"))
+    if att >= MAX_PROC_ATTEMPTS:
+        print(f"giving up after {att} process attempts", flush=True)
+        sys.exit(1)
+    print(f"transport death; re-exec (attempt {att + 1}/{MAX_PROC_ATTEMPTS})"
+          f" after {RETRY_WAIT_S:.0f}s (wedged-relay window)", flush=True)
+    time.sleep(RETRY_WAIT_S)
+    os.environ["ROOFLINE_ATTEMPT"] = str(att + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def main() -> None:
@@ -170,17 +229,17 @@ def main() -> None:
 
     # distinct salt per rep (the transport caches identical dispatches)
     salts = [jnp.full((8, N), r - 4, jnp.int8) for r in range(R + 1)]
-    try:
-        dt = pipelined(bw_stream, [(s,) for s in salts])
-        gbps = N * D / dt / 1e9
-        RESULTS["bw_stream"] = {"ms_per_call": round(dt * 1e3, 2),
-                                "achieved_read_gbps": round(gbps, 1),
-                                "bytes_per_call": N * D}
-        print("bw_stream", RESULTS["bw_stream"], flush=True)
-        _flush()
-    except Exception as e:
-        RESULTS["bw_stream"] = {"error": str(e).split(chr(10))[0][:200]}
-        _flush()
+    if not _probe_done("bw_stream"):
+        try:
+            dt = pipelined(bw_stream, [(s,) for s in salts])
+            gbps = N * D / dt / 1e9
+            RESULTS["bw_stream"] = {"ms_per_call": round(dt * 1e3, 2),
+                                    "achieved_read_gbps": round(gbps, 1),
+                                    "bytes_per_call": N * D}
+            print("bw_stream", RESULTS["bw_stream"], flush=True)
+            _flush()
+        except Exception as e:
+            _record_failure("bw_stream", e)
 
     if cli.only == "bw":
         _flush()
@@ -290,6 +349,9 @@ def main() -> None:
         )(qv, qsc.reshape(B, 1), xq, xs.reshape(1, N), bias.reshape(1, N))
 
     def run_probe(name, mode, qres, tn, tb):
+        if _probe_done(name):
+            print(name, "skip (done)", flush=True)
+            return
         try:
             fn = lambda qv, qsc: probe(qv, qsc, mode, qres, tn, tb)[0]
             dt = pipelined(fn, [(qv_all[r], qsc_all[r])
@@ -297,19 +359,18 @@ def main() -> None:
             tops = 2 * B * N * D / dt / 1e12
             record(name, dt, {"effective_tops": round(tops, 1)})
         except Exception as e:
-            RESULTS[name] = {"error": str(e).split(chr(10))[0][:200]}
-            print(name, "FAIL:", str(e)[:160], flush=True)
-            _flush()
+            _record_failure(name, e)
 
     # shipped-kernel sanity anchor (same protocol as the r3 headline)
-    try:
-        fn = lambda qv, qsc: streaming_topk_int8_qmajor(
-            qv, qsc, xq, xs, bias, K, tile_n=2048, tile_b=256)[0]
-        dt = pipelined(fn, [(qv_all[r], qsc_all[r]) for r in range(R + 1)])
-        record("shipped_tn2048_tb256", dt)
-    except Exception as e:
-        RESULTS["shipped_tn2048_tb256"] = {"error": str(e)[:200]}
-        _flush()
+    if not _probe_done("shipped_tn2048_tb256"):
+        try:
+            fn = lambda qv, qsc: streaming_topk_int8_qmajor(
+                qv, qsc, xq, xs, bias, K, tile_n=2048, tile_b=256)[0]
+            dt = pipelined(fn, [(qv_all[r], qsc_all[r])
+                                for r in range(R + 1)])
+            record("shipped_tn2048_tb256", dt)
+        except Exception as e:
+            _record_failure("shipped_tn2048_tb256", e)
 
     for tn, tb in [(t, 256) for t in cli.tiles]:
         run_probe(f"mxu_tn{tn}_tb{tb}", "mxu", False, tn, tb)
@@ -346,4 +407,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # claim/setup death before any probe ran
+        if _is_transient(exc):
+            print("setup FAIL:", str(exc)[:200], flush=True)
+            _reexec()
+        raise
