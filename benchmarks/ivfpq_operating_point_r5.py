@@ -1,0 +1,384 @@
+"""IVF-PQ 10M x 768 operating point on a REALISTIC corpus (VERDICT r5
+item 1 — the round's north star).
+
+The r4 sweep found no config reaching recall@10 >= 0.95: its sigma=0.25
+synthetic (16k isotropic Gaussian centers, ~640 near-duplicates each)
+put every query's whole true top-10 inside one coarse cell as an
+unresolvable near-tie — recall was nprobe-invariant by construction
+(.bench/ivfpq_diag_r5.json separates that artifact from a plumbing bug
+with a positive control) and pure-ADC recall was 0.031. This run fixes
+the experiment, not the bar:
+
+CORPUS — built from REAL embeddings (corpus_seeds_r5.py: production
+chunker over venv Python/JS + /usr/include C/C++ + the reference's Rust
+crates, embedded with the shipped 768-d ensemble provider):
+  * queries = held-out real chunk embeddings (never indexed, never
+    perturbed) — the production workload shape;
+  * rows = seeds displaced by DENSITY-CALIBRATED perturbations: radius
+    ~ U(alpha_lo, alpha_hi) x (seed's nn-distance among seeds), random
+    direction — local structure scales with local density, and varied
+    radii give the top-10 a real, resolvable ordering;
+  * a --mixup fraction interpolates toward one of the seed's 8 nearest
+    neighbors first (t ~ U(0, 0.5)), filling inter-seed space with the
+    smooth similarity decay real corpora have.
+The raw 30GB matrix never exists: chunks generate on device, feed the
+exact-oracle fold AND the index build, and are dropped.
+
+INDEX — production 10M config + the r5 quality/efficiency work:
+OPQ learned rotation (ops/opq.py), refine="int8_device" with the
+candidate-tiled rescore (rf up to 96 without the 755MB f32 transient).
+
+SWEEP — nprobe x refine_factor grid; per config: recall@10 vs the
+exact f32 oracle, CANDIDATE recall of the pre-refine ADC fetch (the
+refine stage's ceiling — separates "probe misses" from "ADC can't
+rank"), and pipelined QPS (R=8 x B=256 distinct batches, drained on
+host fetches). Operating point = max QPS at recall@10 >= 0.95; bar
+>= 2,900 QPS/chip (10x the reference's 285.7-QPS HNSW midpoint,
+README.md:425, on 10x the corpus).
+
+Run ON TPU:  python benchmarks/ivfpq_operating_point_r5.py
+(first: python benchmarks/corpus_seeds_r5.py)
+Writes .bench/ivfpq_operating_point_r5.json (flushed per config;
+resumable — completed configs are skipped on re-exec, and a transport
+death re-execs the whole script bench.py-style).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, ".bench", "ivfpq_operating_point_r5.json")
+SEEDS = os.path.join(REPO, ".bench", "seeds_r5.npz")
+
+RESULTS: dict = {}
+MAX_PROC_ATTEMPTS = 8
+RETRY_WAIT_S = 240.0
+
+
+def _flush():
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+
+
+def _is_transient(e: BaseException) -> bool:
+    msg = str(e).lower()
+    return ("unavailable" in msg or "broken pipe" in msg
+            or "transport" in msg or "backend" in msg)
+
+
+def _reexec() -> None:
+    att = int(os.environ.get("OP_R5_ATTEMPT", "1"))
+    if att >= MAX_PROC_ATTEMPTS:
+        print(f"giving up after {att} process attempts", flush=True)
+        sys.exit(1)
+    print(f"transport death; re-exec (attempt {att + 1}/"
+          f"{MAX_PROC_ATTEMPTS}) after {RETRY_WAIT_S:.0f}s", flush=True)
+    time.sleep(RETRY_WAIT_S)
+    os.environ["OP_R5_ATTEMPT"] = str(att + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_485_760)
+    ap.add_argument("--m", type=int, default=96)
+    ap.add_argument("--nlist", type=int, default=8192)
+    ap.add_argument("--chunk", type=int, default=262_144)
+    ap.add_argument("--queries", type=int, default=512)
+    ap.add_argument("--qps-batch", type=int, default=256)
+    ap.add_argument("--qps-r", type=int, default=8)
+    ap.add_argument("--alpha-lo", type=float, default=0.25)
+    ap.add_argument("--alpha-hi", type=float, default=1.0)
+    ap.add_argument("--mixup", type=float, default=0.3)
+    ap.add_argument("--no-opq", action="store_true")
+    ap.add_argument("--nprobes", type=int, nargs="+", default=[4, 8, 16, 32])
+    ap.add_argument("--refine-factors", type=int, nargs="+",
+                    default=[0, 16, 32, 64, 96])
+    args = ap.parse_args()
+
+    if not os.path.exists(SEEDS):
+        sys.exit(f"missing {SEEDS}: run benchmarks/corpus_seeds_r5.py first")
+
+    cur_cfg = {
+        "rows": args.rows, "m": args.m, "nlist": args.nlist,
+        "alpha": [args.alpha_lo, args.alpha_hi], "mixup": args.mixup,
+        "opq": not args.no_opq, "queries": args.queries, "k": 10,
+        "corpus": "seeds_r5 (real ensemble embeddings) + "
+                  "density-calibrated perturbation",
+    }
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                prior = json.load(f)
+        except (json.JSONDecodeError, OSError) as e:
+            print(f"# prior output unreadable ({e}); starting fresh",
+                  flush=True)
+            prior = {}
+        pc = prior.get("config", {})
+        if all(pc.get(kk) == vv for kk, vv in cur_cfg.items()):
+            RESULTS.update(prior)
+        elif prior:
+            print(f"# prior config differs; starting fresh", flush=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from codegraph_tpu.index.ivfpq import (
+        IVFPQIndex, ivfpq_search_pallas)
+    from codegraph_tpu.ops.topk import streaming_topk
+
+    N, K = args.rows, 10
+    D = 768
+    n_chunks = -(-N // args.chunk)
+    RESULTS["config"] = dict(cur_cfg)
+    RESULTS["config"].update({
+        "refine": "int8_device",
+        "qps_protocol": f"pipelined R={args.qps_r} x B={args.qps_batch} "
+                        "distinct batches, drained on host fetches",
+    })
+
+    # ---- seeds + held-out splits ----------------------------------------
+    seeds_np = np.load(SEEDS)["emb"].astype(np.float32)
+    S_all = seeds_np.shape[0]
+    assert seeds_np.shape[1] == D, seeds_np.shape
+    rng = np.random.default_rng(20260819)
+    perm = rng.permutation(S_all)
+    n_q = args.queries
+    n_qps = (args.qps_r + 1) * args.qps_batch
+    q_ids = perm[:n_q]
+    qps_ids = perm[n_q:n_q + n_qps]
+    gen_ids = perm[n_q + n_qps:]
+    queries = jnp.asarray(seeds_np[q_ids])          # REAL held-out chunks
+    qps_queries = jnp.asarray(seeds_np[qps_ids])    # REAL, distinct per rep
+    seeds = jnp.asarray(seeds_np[gen_ids])          # generator seeds
+    S = int(seeds.shape[0])
+    del seeds_np
+    print(f"seeds: {S} generators, {n_q} oracle queries, "
+          f"{n_qps} qps queries", flush=True)
+
+    # ---- density calibration: nn distance + 8 neighbors per seed --------
+    t0 = time.perf_counter()
+    NB = 8
+    nn_s, nn_i = [], []
+    qb = 4096
+    pad = (-S) % qb
+    seeds_pad = jnp.concatenate(
+        [seeds, jnp.zeros((pad, D), jnp.float32)]) if pad else seeds
+    zero_bias = jnp.zeros((S,), jnp.float32)
+    for lo in range(0, S + pad, qb):
+        s_t, i_t = streaming_topk(
+            seeds_pad[lo:lo + qb], seeds, zero_bias, NB + 1, tile_n=8192)
+        nn_s.append(np.asarray(s_t))
+        nn_i.append(np.asarray(i_t))
+    nn_sim = np.concatenate(nn_s)[:S]               # [S, NB+1] cosines
+    nn_ids = np.concatenate(nn_i)[:S]
+    # drop self-matches (top-1 is the seed itself at sim ~1)
+    self_col = nn_ids[:, 0] == np.arange(S)
+    sim1 = np.where(self_col, nn_sim[:, 1], nn_sim[:, 0])
+    sim1 = np.clip(sim1, -1.0, 1.0)
+    nn_dist = np.sqrt(np.maximum(2.0 - 2.0 * sim1, 1e-12))  # [S]
+    neigh = np.where(self_col[:, None], nn_ids[:, 1:NB + 1],
+                     nn_ids[:, 0:NB])               # [S, NB]
+    RESULTS["density"] = {
+        "nn_dist_p10": round(float(np.percentile(nn_dist, 10)), 4),
+        "nn_dist_p50": round(float(np.percentile(nn_dist, 50)), 4),
+        "nn_dist_p90": round(float(np.percentile(nn_dist, 90)), 4),
+        "calib_s": round(time.perf_counter() - t0, 1),
+    }
+    print("density:", RESULTS["density"], flush=True)
+    _flush()
+    nn_dist_d = jnp.asarray(nn_dist.astype(np.float32))
+    neigh_d = jnp.asarray(neigh.astype(np.int32))
+
+    def _norm(v):
+        return v * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(v * v, -1, keepdims=True), 1e-12))
+
+    @jax.jit
+    def gen_chunk(key):
+        """One corpus chunk: seed -> optional mixup toward a near
+        neighbor -> density-calibrated radial displacement."""
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+        which = jax.random.randint(k1, (args.chunk,), 0, S)
+        base = jnp.take(seeds, which, axis=0)
+        # mixup toward one of the seed's 8 nearest seeds
+        nb_col = jax.random.randint(k2, (args.chunk,), 0, NB)
+        nb = jnp.take(neigh_d, which, axis=0)
+        nb = jnp.take_along_axis(nb, nb_col[:, None], axis=1)[:, 0]
+        t = jax.random.uniform(k3, (args.chunk, 1), minval=0.0, maxval=0.5)
+        mix = (1.0 - t) * base + t * jnp.take(seeds, nb, axis=0)
+        do_mix = (jax.random.uniform(k4, (args.chunk, 1)) < args.mixup)
+        base = jnp.where(do_mix, mix, base)
+        # radial displacement: radius ~ U(alpha_lo, alpha_hi) * nn_dist
+        u = jax.random.normal(k5, (args.chunk, D), jnp.float32)
+        u = u * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(u * u, -1, keepdims=True), 1e-12))
+        r = jax.random.uniform(
+            k6, (args.chunk, 1), minval=args.alpha_lo, maxval=args.alpha_hi
+        ) * jnp.take(nn_dist_d, which, axis=0)[:, None]
+        return _norm(base + r * u)
+
+    @jax.jit
+    def oracle_fold(run_s, run_i, chunk, base):
+        s = jax.lax.dot_general(
+            queries, chunk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_top, i_top = jax.lax.top_k(s, K)
+        i_top = i_top + base
+        s_all = jnp.concatenate([run_s, s_top], axis=1)
+        i_all = jnp.concatenate([run_i, i_top], axis=1)
+        s_new, pos = jax.lax.top_k(s_all, K)
+        return s_new, jnp.take_along_axis(i_all, pos, axis=1)
+
+    run_s = jnp.full((n_q, K), -jnp.inf, jnp.float32)
+    run_i = jnp.full((n_q, K), -1, jnp.int32)
+
+    idx = IVFPQIndex(
+        D, nlist=args.nlist, nprobe=8, m=args.m, kmeans_iters=8,
+        pq_iters=6, capacity_factor=2.0, refine="int8_device",
+        refine_factor=8, opq=not args.no_opq,
+    )
+
+    t0 = time.perf_counter()
+    first = gen_chunk(jax.random.PRNGKey(0))
+    idx.train(first)
+    idx.reserve(N)
+    train_s = time.perf_counter() - t0
+    print(f"trained (opq={idx.opq}) + reserved in {train_s:.1f}s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        tc = time.perf_counter()
+        chunk = first if c == 0 else gen_chunk(jax.random.PRNGKey(c))
+        n_take = min(args.chunk, N - c * args.chunk)
+        run_s, run_i = oracle_fold(run_s, run_i, chunk[:n_take],
+                                   jnp.int32(c * args.chunk))
+        idx.add(chunk[:n_take])
+        print(f"chunk {c + 1}/{n_chunks} "
+              f"({time.perf_counter() - tc:.1f}s)", flush=True)
+    oracle_i = np.asarray(run_i)
+    build_s = time.perf_counter() - t0
+    st = idx.stats()
+    RESULTS["build"] = {
+        "rows": idx.n_rows, "build_s": round(build_s, 1),
+        "train_s": round(train_s, 1), "opq": bool(st["opq"]),
+        "padding_waste": round(st["padding_waste"], 4),
+        "hbm_codes_gib": round(
+            args.nlist * args.m * idx.list_cap / 2**30, 2),
+        "hbm_refine_gib": round(N * (D + 4) / 2**30, 2),
+    }
+    print("build:", RESULTS["build"], flush=True)
+    _flush()
+
+    qnp = np.asarray(queries)
+    B, R = args.qps_batch, args.qps_r
+    jax.block_until_ready(qps_queries)
+
+    def run_cfg(nprobe: int, rf: int):
+        idx.refine_factor = max(rf, 1)
+        idx.refine = "int8_device" if rf > 0 else "none"
+        k_fetch = K * rf if rf > 0 else K
+
+        def dispatch(qb_arr):
+            qr = idx._maybe_rotate(qb_arr)
+            s, i = ivfpq_search_pallas(
+                qr, idx._centroids, idx._x, idx._ids, idx._bias,
+                idx._books, k_fetch, nprobe)
+            if rf > 0:
+                s, i = idx._refine_dev(qr, s, i, K)
+            return s, i
+
+        # recall through the public path + CANDIDATE recall of the
+        # pre-refine fetch (the ceiling refine can reach at this
+        # nprobe/k_fetch — separates probe misses from ADC misranking)
+        ids, cand = [], []
+        for lo in range(0, n_q, B):
+            qb_arr = queries[lo:lo + B]
+            qr = idx._maybe_rotate(qb_arr)
+            s_c, i_c = ivfpq_search_pallas(
+                qr, idx._centroids, idx._x, idx._ids, idx._bias,
+                idx._books, k_fetch, nprobe)
+            if rf > 0:
+                _, i_f = idx._refine_dev(qr, s_c, i_c, K)
+            else:
+                i_f = i_c[:, :K]
+            ids.append(np.asarray(i_f))
+            cand.append(np.asarray(i_c))
+        ids = np.concatenate(ids)
+        cand = np.concatenate(cand)
+        rec = float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / K
+            for a, b in zip(ids, oracle_i)]))
+        crec = float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / K
+            for a, b in zip(cand, oracle_i)]))
+
+        batches = [qps_queries[r * B:(r + 1) * B] for r in range(R + 1)]
+        np.asarray(dispatch(batches[R])[0])       # warm/compile
+        t0 = time.perf_counter()
+        outs = [dispatch(batches[r]) for r in range(R)]
+        for s, _ in outs:
+            np.asarray(s)
+        dt = time.perf_counter() - t0
+        return rec, crec, R * B / dt, dt / R * 1e3
+
+    for rf in args.refine_factors:
+        for npb in args.nprobes:
+            tag = f"np{npb}_rf{rf}"
+            prior = RESULTS.get(tag)
+            if isinstance(prior, dict) and "error" not in prior:
+                print(tag, "skip (done)", flush=True)
+                continue
+            try:
+                rec, crec, qps, ms = run_cfg(npb, rf)
+            except Exception as e:
+                RESULTS[tag] = {"error": str(e).split(chr(10))[0][:300]}
+                print(tag, "FAIL:", str(e)[:200], flush=True)
+                _flush()
+                if _is_transient(e):
+                    _reexec()
+                continue
+            RESULTS[tag] = {"recall@10": round(rec, 4),
+                            "candidate_recall@10": round(crec, 4),
+                            "qps": round(qps, 1),
+                            "ms_per_call": round(ms, 2)}
+            print(tag, RESULTS[tag], flush=True)
+            _flush()
+
+    best = None
+    for tag, r in RESULTS.items():
+        if not tag.startswith("np") or "error" in r:
+            continue
+        if r["recall@10"] >= 0.95 and (
+                best is None or r["qps"] > RESULTS[best]["qps"]):
+            best = tag
+    RESULTS["operating_point"] = {
+        "config": best,
+        **(RESULTS[best] if best else {}),
+        "bar": "recall@10 >= 0.95 vs exact f32 oracle at 10.5M x 768, "
+               ">= 2900 QPS/chip",
+    }
+    print("operating point:", RESULTS["operating_point"], flush=True)
+    _flush()
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as exc:
+        if _is_transient(exc):
+            print("setup FAIL:", str(exc)[:200], flush=True)
+            _reexec()
+        raise

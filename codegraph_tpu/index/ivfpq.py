@@ -437,6 +437,32 @@ def _refine_device_kernel(q, raw, scales, s_cand, i_cand, k: int):
     return s_top, jnp.take_along_axis(i_cand, pos, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tile_c"))
+def _refine_device_tiled(q, raw, scales, s_cand, i_cand, k: int,
+                         tile_c: int = 128):
+    """_refine_device_kernel with the candidate axis tiled: the f32
+    dequantized gather peaks at [B, tile_c, D] (100 MB at B=256, D=768)
+    instead of [B, R, D] (755 MB at the rf=96 operating-point fetch of
+    R=960) — the big-refine-factor configs the r5 sweep needs."""
+    B, R = i_cand.shape
+    Rp = -(-R // tile_c) * tile_c
+    i_p = jnp.pad(i_cand, ((0, 0), (0, Rp - R)), constant_values=-1)
+    tiles = jnp.transpose(i_p.reshape(B, Rp // tile_c, tile_c), (1, 0, 2))
+
+    def tile_fn(it):                                     # [B, tile_c]
+        safe = jnp.maximum(it, 0)
+        rows = jnp.take(raw, safe, axis=0).astype(jnp.float32)
+        sc = jnp.take(scales[:, 0], safe, axis=0)
+        ex = jnp.einsum("bd,bcd->bc", q, rows,
+                        preferred_element_type=jnp.float32) * sc
+        return jnp.where(it >= 0, ex, NEG_INF)
+
+    ex = jax.lax.map(tile_fn, tiles)                     # [T, B, tile_c]
+    exact = jnp.transpose(ex, (1, 0, 2)).reshape(B, Rp)[:, :R]
+    s_top, pos = jax.lax.top_k(exact, k)
+    return s_top, jnp.take_along_axis(i_cand, pos, axis=1)
+
+
 class IVFPQIndex(IVFIndex):
     """IVF cells storing m-byte residual PQ codes instead of vectors.
 
@@ -776,8 +802,7 @@ class IVFPQIndex(IVFIndex):
                 and extra_bias is None:
             # device path: candidates never leave the chip before the
             # exact rescore (one extra fetch of [B, k] only)
-            raw, scales = self._dev_bank()
-            s, i = _refine_device_kernel(q, raw, scales, s, i, k)
+            s, i = self._refine_dev(q, s, i, k)
             s_np, i_np = np.asarray(s), np.asarray(i)
             return s_np, np.where(s_np <= float(NEG_INF) / 2, -1, i_np)
         s_np, i_np = np.asarray(s), np.asarray(i)
@@ -790,12 +815,20 @@ class IVFPQIndex(IVFIndex):
                 s_np, i_np = _truncate_topk(s_np, i_np, k)
             return s_np, i_np
         if self.refine == "int8_device":
-            raw, scales = self._dev_bank()
-            s2, i2 = _refine_device_kernel(
-                q, raw, scales, jnp.asarray(s_np), jnp.asarray(i_np), k)
+            s2, i2 = self._refine_dev(
+                q, jnp.asarray(s_np), jnp.asarray(i_np), k)
             s_np, i_np = np.asarray(s2), np.asarray(i2)
             return s_np, np.where(s_np <= float(NEG_INF) / 2, -1, i_np)
         return self._refine_host(np.asarray(q), s_np, i_np, k)
+
+    def _refine_dev(self, q, s_cand, i_cand, k: int):
+        """Route to the flat or candidate-tiled exact rescore: beyond
+        256 candidates/query the flat [B, R, D] f32 gather transient
+        outgrows its usefulness (755 MB at rf=96), so tile."""
+        raw, scales = self._dev_bank()
+        if int(i_cand.shape[1]) > 256:
+            return _refine_device_tiled(q, raw, scales, s_cand, i_cand, k)
+        return _refine_device_kernel(q, raw, scales, s_cand, i_cand, k)
 
     def _dev_bank(self):
         """Consolidate device refine chunks into one [N, D] bank (one
@@ -876,8 +909,7 @@ class IVFPQIndex(IVFIndex):
         )
         if use_refine and self.refine == "int8_device" \
                 and extra_bias is None:
-            raw, scales = self._dev_bank()
-            s, i = _refine_device_kernel(q, raw, scales, s, i, k)
+            s, i = self._refine_dev(q, s, i, k)
             s_np, i_np = np.asarray(s), np.asarray(i)
             return s_np, np.where(s_np <= float(NEG_INF) / 2, -1, i_np)
         s_np, i_np = np.asarray(s), np.asarray(i)
@@ -890,9 +922,8 @@ class IVFPQIndex(IVFIndex):
                 s_np, i_np = _truncate_topk(s_np, i_np, k)
             return s_np, i_np
         if self.refine == "int8_device":
-            raw, scales = self._dev_bank()
-            s2, i2 = _refine_device_kernel(
-                q, raw, scales, jnp.asarray(s_np), jnp.asarray(i_np), k)
+            s2, i2 = self._refine_dev(
+                q, jnp.asarray(s_np), jnp.asarray(i_np), k)
             s_np, i_np = np.asarray(s2), np.asarray(i2)
             return s_np, np.where(s_np <= float(NEG_INF) / 2, -1, i_np)
         return self._refine_host(np.asarray(q), s_np, i_np, k)

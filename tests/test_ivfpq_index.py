@@ -385,3 +385,31 @@ def test_ivfpq_opq_shm_roundtrip_preserves_rotation(rng, tmp_path):
     finally:
         store.close()
         pub.close()
+
+
+def test_refine_device_tiled_matches_flat(rng):
+    """The candidate-tiled exact rescore (_refine_device_tiled, used for
+    the r5 big-refine-factor fetches) is bit-identical to the flat
+    kernel, including -1 padding and non-multiple-of-tile widths."""
+    import jax.numpy as jnp
+
+    from codegraph_tpu.index.ivfpq import (
+        _refine_device_kernel, _refine_device_tiled)
+
+    N, D, B, R, K = 512, 32, 4, 300, 10  # R % 128 != 0 on purpose
+    raw = rng.integers(-127, 128, (N, D)).astype(np.int8)
+    scales = rng.random((N, 1)).astype(np.float32) * 0.01 + 1e-3
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    i_cand = rng.integers(0, N, (B, R)).astype(np.int32)
+    i_cand[:, -7:] = -1  # dead candidates
+    s_cand = rng.standard_normal((B, R)).astype(np.float32)
+
+    s_f, i_f = _refine_device_kernel(
+        jnp.asarray(q), jnp.asarray(raw), jnp.asarray(scales),
+        jnp.asarray(s_cand), jnp.asarray(i_cand), K)
+    s_t, i_t = _refine_device_tiled(
+        jnp.asarray(q), jnp.asarray(raw), jnp.asarray(scales),
+        jnp.asarray(s_cand), jnp.asarray(i_cand), K)
+    np.testing.assert_allclose(np.asarray(s_t), np.asarray(s_f),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_f))
