@@ -51,6 +51,7 @@ class IndexStats:
     edges_resolved_exact: int = 0
     edges_resolved_semantic: int = 0
     edges_unresolved: int = 0
+    edges_external: int = 0  # std/dependency targets (not project symbols)
     chunks: int = 0
     embedded: int = 0
     analyzer_counters: Dict[str, int] = field(default_factory=dict)
@@ -227,13 +228,25 @@ class ProjectIndexer:
         # edge resolution against ALL nodes (cross-file)
         t0 = time.perf_counter()
         all_nodes = list(self.store.nodes.values())
-        unresolved, n_exact, n_sem = self.resolver.resolve(new_edges, all_nodes)
+        # build-manifest dependency names are external roots: a bare
+        # `serde_json!`-style macro or `use criterion::...` classifies
+        # against the project's own declared dependency set
+        # (BuildContextAnalyzer parses the manifests)
+        from codegraph_tpu.core.types import EdgeType as _ET
+        ext_roots = set()
+        for e in new_edges:
+            if e.edge_type == _ET.DEPENDS_ON and not e.resolved:
+                ext_roots.add(e.dst)
+                ext_roots.add(e.dst.replace("-", "_"))
+        unresolved, n_exact, n_sem, n_ext = self.resolver.resolve(
+            new_edges, all_nodes, external_roots=ext_roots)
         resolved_edges = [e for e in new_edges if e.resolved]
         self.store.add_edges(resolved_edges)
         stats.edges_total = len(new_edges)
         stats.edges_resolved_exact = n_exact
         stats.edges_resolved_semantic = n_sem
         stats.edges_unresolved = len(unresolved)
+        stats.edges_external = n_ext
         stats.stage_seconds["resolve"] = time.perf_counter() - t0
 
         # chunk + embed + index (the TPU hot loop, indexer.rs:1603-1685)
@@ -375,7 +388,7 @@ class ProjectIndexer:
             self.bm25.remove(r)
         self.store.upsert_nodes(fp.result.nodes)
         all_nodes = list(self.store.nodes.values())
-        unresolved, n_exact, n_sem = self.resolver.resolve(
+        unresolved, n_exact, n_sem, n_ext = self.resolver.resolve(
             fp.result.edges, all_nodes
         )
         self.store.add_edges([e for e in fp.result.edges if e.resolved])
@@ -393,6 +406,8 @@ class ProjectIndexer:
         stats.edges_total = len(fp.result.edges)
         stats.edges_resolved_exact = n_exact
         stats.edges_resolved_semantic = n_sem
+        stats.edges_unresolved = len(unresolved)
+        stats.edges_external = n_ext
         return stats
 
     def delete_file(self, path: str) -> None:

@@ -399,7 +399,7 @@ class BraceScanner:
         ctx = self.ctx
         scopes: List[_Scope] = []
         depth = 0
-        calls: Dict[str, Set[str]] = {}
+        calls: Dict[str, Dict[str, Optional[str]]] = {}
         i = 0
         n = len(toks)
         while i < n:
@@ -430,8 +430,48 @@ class BraceScanner:
                     and t.text not in self.kw
                 ):
                     fn = self.innermost_fn(scopes)
-                    if fn is not None and t.text != fn.name:
-                        calls.setdefault(fn.id, set()).add(t.text)
+                    # attribute pseudo-calls are not calls: #[allow(..)]
+                    # / #![cfg(..)] inside a fn body otherwise emit
+                    # allow/cfg/derive/serde as call edges
+                    in_attr = (
+                        i >= 2 and toks[i - 1].kind == "punct"
+                        and toks[i - 1].text == "["
+                        and (toks[i - 2].text == "#"
+                             or (toks[i - 2].text == "!" and i >= 3
+                                 and toks[i - 3].text == "#")))
+                    if fn is not None and t.text != fn.name and not in_attr:
+                        # keep the '::' path prefix (a::b::f -> full
+                        # path: lets the resolver classify external
+                        # crates) and the '.' receiver (x.f / self.f:
+                        # receiver-aware binding, indexer/resolve.py)
+                        name, recv = t.text, None
+                        j = i
+                        parts = []
+                        while (j >= 2 and toks[j - 1].kind == "punct"
+                               and toks[j - 1].text == "::"
+                               and toks[j - 2].kind == "id"):
+                            parts.insert(0, toks[j - 2].text)
+                            j -= 2
+                        if parts:
+                            if parts[0] == "Self":
+                                # Self::new() = associated fn of the
+                                # enclosing type: bind like self.method
+                                recv = "self"
+                            else:
+                                name = "::".join(parts + [t.text])
+                        elif (j >= 2 and toks[j - 1].kind == "punct"
+                              and toks[j - 1].text == "."):
+                            if toks[j - 2].kind == "id":
+                                recv = toks[j - 2].text
+                            elif toks[j - 2].kind == "punct" and \
+                                    toks[j - 2].text in (")", "]", "?"):
+                                # chained method on an expression:
+                                # foo().context(..) / x?.await.unwrap()
+                                recv = "<expr>"
+                        calls.setdefault(fn.id, {})
+                        prev_recv = calls[fn.id].get(name)
+                        if prev_recv is None or (recv and not prev_recv):
+                            calls[fn.id][name] = recv
             i += 1
         # close any scopes left open (truncated files)
         last_line = toks[-1].line if toks else 1
@@ -441,8 +481,10 @@ class BraceScanner:
                 self._close(sc.node, last_line)
         for src, names in calls.items():
             for name in sorted(names)[:MAX_CALLS_PER_NODE]:
+                recv = names[name]
                 ctx.edges.append(
-                    CodeEdge(src, name, EdgeType.CALLS, resolved=False)
+                    CodeEdge(src, name, EdgeType.CALLS, resolved=False,
+                             metadata={"recv": recv} if recv else {})
                 )
 
     def _emit(self, d: _Decl, toks: List[Token], scopes: List[_Scope],
@@ -723,7 +765,16 @@ class RustScanner(BraceScanner):
         while j < n and not (toks[j].kind == "punct" and
                              toks[j].text in (";", "{")):
             if toks[j].kind == "id":
+                if toks[j].text == "as":
+                    # `use a::b as c`: the import PATH is a::b; the
+                    # alias is recovered by the resolver from the node
+                    # content (previously 'as' leaked into the path as
+                    # a::b::as::c)
+                    break
                 parts.append(toks[j].text)
+            j += 1
+        while j < n and not (toks[j].kind == "punct" and
+                             toks[j].text in (";", "{")):
             j += 1
         # swallow a brace group: use a::{b, c};
         if j < n and toks[j].text == "{":
@@ -1507,7 +1558,7 @@ class RubyScanner:
         ctx = self.ctx
         # stack entries: (node | None for control blocks)
         stack: List[Optional[CodeNode]] = []
-        calls: Dict[str, Set[str]] = {}
+        calls: Dict[str, Dict[str, Optional[str]]] = {}
         i = 0
         n = len(toks)
         prev_line = -1
@@ -1587,7 +1638,15 @@ class RubyScanner:
                     toks[i + 1].text == "(" and w not in self.kw:
                 fn = self._innermost_fn(stack)
                 if fn is not None and w != fn.name:
-                    calls.setdefault(fn.id, set()).add(w)
+                    recv = None
+                    if (i >= 2 and toks[i - 1].kind == "punct"
+                            and toks[i - 1].text == "."
+                            and toks[i - 2].kind == "id"):
+                        recv = toks[i - 2].text
+                    calls.setdefault(fn.id, {})
+                    prev_recv = calls[fn.id].get(w)
+                    if prev_recv is None or (recv and not prev_recv):
+                        calls[fn.id][w] = recv
             i += 1
         last_line = toks[-1].line if toks else 1
         while stack:
@@ -1596,8 +1655,10 @@ class RubyScanner:
                 self._close(node, last_line)
         for src, names in calls.items():
             for name in sorted(names)[:MAX_CALLS_PER_NODE]:
+                recv = names[name]
                 ctx.edges.append(
-                    CodeEdge(src, name, EdgeType.CALLS, resolved=False))
+                    CodeEdge(src, name, EdgeType.CALLS, resolved=False,
+                             metadata={"recv": recv} if recv else {}))
 
     def _innermost_type(self, stack):
         for node in reversed(stack):

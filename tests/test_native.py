@@ -128,5 +128,5 @@ def test_resolver_uses_native_preselect():
     edges = [CodeEdge(nodes[1].id, "compute_checksums", EdgeType.CALLS,
                       resolved=False)]
     resolver = EdgeResolver(provider=HashProvider(64), semantic_threshold=0.5)
-    _, _, n_sem = resolver.resolve(edges, nodes)
+    _, _, n_sem, _ = resolver.resolve(edges, nodes)
     assert n_sem == 1
