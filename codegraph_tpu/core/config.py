@@ -93,7 +93,7 @@ class SearchConfig:
     default_limit: int = 10
     max_limit: int = 100
     rerank: bool = False
-    reranker: str = "embedding"  # embedding | cross_encoder | none
+    reranker: str = "embedding"  # embedding | cross_encoder | feature | none
     # stage-1 candidate pool for the rerank pipeline (reference:
     # CODEGRAPH_RERANKING_CANDIDATES)
     rerank_candidates: int = 100

@@ -214,6 +214,22 @@ class GraphToolExecutor:
         """Drop cached tool results — call after index/graph mutation
         (the indexer invalidates its search cache the same way)."""
         self.cache.invalidate()
+        self._path_vocab = None
+
+    def _auto_filters(self, query: str):
+        """Query-classified SOFT filters (rag/query_processor.py
+        infer_soft_filters); the corpus path vocabulary is built lazily
+        and dropped on invalidate()."""
+        from codegraph_tpu.rag.query_processor import (
+            infer_soft_filters, path_vocabulary)
+
+        vocab = getattr(self, "_path_vocab", None)
+        if vocab is None:
+            store = getattr(self.search, "store", None)
+            nodes = list(store.nodes.values()) if store is not None else []
+            vocab = path_vocabulary(nodes)
+            self._path_vocab = vocab
+        return infer_soft_filters(query, vocab)
 
     def _dispatch(self, tool: str, p: Dict[str, Any]) -> Dict[str, Any]:
         q = self.queries
@@ -230,6 +246,12 @@ class GraphToolExecutor:
                     metadata=p.get("metadata"),
                     soft=(p.get("filter_mode") == "soft"),
                 )
+            elif p.get("auto_filters", True):
+                # no explicit filters: classify the query into SOFT
+                # filters (language/kind words + discriminative path
+                # terms). Soft never excludes; it only feeds the
+                # metadata_match_score ranking term — VERDICT r4 weak 7
+                filters = self._auto_filters(p["query"])
             if p.get("model") and self.router is not None:
                 results = self.router.search_text(
                     p["query"], int(p.get("limit", 10)),

@@ -64,6 +64,74 @@ _CODE_ENTITY_RE = re.compile(
 )
 
 
+_LANG_WORDS = {
+    "rust": "rust", "python": "python", "javascript": "javascript",
+    "typescript": "typescript", "golang": "go", "java": "java",
+    "ruby": "ruby", "kotlin": "kotlin", "swift": "swift",
+}
+_NTYPE_WORDS = {
+    "function": "function", "fn": "function", "method": "method",
+    "struct": "struct", "class": "class", "trait": "trait",
+    "interface": "interface", "enum": "enum", "macro": "macro",
+    "module": "module", "constant": "constant",
+}
+
+
+def infer_soft_filters(query: str, path_vocab=None):
+    """Auto-derive SOFT SearchFilters from the query text (VERDICT r4
+    weak 7: the oracle path-prefix filter lifted tool recall@1 0.417 ->
+    0.53; this recovers part of that headroom without oracle knowledge).
+
+    Signals: an explicit language word ("the rust parser"), a node-kind
+    word ("which struct ..."), and query tokens that are directory
+    components of the indexed corpus ("the vector store" -> path term
+    "vector"). Soft filters never exclude — they only contribute the
+    metadata_match_score ranking term (search/hybrid.py:133, reference
+    search.rs:317-345), so a wrong inference cannot empty the results.
+    Returns a SearchFilters or None when nothing was inferred.
+    """
+    from codegraph_tpu.core.types import SearchFilters
+
+    toks = tokenize(query)
+    tokset = set(toks)
+    langs = {_LANG_WORDS[t] for t in tokset if t in _LANG_WORDS}
+    ntypes = {_NTYPE_WORDS[t] for t in tokset if t in _NTYPE_WORDS}
+    paths = set()
+    if path_vocab:
+        paths = {t for t in tokset
+                 if len(t) >= 4 and t in path_vocab
+                 and t not in _NTYPE_WORDS}
+    if not (langs or ntypes or paths):
+        return None
+    return SearchFilters.make(
+        languages=langs, node_types=ntypes,
+        path_prefixes=sorted(paths)[:4], soft=True,
+    )
+
+
+def path_vocabulary(nodes) -> set:
+    """DISCRIMINATIVE directory/file-stem components of the corpus, for
+    infer_soft_filters path hints. Components present in more than a
+    third of nodes (src, lib, the project's own name) carry no signal
+    and would boost everything equally — they are dropped."""
+    from collections import Counter
+
+    df: Counter = Counter()
+    total = 0
+    for n in nodes:
+        p = getattr(getattr(n, "location", None), "file_path", "") or ""
+        total += 1
+        pieces = set()
+        for comp in re.split(r"[/\\]", p):
+            stem = comp.rsplit(".", 1)[0].lower()
+            for piece in re.split(r"[-_.]", stem):
+                if len(piece) >= 4:
+                    pieces.add(piece)
+        df.update(pieces)
+    cap = max(2, total // 3)
+    return {t for t, c in df.items() if 2 <= c <= cap}
+
+
 class QueryProcessor:
     def process(self, query: str) -> ProcessedQuery:
         low = query.lower()
@@ -84,4 +152,5 @@ class QueryProcessor:
         )
 
 
-__all__ = ["QueryProcessor", "QueryType", "ProcessedQuery"]
+__all__ = ["QueryProcessor", "QueryType", "ProcessedQuery",
+           "infer_soft_filters", "path_vocabulary"]

@@ -94,6 +94,86 @@ class CrossScorerReranker:
         return out
 
 
+class FeatureReranker:
+    """Stage 2 alternative: cheap ranking features STACKED on the
+    retrieval score (VERDICT r4 item 5 — the trained cross-encoder
+    degraded retrieval, 0.738 -> 0.227 recall@1; this replaces it with
+    signals that cannot dominate the bi-encoder, only break its ties).
+
+    final = retrieval + scale * (w_name*name_overlap + w_snip*ident_hits
+                                 + w_path*path_match + w_deg*log_degree)
+
+    - name_overlap: IDF-free cosine of query tokens vs the candidate's
+      NAME tokens (the reference's BM25 leg weighs name matches the
+      same way, codegraph.surql:420-447);
+    - ident_hits: fraction of long (>=4 char) query tokens present in
+      the snippet — identifier mentions;
+    - path_match: query tokens appearing in the candidate's file path;
+    - log_degree: optional graph centrality from `degree_fn(node_id)`
+      (reranker.rs:250's pipeline consults graph context the same way).
+
+    `scale` is in SCORE units (cosine / hybrid mix): with the default
+    0.05, the full feature sum moves a candidate by at most ~0.05
+    cosine — features break near-ties, a decisive retrieval gap stands.
+    Weights are calibrated on the PYTHON per-language pairs (unseen by
+    the Rust cross-repo eval).
+    """
+
+    def __init__(self, w_name: float = 0.30, w_snip: float = 0.15,
+                 w_path: float = 0.10, w_deg: float = 0.05,
+                 degree_fn: Optional[Callable[[str], int]] = None,
+                 scale: float = 0.05):
+        self.w_name = w_name
+        self.w_snip = w_snip
+        self.w_path = w_path
+        self.w_deg = w_deg
+        self.degree_fn = degree_fn
+        self.scale = scale
+
+    @staticmethod
+    def _overlap_cos(a: set, b: set) -> float:
+        if not a or not b:
+            return 0.0
+        return len(a & b) / ((len(a) ** 0.5) * (len(b) ** 0.5))
+
+    def features(self, query: str, r: SearchResult) -> float:
+        qt = set(tokenize(query))
+        name_t = set(tokenize(r.name or ""))
+        f = self.w_name * self._overlap_cos(qt, name_t)
+        long_q = {t for t in qt if len(t) >= 4}
+        if long_q:
+            snip = set(tokenize(r.snippet or ""))
+            f += self.w_snip * (len(long_q & snip) / len(long_q))
+        path_t = set(tokenize((r.file_path or "").replace("/", " ")
+                              .replace(".", " ")))
+        f += self.w_path * self._overlap_cos(qt, path_t)
+        if self.degree_fn is not None:
+            import math
+
+            try:
+                f += self.w_deg * math.log1p(
+                    max(self.degree_fn(r.node_id), 0)) / 5.0
+            except Exception:
+                pass
+        return f
+
+    def rerank(
+        self, query: str, results: List[SearchResult], k: int
+    ) -> List[SearchResult]:
+        if not results:
+            return []
+        scored = [
+            (float(r.score) + self.scale * self.features(query, r), r)
+            for r in results
+        ]
+        scored.sort(key=lambda t: -t[0])
+        out = []
+        for s, r in scored[:k]:
+            r.score = float(s)
+            out.append(r)
+        return out
+
+
 class LLMReranker:
     """Stage 3: LLM chooses the final ordering (reranker.rs LLM stage;
     reranking/ollama.rs chat-based scoring). Takes any LLMProvider from
@@ -152,11 +232,14 @@ class RerankerPipeline:
         config: Optional[RerankerConfig] = None,
         cross_scorer: Optional[Callable[[str, str], float]] = None,
         cross_encoder=None,
+        stage2_override=None,
     ):
         self.config = config or RerankerConfig()
         self.stage1 = EmbeddingReranker(provider)
         self.cross_encoder = cross_encoder
-        self.stage2 = CrossScorerReranker(cross_scorer)
+        # stage2_override: any object with rerank(query, results, k)
+        # (FeatureReranker) replaces the lexical cross-scorer
+        self.stage2 = stage2_override or CrossScorerReranker(cross_scorer)
         self.stage3 = LLMReranker(llm) if (llm and self.config.use_llm) else None
 
     def rerank(self, query: str, results: List[SearchResult]) -> List[SearchResult]:
@@ -172,13 +255,15 @@ class RerankerPipeline:
         return out
 
 
-def make_reranker_pipeline(provider, search_cfg, llm=None) -> RerankerPipeline:
+def make_reranker_pipeline(provider, search_cfg, llm=None,
+                           degree_fn=None) -> RerankerPipeline:
     """The ONE serving construction path for the rerank pipeline
     (CLI `codegraph start`, the library API, service hosts). Duplicated
     builds have twice diverged — one dropped the cross_encoder wiring
     entirely, another constructed it without the shipped checkpoint
     (a random-init scorer blending noise into every ranking)."""
     cross_encoder = None
+    stage2_override = None
     if getattr(search_cfg, "reranker", None) == "cross_encoder":
         from codegraph_tpu.models.cross_encoder import (
             CrossEncoder,
@@ -187,10 +272,13 @@ def make_reranker_pipeline(provider, search_cfg, llm=None) -> RerankerPipeline:
 
         cross_encoder = CrossEncoder(
             checkpoint=default_cross_encoder_checkpoint())
+    elif getattr(search_cfg, "reranker", None) == "feature":
+        stage2_override = FeatureReranker(degree_fn=degree_fn)
     return RerankerPipeline(
         provider, llm=llm,
         config=RerankerConfig(stage1_k=search_cfg.rerank_candidates),
         cross_encoder=cross_encoder,
+        stage2_override=stage2_override,
     )
 
 
@@ -198,6 +286,7 @@ __all__ = [
     "RerankerConfig",
     "EmbeddingReranker",
     "CrossScorerReranker",
+    "FeatureReranker",
     "LLMReranker",
     "RerankerPipeline",
     "make_reranker_pipeline",

@@ -413,3 +413,57 @@ def test_semantic_code_search_filters_end_to_end(indexed, tmp_path):
         "languages": ["rust"],
     })
     assert none["count"] == 0
+
+
+def test_auto_soft_filters_from_query(indexed):
+    """semantic_code_search with no explicit filters classifies the
+    query into SOFT filters (language/kind words + discriminative path
+    terms) — VERDICT r4 weak 7. Soft filters must never exclude."""
+    from codegraph_tpu.rag.query_processor import (
+        infer_soft_filters, path_vocabulary)
+
+    indexer, _ = indexed
+    vocab = path_vocabulary(indexer.store.nodes.values())
+    f = infer_soft_filters("which python function adds numbers", vocab)
+    assert f is not None and f.soft
+    assert "python" in f.languages and "function" in f.node_types
+    assert infer_soft_filters("general prose with no signals at all",
+                              vocab) is None
+
+    tools = make_executor(indexer)
+    out = tools.execute("semantic_code_search",
+                        {"query": "python function that adds numbers",
+                         "limit": 5})
+    assert out["count"] >= 1  # soft filters exclude nothing
+    names = [r["name"] for r in out["results"]]
+    assert "add_numbers" in names
+    # opt-out path stays clean
+    out2 = tools.execute("semantic_code_search",
+                         {"query": "python function that adds numbers",
+                          "limit": 5, "auto_filters": False})
+    assert out2["count"] >= 1
+
+
+def test_feature_reranker_ties_break_toward_name_match():
+    from codegraph_tpu.core.types import SearchResult
+    from codegraph_tpu.search.reranker import FeatureReranker
+
+    results = [
+        SearchResult(node_id="a", chunk_id="a", score=0.90,
+                     name="serialize_output", snippet="fn serialize"),
+        SearchResult(node_id="b", chunk_id="b", score=0.901,
+                     name="unrelated_helper", snippet="misc"),
+    ]
+    fr = FeatureReranker()
+    ranked = fr.rerank("serialize output record", list(results), 2)
+    # near-tie flips toward the name match...
+    assert ranked[0].node_id == "a"
+    # ...but a decisive retrieval gap cannot be overturned by features
+    results = [
+        SearchResult(node_id="a", chunk_id="a", score=0.70,
+                     name="serialize_output", snippet="fn serialize"),
+        SearchResult(node_id="b", chunk_id="b", score=0.90,
+                     name="unrelated_helper", snippet="misc"),
+    ]
+    ranked = fr.rerank("serialize output record", list(results), 2)
+    assert ranked[0].node_id == "b"
