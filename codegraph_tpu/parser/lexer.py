@@ -83,15 +83,23 @@ class Lexer:
             parts.append(f"(?P<bopen>{re.escape(op)})")
         else:
             for i, (op, cl) in enumerate(spec.block_comments):
+                # \Z, not $: under re.M a $ matches at EVERY end-of-line,
+                # which closed multi-line /* */ comments at their first
+                # newline and leaked the comment body into the token
+                # stream (found by the r5 parity harness: license
+                # headers produced `function DAMAGES` nodes)
                 parts.append(
-                    f"(?P<bc{i}>{re.escape(op)}.*?(?:{re.escape(cl)}|$))"
+                    f"(?P<bc{i}>{re.escape(op)}.*?(?:{re.escape(cl)}|\\Z))"
                 )
         for i, ms in enumerate(spec.multiline_strings):
             e = re.escape(ms)
+            # \Z, not $ (see block comments above): multi-line template
+            # literals / triple-quoted strings must not close at EOL
             if ms == "`":
-                parts.append(r"(?P<ms%d>`(?:\\.|[^`\\])*(?:`|$))" % i)
+                parts.append(r"(?P<ms%d>`(?:\\.|[^`\\])*(?:`|\Z))" % i)
             else:
-                parts.append(f"(?P<ms{i}>{e}(?:\\\\.|[^\\\\])*?(?:{e}|$))")
+                parts.append(
+                    f"(?P<ms{i}>{e}(?:\\\\.|[^\\\\])*?(?:{e}|\\Z))")
         if spec.lifetimes:
             # 'a / 'static — identifier-like, not a string; must come
             # before the single-quote string alternative

@@ -23,6 +23,7 @@ symbol name) for the indexer's resolution ladder (indexer/resolve.py).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Set, Tuple
 
@@ -709,7 +710,12 @@ class RustScanner(BraceScanner):
                 nxt.text == "!" and i + 2 < len(toks) and \
                 toks[i + 2].kind == "id":
             return self._decl_with_body(toks, i, i + 2, NodeType.MACRO)
-        if t.text == "use" and not scopes:
+        if t.text == "use":
+            # any scope: mod bodies (`mod tests { use super::*; }`) and
+            # cfg-gated fn-local uses carry ~20% of a real crate's use
+            # decls — rust.rs:153 extracts every use_declaration
+            # (measured by the r5 parity harness: import recall
+            # 0.79 -> 1.0 on the reference crates)
             return self._use(toks, i)
         return None
 
@@ -1055,6 +1061,11 @@ class GoScanner(BraceScanner):
                          i + 2, t.line)
         if t.text == "import":
             return self._import(toks, i)
+        if t.text == "package" and nxt is not None and nxt.kind == "id" \
+                and not scopes:
+            # go.rs maps the package clause to NodeType::Module
+            return _Decl(nxt.text, NodeType.MODULE, t.line, None, i + 1,
+                         t.line)
         if t.text == "const" and nxt is not None and nxt.kind == "id" and \
                 not scopes:
             return _Decl(nxt.text, NodeType.CONSTANT, t.line, None, i + 1,
@@ -1131,6 +1142,13 @@ class JavaScanner(BraceScanner):
                 return _Decl(path, NodeType.IMPORT, t.line, None, j,
                              t.line, is_import=True)
             return None
+        if t.text == "package" and nxt is not None and nxt.kind == "id" \
+                and not scopes:
+            # java.rs maps the package declaration to NodeType::Module
+            path, j = _collect_path(toks, i + 1)
+            if path:
+                return _Decl(path, NodeType.MODULE, t.line, None, j, t.line)
+            return None
         if t.kind == "id":
             return self._typed_member(toks, i, scopes)
         return None
@@ -1174,8 +1192,12 @@ class CSharpScanner(JavaScanner):
             path, j = _collect_path(toks, i + 1)
             if j < n and toks[j].text == ";":  # file-scoped namespace
                 return _Decl(path, NodeType.MODULE, t.line, None, j, t.line)
-            return self._decl_with_body(toks, i, i + 1, NodeType.MODULE,
-                                        also_semi=False)
+            # block namespace: the full dotted path is the name
+            # (`namespace A.B.C {` was truncated to `A`)
+            d = self._decl_with_body(toks, i, i + 1, NodeType.MODULE,
+                                     also_semi=False)
+            d.name = path
+            return d
         if t.text == "using":
             path, j = _collect_path(toks, i + 1)
             if path and j < n and toks[j].text == ";":
@@ -1201,7 +1223,10 @@ class CppScanner(BraceScanner):
         if t.kind == "pp":
             txt = t.text
             if txt.startswith("#") and "include" in txt[:9]:
-                inc = txt.split("include", 1)[1].strip().strip('<>"')
+                # anchor on the <...> / "..." delimiters: a trailing
+                # `// comment` on the include line is not the path
+                m = re.search(r'[<"]([^>"\n]+)[>"]', txt)
+                inc = m.group(1).strip() if m else ""
                 if inc:
                     return _Decl(inc, NodeType.IMPORT, t.line, None, i,
                                  t.line, is_import=True)
@@ -1215,19 +1240,32 @@ class CppScanner(BraceScanner):
             # extracted a phantom class `T` and skipped the REAL class
             prev = toks[i - 1] if i > 0 else None
             if prev is not None and prev.kind == "punct" and \
-                    prev.text in ("<", ","):
+                    prev.text in ("<", ",", "("):
+                # '(' too: a parameter's elaborated type `f(struct X *x)`
+                # otherwise finds the FUNCTION body as the struct's body
+                # and emits a phantom struct (r5 parity harness)
                 return None
-            # skip elaborated type uses: 'struct X x;' / 'class X*'
-            body_probe, _ = _find_body(toks, i + 2, also_semi=True)
+            # export macros between keyword and name: `class API Point {`
+            # — the declared name is the LAST id before the body/heritage
+            name_idx = i + 1
+            while name_idx + 1 < n and toks[name_idx + 1].kind == "id" and \
+                    toks[name_idx + 1].text not in ("final",):
+                name_idx += 1
+            # `struct X y = { ... }` is a variable with an initializer,
+            # not a type declaration (macro bodies hit this a lot)
+            if name_idx + 1 < n and toks[name_idx + 1].text == "=":
+                return None
             heritage = []
-            j = i + 2
+            j = _skip_generics(toks, name_idx + 1)
+            if j < n and toks[j].kind == "id" and toks[j].text == "final":
+                j += 1
             if j < n and toks[j].text == ":":
                 names, j = _type_list(toks, j + 1, stop=("{",))
                 heritage = [(EdgeType.EXTENDS, nm) for nm, _ in names
                             if nm not in ("public", "private", "protected",
                                           "virtual")]
             ntype = NodeType.CLASS if t.text == "class" else NodeType.STRUCT
-            d = self._decl_with_body(toks, i, i + 1, ntype,
+            d = self._decl_with_body(toks, i, name_idx, ntype,
                                      heritage=heritage)
             if d.body_at is None:
                 return None  # forward declaration / variable of type
@@ -1312,7 +1350,15 @@ class PhpScanner(BraceScanner):
             while j < n and not (toks[j].kind == "punct" and
                                  toks[j].text in (";", "{")):
                 if toks[j].kind == "id":
+                    if toks[j].text == "as":
+                        # `use A\B as C;` — the import path is A\B; the
+                        # alias must not leak into it (same fix as the
+                        # rust `use ... as` path)
+                        break
                     path_parts.append(toks[j].text)
+                j += 1
+            while j < n and not (toks[j].kind == "punct" and
+                                 toks[j].text in (";", "{")):
                 j += 1
             if not path_parts:
                 return None

@@ -832,3 +832,84 @@ def test_rust_macro_call_still_detected():
     src = 'fn main() { println!("hi"); }\n'
     r = extract_file("p", "m.rs", src, Language.RUST)
     assert [d for _, d in calls(r) if d == "println"]
+
+
+# ---------------------------------------------------------------------------
+# Round-5 parity-harness regressions (benchmarks/scanner_parity_r5.py)
+# ---------------------------------------------------------------------------
+
+
+def test_multiline_block_comment_fully_dropped():
+    """Under re.M the lexer's `$` closed /* */ at the FIRST newline,
+    leaking license-header text as tokens (`function DAMAGES` nodes on
+    /usr/include headers). \\Z fixed it — for every non-nested-comment
+    language."""
+    src = (
+        "/*\n"
+        " * CONSEQUENTIAL DAMAGES (INCLUDING fake_call());\n"
+        " * struct phantom { };\n"
+        " */\n"
+        "struct real_one { int x; };\n"
+    )
+    r = extract_file("p", "h.h", src, Language.CPP)
+    assert names(r, NodeType.STRUCT) == {"real_one"}
+    src_js = "/*\n class Fake {\n}\n*/\nclass Real {}\n"
+    rj = extract_file("p", "c.js", src_js, Language.JAVASCRIPT)
+    assert names(rj, NodeType.CLASS) == {"Real"}
+
+
+def test_rust_scoped_use_extracted():
+    """rust.rs:153 extracts every use_declaration; mod-body and
+    fn-local uses count (20% of the reference crates' imports)."""
+    src = (
+        "mod tests {\n"
+        "    use super::helper;\n"
+        "    fn t() { use std::mem::swap; }\n"
+        "}\n"
+    )
+    r = extract_file("p", "l.rs", src, Language.RUST)
+    imports = names(r, NodeType.IMPORT)
+    assert "super::helper" in imports
+    assert "std::mem::swap" in imports
+
+
+def test_go_java_package_module_nodes():
+    rg = extract_file("p", "g.go", "package geometry\n\nfunc F() {}\n",
+                      Language.GO)
+    assert "geometry" in names(rg, NodeType.MODULE)
+    rj = extract_file("p", "J.java",
+                      "package com.example.geo;\n\nclass P {}\n",
+                      Language.JAVA)
+    assert "com.example.geo" in names(rj, NodeType.MODULE)
+
+
+def test_csharp_block_namespace_dotted_name():
+    src = "namespace Example.Geo\n{\n    class P { }\n}\n"
+    r = extract_file("p", "n.cs", src, Language.CSHARP)
+    assert "Example.Geo" in names(r, NodeType.MODULE)
+
+
+def test_php_use_alias_not_in_path():
+    src = "<?php\nuse Example\\Util\\Math as M;\n"
+    r = extract_file("p", "u.php", src, Language.PHP)
+    imports = names(r, NodeType.IMPORT)
+    assert "Example\\Util\\Math" in imports
+    assert not [i for i in imports if "as" in i.split("\\")]
+
+
+def test_cpp_include_trailing_comment_and_macro_class():
+    src = (
+        "#include <type_traits>    // for std::decay\n"
+        "class IMF_EXPORT_TYPE Name : public Base {\n"
+        "public:\n"
+        "    void m();\n"
+        "};\n"
+        "void take(struct opaque *p) { }\n"
+        "struct conv map = { .table = { 1 } };\n"
+    )
+    r = extract_file("p", "i.h", src, Language.CPP)
+    assert "type_traits" in names(r, NodeType.IMPORT)
+    assert names(r, NodeType.CLASS) == {"Name"}
+    # parameter-position and initializer-position elaborated types must
+    # not become phantom structs
+    assert names(r, NodeType.STRUCT) == set()
