@@ -41,6 +41,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, ".bench", "seeds_r5.npz")
+PARTS_DIR = os.path.join(REPO, ".bench", "seeds_r5_parts")
+MAX_PROC_ATTEMPTS = 8
+RETRY_WAIT_S = 240.0
+
+
+def _is_transient(e: BaseException) -> bool:
+    msg = str(e).lower()
+    return ("unavailable" in msg or "broken pipe" in msg
+            or "transport" in msg or "backend" in msg
+            or "failed_precondition" in msg or "failedprecondition" in msg
+            or "deadline" in msg)
+
+
+def _reexec() -> None:
+    att = int(os.environ.get("SEEDS_R5_ATTEMPT", "1"))
+    if att >= MAX_PROC_ATTEMPTS:
+        print(f"giving up after {att} process attempts", flush=True)
+        sys.exit(1)
+    print(f"transport death; re-exec (attempt {att + 1}/"
+          f"{MAX_PROC_ATTEMPTS}) after {RETRY_WAIT_S:.0f}s", flush=True)
+    time.sleep(RETRY_WAIT_S)
+    os.environ["SEEDS_R5_ATTEMPT"] = str(att + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 ROOTS = [
     ("/opt/venv", ("*.py", "*.js")),
@@ -108,17 +131,38 @@ def main() -> None:
 
     ckpt = _default_checkpoint()
     prov = EnsembleProvider(dimension=768, checkpoint=ckpt)
-    embs = []
+    # Embed in checkpointed parts: the tunnel drops connections mid-run
+    # (FAILED_PRECONDITION on host fetch); each part is flushed to disk
+    # so a re-exec'd process (fresh TPU claim) only redoes the tail.
+    part_rows = args.batch * 16
+    n_parts = (len(chunks) + part_rows - 1) // part_rows
+    os.makedirs(PARTS_DIR, exist_ok=True)
     t0 = time.perf_counter()
-    for lo in range(0, len(chunks), args.batch):
-        embs.append(np.asarray(
-            prov.embed_texts(chunks[lo:lo + args.batch]), np.float32))
-        done = lo + args.batch
-        if (lo // args.batch) % 16 == 0:
-            rate = done / max(time.perf_counter() - t0, 1e-9)
-            print(f"  embedded {min(done, len(chunks))}/{len(chunks)} "
-                  f"({rate:.0f} chunks/s)", flush=True)
-    emb = np.concatenate(embs)[: len(chunks)]
+    for pi in range(n_parts):
+        pf = os.path.join(PARTS_DIR, f"part_{pi:04d}.npy")
+        if os.path.exists(pf):
+            continue
+        plo, phi = pi * part_rows, min((pi + 1) * part_rows, len(chunks))
+        part = []
+        try:
+            for lo in range(plo, phi, args.batch):
+                part.append(np.asarray(
+                    prov.embed_texts(chunks[lo:lo + args.batch]), np.float32))
+        except Exception as e:  # noqa: BLE001
+            if _is_transient(e):
+                print(f"part {pi}: transient {type(e).__name__}: {e}",
+                      flush=True)
+                _reexec()
+            raise
+        arr = np.concatenate(part)
+        np.save(pf + ".tmp.npy", arr)
+        os.replace(pf + ".tmp.npy", pf)
+        rate = phi / max(time.perf_counter() - t0, 1e-9)
+        print(f"  embedded {phi}/{len(chunks)} ({rate:.0f} chunks/s this "
+              "process)", flush=True)
+    emb = np.concatenate([
+        np.load(os.path.join(PARTS_DIR, f"part_{pi:04d}.npy"))
+        for pi in range(n_parts)])[: len(chunks)]
     emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez(OUT, emb=emb.astype(np.float32))

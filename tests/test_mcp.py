@@ -309,7 +309,7 @@ def test_mcp_prompts_endpoints(indexed):
                    "arguments": {"query": "find the parser"}},
     })
     text = got["result"]["messages"][0]["content"]["text"]
-    assert "find the parser" in text and "graph tools" in text
+    assert "find the parser" in text and "graph tools" in text.lower()
     bad = server.handle_message({
         "jsonrpc": "2.0", "id": 3, "method": "prompts/get",
         "params": {"name": "nope"},
