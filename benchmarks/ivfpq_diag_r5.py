@@ -47,10 +47,13 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def main() -> None:
-    from codegraph_tpu.core.config import apply_platform_env
-    apply_platform_env()
-
+    # This diagnosis is CPU-only by design — it must never contend for
+    # the process-exclusive TPU (the op sweep owns it). Force cpu before
+    # any backend init; the sitecustomize's env override loses to
+    # jax.config.update.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from codegraph_tpu.index.ivfpq import IVFPQIndex

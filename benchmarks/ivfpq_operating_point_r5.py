@@ -171,13 +171,21 @@ def main() -> None:
     NB = 8
     nn_s, nn_i = [], []
     qb = 4096
+    tile_n = 8192
     pad = (-S) % qb
     seeds_pad = jnp.concatenate(
         [seeds, jnp.zeros((pad, D), jnp.float32)]) if pad else seeds
-    zero_bias = jnp.zeros((S,), jnp.float32)
+    # database side must be a multiple of tile_n; dead rows get -inf bias
+    npad = (-S) % tile_n
+    x_db = jnp.concatenate(
+        [seeds, jnp.zeros((npad, D), jnp.float32)]) if npad else seeds
+    bias = jnp.concatenate(
+        [jnp.zeros((S,), jnp.float32),
+         jnp.full((npad,), -jnp.inf, jnp.float32)]) if npad else \
+        jnp.zeros((S,), jnp.float32)
     for lo in range(0, S + pad, qb):
         s_t, i_t = streaming_topk(
-            seeds_pad[lo:lo + qb], seeds, zero_bias, NB + 1, tile_n=8192)
+            seeds_pad[lo:lo + qb], x_db, bias, NB + 1, tile_n=tile_n)
         nn_s.append(np.asarray(s_t))
         nn_i.append(np.asarray(i_t))
     nn_sim = np.concatenate(nn_s)[:S]               # [S, NB+1] cosines
