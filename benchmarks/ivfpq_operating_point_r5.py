@@ -61,7 +61,10 @@ SEEDS = os.path.join(REPO, ".bench", "seeds_r5.npz")
 
 RESULTS: dict = {}
 MAX_PROC_ATTEMPTS = 8
-RETRY_WAIT_S = 240.0
+# a crashed worker's HBM is held at the relay for 5-15 min; retrying
+# sooner re-claims a chip whose memory the corpse still occupies and
+# cascades RESOURCE_EXHAUSTED (observed attempts 2-3 of this run)
+RETRY_WAIT_S = 600.0
 
 
 def _flush():
@@ -93,7 +96,9 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=10_485_760)
     ap.add_argument("--m", type=int, default=96)
     ap.add_argument("--nlist", type=int, default=8192)
-    ap.add_argument("--chunk", type=int, default=262_144)
+    # 131k rows/chunk: the 262k original put ~2GB of gen+encode+rotate
+    # transients next to the 8GB refine bank + 2GB codes on a 16GB v5e
+    ap.add_argument("--chunk", type=int, default=131_072)
     ap.add_argument("--queries", type=int, default=512)
     ap.add_argument("--qps-batch", type=int, default=256)
     ap.add_argument("--qps-r", type=int, default=8)
@@ -190,6 +195,9 @@ def main() -> None:
         nn_i.append(np.asarray(i_t))
     nn_sim = np.concatenate(nn_s)[:S]               # [S, NB+1] cosines
     nn_ids = np.concatenate(nn_i)[:S]
+    # free the padded seed copies (~0.8GB HBM) before the 10GB index
+    # build; they are only needed for the calibration scan above
+    del seeds_pad, x_db, bias
     # drop self-matches (top-1 is the seed itself at sim ~1)
     self_col = nn_ids[:, 0] == np.arange(S)
     sim1 = np.where(self_col, nn_sim[:, 1], nn_sim[:, 0])
@@ -212,19 +220,23 @@ def main() -> None:
         return v * jax.lax.rsqrt(
             jnp.maximum(jnp.sum(v * v, -1, keepdims=True), 1e-12))
 
+    # seeds/neigh/nn_dist MUST be jit arguments, not closures: a
+    # closed-over concrete array becomes an HLO constant, and the 394MB
+    # seed matrix in the compile request body gets an HTTP 413 from the
+    # relay's remote_compile endpoint (this killed the first r5 run).
     @jax.jit
-    def gen_chunk(key):
+    def gen_chunk(key, seeds_a, neigh_a, nn_dist_a):
         """One corpus chunk: seed -> optional mixup toward a near
         neighbor -> density-calibrated radial displacement."""
         k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
         which = jax.random.randint(k1, (args.chunk,), 0, S)
-        base = jnp.take(seeds, which, axis=0)
+        base = jnp.take(seeds_a, which, axis=0)
         # mixup toward one of the seed's 8 nearest seeds
         nb_col = jax.random.randint(k2, (args.chunk,), 0, NB)
-        nb = jnp.take(neigh_d, which, axis=0)
+        nb = jnp.take(neigh_a, which, axis=0)
         nb = jnp.take_along_axis(nb, nb_col[:, None], axis=1)[:, 0]
         t = jax.random.uniform(k3, (args.chunk, 1), minval=0.0, maxval=0.5)
-        mix = (1.0 - t) * base + t * jnp.take(seeds, nb, axis=0)
+        mix = (1.0 - t) * base + t * jnp.take(seeds_a, nb, axis=0)
         do_mix = (jax.random.uniform(k4, (args.chunk, 1)) < args.mixup)
         base = jnp.where(do_mix, mix, base)
         # radial displacement: radius ~ U(alpha_lo, alpha_hi) * nn_dist
@@ -233,8 +245,11 @@ def main() -> None:
             jnp.maximum(jnp.sum(u * u, -1, keepdims=True), 1e-12))
         r = jax.random.uniform(
             k6, (args.chunk, 1), minval=args.alpha_lo, maxval=args.alpha_hi
-        ) * jnp.take(nn_dist_d, which, axis=0)[:, None]
+        ) * jnp.take(nn_dist_a, which, axis=0)[:, None]
         return _norm(base + r * u)
+
+    def gen(c: int):
+        return gen_chunk(jax.random.PRNGKey(c), seeds, neigh_d, nn_dist_d)
 
     @jax.jit
     def oracle_fold(run_s, run_i, chunk, base):
@@ -255,12 +270,34 @@ def main() -> None:
         D, nlist=args.nlist, nprobe=8, m=args.m, kmeans_iters=8,
         pq_iters=6, capacity_factor=2.0, refine="int8_device",
         refine_factor=8, opq=not args.no_opq,
+        # OPQ holds ~6 row-sized f32 transients; 131k keeps train peak
+        # ~5GB on the 16GB v5e (coarse k-means still sees train_sample)
+        pq_train_sample=131_072,
     )
 
+    def _hbm(tag: str) -> None:
+        try:
+            ms = jax.devices()[0].memory_stats() or {}
+            used = ms.get("bytes_in_use", 0) / 2**30
+            lim = ms.get("bytes_limit", 0) / 2**30
+            print(f"hbm[{tag}]: {used:.2f}/{lim:.2f} GiB", flush=True)
+        except Exception as e:
+            print(f"hbm[{tag}]: unavailable ({str(e)[:80]})", flush=True)
+
+    print("device:", jax.devices()[0].device_kind, flush=True)
+    _hbm("post-calib")
     t0 = time.perf_counter()
-    first = gen_chunk(jax.random.PRNGKey(0))
-    idx.train(first)
+    # coarse k-means wants 262k rows (32/centroid at nlist=8192); OPQ
+    # subsamples to pq_train_sample internally. The chunks regenerate
+    # from the same keys in the build loop (deterministic).
+    train_x = jnp.concatenate([gen(0), gen(1)])
+    jax.block_until_ready(train_x)
+    _hbm("post-gen-train")
+    idx.train(train_x)
+    train_x = None
+    _hbm("post-train")
     idx.reserve(N)
+    _hbm("post-reserve")
     train_s = time.perf_counter() - t0
     print(f"trained (opq={idx.opq}) + reserved in {train_s:.1f}s",
           flush=True)
@@ -268,14 +305,18 @@ def main() -> None:
     t0 = time.perf_counter()
     for c in range(n_chunks):
         tc = time.perf_counter()
-        chunk = first if c == 0 else gen_chunk(jax.random.PRNGKey(c))
+        chunk = gen(c)
         n_take = min(args.chunk, N - c * args.chunk)
         run_s, run_i = oracle_fold(run_s, run_i, chunk[:n_take],
                                    jnp.int32(c * args.chunk))
         idx.add(chunk[:n_take])
+        chunk = None
         print(f"chunk {c + 1}/{n_chunks} "
               f"({time.perf_counter() - tc:.1f}s)", flush=True)
     oracle_i = np.asarray(run_i)
+    # generators are done: release the seed matrix (~0.4GB HBM) before
+    # the search sweep
+    seeds = neigh_d = nn_dist_d = None
     build_s = time.perf_counter() - t0
     st = idx.stats()
     RESULTS["build"] = {

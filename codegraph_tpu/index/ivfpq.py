@@ -492,6 +492,7 @@ class IVFPQIndex(IVFIndex):
         refine_factor: int = 4,
         opq: bool = False,
         opq_iters: int = 6,
+        pq_train_sample: Optional[int] = None,
         seed: int = 0,
     ):
         """refine="int8" (N*(D+4) host bytes) or refine="f32" (N*D*4
@@ -536,6 +537,14 @@ class IVFPQIndex(IVFIndex):
         self.refine_factor = int(refine_factor)
         self.opq = bool(opq)
         self.opq_iters = int(opq_iters)
+        # PQ/OPQ training rows may be capped below train_sample: the
+        # coarse k-means wants every row it can get (nlist centroids to
+        # place), while the 256-entry subspace codebooks saturate far
+        # earlier — and the OPQ alternation holds ~6 row-sized f32
+        # transients, which at 262k x 768 next to a reserved 10M refine
+        # bank overruns a 16GB v5e. None = use train_sample.
+        self.pq_train_sample = (
+            int(pq_train_sample) if pq_train_sample else None)
         self._rot: Optional[jax.Array] = None    # [D, D]; x_rot = x @ rot
         # batches at least this large route to the batch-shared kernel
         # (decode each unique probed cell once; 3.6-14x measured on TPU)
@@ -611,9 +620,11 @@ class IVFPQIndex(IVFIndex):
         super().train(vectors)
         v = self._prepare(vectors)
         n = v.shape[0]
-        if n > self.train_sample:
+        pq_sample = min(self.train_sample,
+                        self.pq_train_sample or self.train_sample)
+        if n > pq_sample:
             sel = np.random.default_rng(self.seed).choice(
-                n, self.train_sample, replace=False
+                n, pq_sample, replace=False
             )
             v = jnp.take(v, jnp.asarray(np.sort(sel)), axis=0)
         from codegraph_tpu.core.padding import round_up

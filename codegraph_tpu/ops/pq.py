@@ -71,12 +71,14 @@ def pq_train(
 
 @functools.partial(jax.jit, static_argnames=("tile_n",))
 def pq_encode(
-    x: jax.Array, centroids: jax.Array, tile_n: int = 32_768
+    x: jax.Array, centroids: jax.Array, tile_n: int = 8_192
 ) -> jax.Array:
     """[N, D] -> [N, m] uint8 codes (nearest centroid per subspace by L2).
 
     Streams over row tiles: the [tile, m, ksub] distance block is the
-    working set (a flat [N, m, ksub] would be 51GB at 512k x 96 x 256)."""
+    working set (a flat [N, m, ksub] would be 51GB at 512k x 96 x 256;
+    even one 32k tile is a ~3GB transient at m=96, which evicts the 10M
+    build — bank 8GB + codes 2GB — out of HBM, hence the 8k tile)."""
     N, D = x.shape
     m, ksub, dsub = centroids.shape
     c_sq = jnp.sum(jnp.square(centroids), axis=-1)  # [m, ksub]

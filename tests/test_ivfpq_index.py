@@ -413,3 +413,22 @@ def test_refine_device_tiled_matches_flat(rng):
     np.testing.assert_allclose(np.asarray(s_t), np.asarray(s_f),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_f))
+
+
+def test_ivfpq_pq_train_sample_caps_pq_rows(rng):
+    # pq_train_sample caps only the PQ/OPQ training set (the 256-entry
+    # subspace codebooks saturate early; OPQ's row-sized transients are
+    # the 16GB-v5e constraint) while coarse k-means keeps train_sample.
+    x = clustered_data(rng, 16, 96, 48)  # 1536 points
+    q = x[rng.choice(len(x), 8, replace=False)] + 0.01
+    _, ref_i = cosine_oracle(q, x, 10)
+    idx = IVFPQIndex(48, nlist=16, nprobe=16, m=12, kmeans_iters=5,
+                     pq_iters=6, opq=True, opq_iters=2,
+                     pq_train_sample=256, refine="int8_device",
+                     refine_factor=8)
+    idx.train(x)
+    assert idx.is_trained
+    assert idx._books.shape == (12, 256, 4)
+    idx.add(x)
+    s, i = idx.search(q, 10)
+    assert recall_at_k(i, ref_i) >= 0.6
