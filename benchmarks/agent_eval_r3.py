@@ -14,8 +14,9 @@ mechanically-derived ground truth:
      honest (same protocol as benchmarks/crossrepo_eval.py, but scored
      through the tool layer instead of raw embeddings).
   3. Drive `semantic_code_search` through GraphToolExecutor (the exact
-     MCP entry point) under four conditions: plain, +cross-encoder
-     rerank, +path-prefix filter, and RAGSystem.process_query.
+     MCP entry point) under four conditions: plain, +feature rerank
+     (the r5 shippable path; the r3 cross-encoder stays opt-in),
+     +path-prefix filter, and RAGSystem.process_query.
      Success = the ground-truth (file, name) appears in the returned
      hits/sources. Deltas vs the raw-encoder recall (crossrepo_eval)
      attribute quality loss/gain to the pipeline itself.
@@ -124,16 +125,12 @@ def main():
     from codegraph_tpu.graph.queries import GraphQueries
     from codegraph_tpu.indexer.indexer import ProjectIndexer
     from codegraph_tpu.mcp.tools import GraphToolExecutor
-    from codegraph_tpu.models.cross_encoder import (
-        CrossEncoder,
-        default_cross_encoder_checkpoint,
-    )
     from codegraph_tpu.models.providers import (
         EnsembleProvider,
         _default_checkpoint,
     )
     from codegraph_tpu.rag.system import RAGConfig, RAGSystem
-    from codegraph_tpu.search.reranker import RerankerPipeline
+    from codegraph_tpu.search.reranker import make_reranker_pipeline
 
     results: dict = {"corpus": CORPUS}
 
@@ -164,11 +161,11 @@ def main():
     print(f"{len(truth)} ground-truth queries", flush=True)
 
     queries = GraphQueries(indexer.store)
-    rerank_pipe = RerankerPipeline(
-        provider,
-        cross_encoder=CrossEncoder(
-            checkpoint=default_cross_encoder_checkpoint()),
-    )
+    # the shippable rerank path (r5): serving's ONE construction helper
+    # with the feature reranker — the r3 cross-encoder measurably
+    # degraded ranking (BENCH_SWEEP_TPU_r4 rerank_eval) and stays opt-in
+    cfg.search.reranker = "feature"
+    rerank_pipe = make_reranker_pipeline(provider, cfg.search)
     tools = GraphToolExecutor(queries, indexer.search, reranker=rerank_pipe,
                               cache_size=4)  # tiny cache: eval never repeats
 
