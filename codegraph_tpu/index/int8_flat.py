@@ -12,6 +12,7 @@ bf16/f32 copy (the reference's per-id cosine rescore, search.rs:118-127).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -32,6 +33,27 @@ from codegraph_tpu.ops.quantize import (
 
 DEFAULT_TILE_N = 2048
 _PALLAS_TILE_B = 32
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _flat_write(q, s, bias, qv, qs, off):
+    """Donated row-block write into the quantized bank. Donation lets
+    XLA update the [cap, D] int8 matrix in place; an eager
+    dynamic_update_slice holds old+new banks at once — a 2x8GB
+    transient at 10M x 768 that cannot fit a 16GB v5e next to the
+    rest of the index (same fix as ivfpq._bank_write)."""
+    return (
+        jax.lax.dynamic_update_slice(q, qv, (off, 0)),
+        jax.lax.dynamic_update_slice(s, qs, (off,)),
+        jax.lax.dynamic_update_slice(
+            bias, jnp.zeros(qs.shape, jnp.float32), (off,)),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _flat_write_rescore(r, v, off):
+    """Donated write of the high-precision rescore copy."""
+    return jax.lax.dynamic_update_slice(r, v, (off, 0))
 
 
 class Int8FlatIndex:
@@ -112,15 +134,12 @@ class Int8FlatIndex:
         self._ensure_capacity(self.n_rows + n)
         rows = np.arange(self.n_rows, self.n_rows + n, dtype=np.int64)
         qv, qs = quantize_rows(v)
-        self._q = jax.lax.dynamic_update_slice(self._q, qv, (self.n_rows, 0))
-        self._s = jax.lax.dynamic_update_slice(self._s, qs, (self.n_rows,))
-        self._bias = jax.lax.dynamic_update_slice(
-            self._bias, jnp.zeros((n,), jnp.float32), (self.n_rows,)
-        )
+        self._q, self._s, self._bias = _flat_write(
+            self._q, self._s, self._bias, qv, qs, jnp.int32(self.n_rows))
         if self._r is not None:
-            self._r = jax.lax.dynamic_update_slice(
-                self._r, v.astype(self.rescore_dtype), (self.n_rows, 0)
-            )
+            self._r = _flat_write_rescore(
+                self._r, v.astype(self.rescore_dtype),
+                jnp.int32(self.n_rows))
         self.n_rows += n
         self.n_live += n
         return rows

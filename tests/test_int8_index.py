@@ -89,3 +89,22 @@ def test_int8_index_empty(rng):
     idx = Int8FlatIndex(16)
     s, i = idx.search(rng.standard_normal((2, 16)).astype(np.float32), 3)
     assert (i == -1).all()
+
+
+def test_int8_index_prealloc_chunked_matches_oneshot(rng):
+    # the donated _flat_write must place chunk c at offset c*chunk in a
+    # reserved bank: chunked adds == one-shot add, with and without the
+    # rescore copy (the 10M build path adds 80 chunks into one reserve)
+    x = rng.standard_normal((300, 64)).astype(np.float32)
+    q = rng.standard_normal((5, 64)).astype(np.float32)
+    for dtype in (None, "bfloat16"):
+        one = Int8FlatIndex(64, rescore_dtype=dtype, rescore_k=20)
+        one.add(x)
+        chunked = Int8FlatIndex(64, rescore_dtype=dtype, rescore_k=20)
+        chunked.reserve(300)
+        for lo in range(0, 300, 100):
+            chunked.add(x[lo:lo + 100])
+        s1, i1 = one.search(q, 10)
+        s2, i2 = chunked.search(q, 10)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-6)
