@@ -34,6 +34,8 @@ BLOCKS = {
     "ivfpq_diag": ("ivfpq_diag_r5.json", "benchmarks/ivfpq_diag_r5.py"),
     "ivfpq_operating_point": ("ivfpq_operating_point_r5.json",
                               "benchmarks/ivfpq_operating_point_r5.py"),
+    "flat_int8_10m": ("flat_int8_10m_r5.json",
+                      "benchmarks/flat_int8_10m_r5.py"),
     "int8_roofline": ("int8_roofline_r4.json",
                       "benchmarks/int8_roofline_r4.py"),
     "rerank_eval": ("rerank_eval_r5.json", "benchmarks/rerank_eval_r5.py"),
@@ -70,6 +72,16 @@ NOTES = {
         "misses from ADC misranking. Bar: recall@10 >= 0.95 vs the "
         "exact f32 oracle at >= 2,900 QPS/chip (10x the reference's "
         "285.7-QPS HNSW midpoint, README.md:425)."),
+    "flat_int8_10m": (
+        "The 10M operating point that MEETS the bar. The realistic "
+        "corpus (unlike r4's near-duplicate synthetic) shows IVF's "
+        "limiter is probe coverage: candidate_recall == recall at every "
+        "config and both saturate ~0.78 by nprobe=32 — the true top-10 "
+        "spreads across many coarse cells at high effective dimension, "
+        "while scan cost was flat in nprobe. At 10M rows the dense int8 "
+        "MXU scan (Int8FlatIndex, pure int8 ranking over the IDENTICAL "
+        "corpus) is the TPU-native answer; IVF-PQ remains the "
+        "100M-scale tier where the corpus outgrows HBM."),
     "int8_roofline": (
         "VERDICT r4 item 3 completed: bw_stream/mxu/epilogue "
         "decomposition of the int8 scan with per-probe transient retry "
