@@ -33,6 +33,21 @@ class RerankerConfig:
     use_llm: bool = False
 
 
+class PassthroughReranker:
+    """Stage 1 for feature mode: keep the retrieval ranking and scores,
+    truncate to k. This is what the reference's stage 1 actually is —
+    'embedding filter top-100' (reranker.rs:250-300) means taking the
+    top candidates BY THE RETRIEVAL EMBEDDING SCORE, not re-embedding
+    snippets: the r5 agent_eval showed the snippet re-embed stage
+    collapses tool recall@1 0.41 -> 0.26 (truncated 400-char snippets
+    rank differently from the indexed chunks) and costs ~6s/query."""
+
+    def rerank(
+        self, query: str, results: List[SearchResult], k: int
+    ) -> List[SearchResult]:
+        return results[:k]
+
+
 class EmbeddingReranker:
     """Stage 1: exact embedding rescore (reranker.rs:84 EmbeddingReRanker).
 
@@ -233,9 +248,14 @@ class RerankerPipeline:
         cross_scorer: Optional[Callable[[str, str], float]] = None,
         cross_encoder=None,
         stage2_override=None,
+        stage1: str = "embedding",
     ):
         self.config = config or RerankerConfig()
-        self.stage1 = EmbeddingReranker(provider)
+        # stage1="none": retrieval-order passthrough (feature mode —
+        # stage 2 stacks features on the retrieval scores, so stage 1
+        # must not overwrite them with snippet re-embeddings)
+        self.stage1 = (PassthroughReranker() if stage1 == "none"
+                       else EmbeddingReranker(provider))
         self.cross_encoder = cross_encoder
         # stage2_override: any object with rerank(query, results, k)
         # (FeatureReranker) replaces the lexical cross-scorer
@@ -279,6 +299,7 @@ def make_reranker_pipeline(provider, search_cfg, llm=None,
         config=RerankerConfig(stage1_k=search_cfg.rerank_candidates),
         cross_encoder=cross_encoder,
         stage2_override=stage2_override,
+        stage1="none" if stage2_override is not None else "embedding",
     )
 
 

@@ -516,3 +516,36 @@ def test_ivfpq_selective_filter_overfetch():
     got = i[i >= 0]
     assert got.size >= 30, f"only {got.size} filtered hits across 4 queries"
     assert np.isin(got, allowed).all()
+
+
+def test_feature_pipeline_passthrough_stage1():
+    """Feature mode must NOT re-embed snippets in stage 1: the snippet
+    re-embed collapsed tool recall@1 0.41 -> 0.26 in the r5 agent_eval
+    (truncated snippets rank differently from the indexed chunks). The
+    pipeline keeps the retrieval ranking into stage 2, needs no
+    provider calls, and the feature stage can only locally reorder."""
+    from codegraph_tpu.core.config import SearchConfig
+    from codegraph_tpu.core.types import SearchResult
+    from codegraph_tpu.search.reranker import (
+        PassthroughReranker,
+        make_reranker_pipeline,
+    )
+
+    class ExplodingProvider:
+        def embed_texts(self, texts):
+            raise AssertionError("feature mode must not embed")
+
+    cfg = SearchConfig()
+    cfg.reranker = "feature"
+    pipe = make_reranker_pipeline(ExplodingProvider(), cfg)
+    assert isinstance(pipe.stage1, PassthroughReranker)
+
+    results = [
+        SearchResult(node_id=str(i), chunk_id=str(i), score=1.0 - 0.1 * i,
+                     name=f"fn_{i}", file_path=f"src/m{i}.py",
+                     snippet=f"def fn_{i}(): pass")
+        for i in range(30)
+    ]
+    out = pipe.rerank("does not match any name", results)
+    # with zero feature signal the retrieval order must survive intact
+    assert [r.node_id for r in out] == [str(i) for i in range(len(out))]
