@@ -198,8 +198,11 @@ def main():
         print(cond, json.dumps(results[cond]), flush=True)
 
     # -- condition 4: full RAG pipeline (no LLM available -> template) -----
+    # 3s budget: the remote dev transport adds ~30ms per dispatch and
+    # p50 runs ~2s here; at the r3/r4 1s budget every query measured the
+    # DEGRADED path (r5 run 1: degraded=100/100), not the pipeline
     rag = RAGSystem(indexer.search, indexer.store,
-                    config=RAGConfig(latency_budget_ms=1000.0))
+                    config=RAGConfig(latency_budget_ms=3000.0))
     ranks, lat, degraded = [], [], 0
     for path, name, doc in truth[: args.rag_queries]:
         t0 = time.perf_counter()

@@ -85,6 +85,12 @@ class SearchConfig:
     # mixes vw*score + (1-vw)*meta; here it is additive like the other
     # boost terms)
     metadata_weight: float = 0.1
+    # bonus weight on a node's SECOND-best chunk score: two chunks of
+    # the same node independently matching the query is stronger
+    # evidence than one (the reference's chunk->parent fold keeps only
+    # the max, codegraph.surql:399-418; multi-chunk corroboration is
+    # the aggregation its node-mean embedding path approximated)
+    multi_hit_weight: float = 0.15
     # max edge-evidence entries attached per hit (surql:481-536 joins
     # +-50 edge rows per result set; per-hit the useful tail is short)
     related_limit: int = 8
@@ -255,6 +261,7 @@ _ENV_OVERRIDES: Dict[str, str] = {
     "CODEGRAPH_VECTOR_WEIGHT": "search.vector_weight",
     "CODEGRAPH_TEXT_WEIGHT": "search.text_weight",
     "CODEGRAPH_GRAPH_BOOST_WEIGHT": "search.graph_boost_weight",
+    "CODEGRAPH_MULTI_HIT_WEIGHT": "search.multi_hit_weight",
     "CODEGRAPH_SEARCH_LIMIT": "search.default_limit",
     "CODEGRAPH_RERANK": "search.rerank",
     # reranker backend selection (embedding | cross_encoder | none);

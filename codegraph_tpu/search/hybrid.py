@@ -23,7 +23,7 @@ multi-query combine modes OrMax / AndAverage (search.rs:31-35).
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -181,8 +181,12 @@ class HybridSearch:
             scores, rows = self._vector_search(embedding, prefetch, filters)
         scores, rows = scores[0], rows[0]
 
-        # chunk -> parent node, keep max vector score per node
-        node_vec: Dict[str, float] = {}
+        # chunk -> parent node: best chunk score per node, plus a
+        # multi-hit bonus on the second-best — two chunks of one node
+        # independently matching is stronger evidence than one chunk
+        # (this is the aggregation the reference's chunk-mean node
+        # embedding approximated, indexer.rs:1720-1725)
+        node_top2: Dict[str, Tuple[float, float]] = {}
         node_chunk: Dict[str, str] = {}
         for score, row in zip(scores, rows):
             if row < 0:
@@ -191,9 +195,19 @@ class HybridSearch:
             if chunk is None:
                 continue
             nid = chunk.parent_node
-            if nid not in node_vec or score > node_vec[nid]:
-                node_vec[nid] = float(score)
+            s = float(score)
+            s1, s2 = node_top2.get(nid, (-np.inf, -np.inf))
+            if s > s1:
+                s1, s2 = s, s1
                 node_chunk[nid] = chunk.id
+            elif s > s2:
+                s2 = s
+            node_top2[nid] = (s1, s2)
+        mhw = self.config.multi_hit_weight
+        node_vec: Dict[str, float] = {
+            nid: s1 + (mhw * max(s2, 0.0) if s2 > -np.inf else 0.0)
+            for nid, (s1, s2) in node_top2.items()
+        }
 
         # BM25 candidates: add text-only hits the vector pass missed
         # (filtered queries apply the same hard filter host-side — BM25

