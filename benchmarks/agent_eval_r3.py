@@ -171,7 +171,10 @@ def main():
 
     # -- condition 1..3: the MCP tool entry point --------------------------
     conds = {
-        "tool_plain": lambda path, name, doc: {"query": doc, "limit": 10},
+        # explicit rerank flags: since r5 the executor's OMITTED-param
+        # default is True, and the conditions must stay distinct
+        "tool_plain": lambda path, name, doc: {
+            "query": doc, "limit": 10, "rerank": False},
         "tool_rerank": lambda path, name, doc: {
             "query": doc, "limit": 10, "rerank": True},
         "tool_path_filter": lambda path, name, doc: {

@@ -121,6 +121,7 @@ class CodeGraph:
             self.graph, self.indexer.search,
             make_reranker_pipeline(self.indexer.provider,
                                    self.config.search),
+            rerank_default=self.config.search.rerank,
         )
         server = MCPServer(tools, self.config)
         if transport == "http":

@@ -113,7 +113,8 @@ def _make_server(cfg: CodeGraphConfig):
     indexer = _build_indexer(cfg)
     queries = GraphQueries(indexer.store)
     reranker = make_reranker_pipeline(indexer.provider, cfg.search)
-    tools = GraphToolExecutor(queries, indexer.search, reranker)
+    tools = GraphToolExecutor(queries, indexer.search, reranker,
+                              rerank_default=cfg.search.rerank)
     return MCPServer(tools, cfg)
 
 

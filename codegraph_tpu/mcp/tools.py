@@ -44,7 +44,9 @@ TOOL_SCHEMAS: Dict[str, Dict[str, Any]] = {
             "properties": {
                 "query": {"type": "string", "description": "natural language or code query"},
                 "limit": _int_schema("max results", 10, 1, 100),
-                "rerank": {"type": "boolean", "default": False},
+                "rerank": {"type": "boolean",
+                           "description": "override the server's rerank "
+                                          "default (on since r5)"},
                 "model": {
                     "type": "string",
                     "description": "route to a named index backend in a "
@@ -177,14 +179,20 @@ class GraphToolExecutor:
         cache_size: int = 256,
         debug: Optional[DebugLogger] = None,
         router=None,
+        rerank_default: bool = True,
     ):
         """router: optional search.router.IndexRouter for multi-model
         deployments — the `model` tool parameter routes the query to the
         named backend (reference: per-dimension column routing,
-        surrealdb_storage.rs:1932)."""
+        surrealdb_storage.rs:1932).
+
+        rerank_default: what an omitted `rerank` tool param means —
+        wired from SearchConfig.rerank (True since r5: the feature
+        reranker measured net-positive at ~zero latency)."""
         self.queries = queries
         self.search = hybrid_search
         self.reranker = reranker
+        self.rerank_default = bool(rerank_default)
         self.router = router
         self.cache = SearchCache(max_size=cache_size, ttl_s=120.0)
         self.debug = debug or DebugLogger()
@@ -261,7 +269,8 @@ class GraphToolExecutor:
                 results = self.search.search_text(
                     p["query"], int(p.get("limit", 10)), filters=filters
                 )
-            if p.get("rerank") and self.reranker is not None:
+            if p.get("rerank", self.rerank_default) \
+                    and self.reranker is not None:
                 results = self.reranker.rerank(p["query"], results)
             return {"count": len(results),
                     "results": [r.to_dict() for r in results]}
