@@ -93,6 +93,8 @@ def main() -> None:
     ap.add_argument("--alpha-lo", type=float, default=0.25)
     ap.add_argument("--alpha-hi", type=float, default=1.0)
     ap.add_argument("--mixup", type=float, default=0.3)
+    ap.add_argument("--qps-batches", type=int, nargs="+",
+                    default=[256, 1024])
     args = ap.parse_args()
 
     if not os.path.exists(SEEDS):
@@ -258,7 +260,7 @@ def main() -> None:
     # ---- pipelined QPS ---------------------------------------------------
     R = args.qps_r
     rngq = np.random.default_rng(7)
-    for B in (256, 1024):
+    for B in args.qps_batches:
         # distinct inputs per batch (identical dispatches can be
         # result-cached by the transport); B=1024 batches are the 2304
         # held-out qps queries tiled out with small random displacements
@@ -282,7 +284,8 @@ def main() -> None:
         print(f"qps_b{B}:", RESULTS[f"qps_b{B}"], flush=True)
         _flush()
 
-    best_qps = max(RESULTS[f"qps_b{B}"]["qps"] for B in (256, 1024))
+    best_qps = max(v["qps"] for k, v in RESULTS.items()
+                   if k.startswith("qps_b"))
     RESULTS["operating_point"] = {
         "recall@10": RESULTS["recall@10_int8_vs_exact"],
         "qps": best_qps,
